@@ -1,0 +1,298 @@
+package graft.functions
+
+import java.util.regex.Pattern
+import scala.collection.mutable
+import graft.functions.Html.{Elem, Node, Text}
+
+/**
+ * Deterministic HTML→article extraction: a faithful Scala re-expression of
+ * the reference pipeline (preprocess regex cleanup + the Arc90
+ * "readability" candidate-scoring algorithm).
+ *
+ * Reference semantics carried (file:line in /root/reference):
+ *  - cruft regexes, attribute stripping, title/body split:
+ *    cola/core/extractor/preprocess.py:42-74,102-136
+ *  - unlikely-candidate removal, div→p transform, paragraph scoring with
+ *    CJK comma handling, link-density scaling, best-candidate + sibling
+ *    assembly, conditional sanitize, ruthless→safe retry at 250 chars:
+ *    cola/core/extractor/readability.py:38-372
+ *
+ * Output contract (the byte-identical golden surface, BASELINE.json
+ * input_hint): `extractText(html, url)` = normalized title + '\n' +
+ * whitespace-normalized text of the sanitized article. Pure function:
+ * no IO, no clock, no randomness.
+ */
+object Extract extends Serializable {
+
+  val TextLengthThreshold = 25
+  val RetryLength = 250
+
+  // ---- preprocess.py:42-61 dodgy regexes (literal port) ----
+  private val ReScript = Pattern.compile("(?si)<script.*?</script[^>]*>")
+  private val ReDoubleQuoted = Pattern.compile("(=\"[^\"]+\")\"+")
+  private val ReUnclosedTag = Pattern.compile("(<[a-zA-Z]+[^>]*)(<[a-zA-Z]+[^<>]*>)")
+  private val ReUnclosedNumAttr = Pattern.compile("(<[^>]*[a-zA-Z]+\\s*=\\s*\"[0-9]+)( [a-zA-Z]+=\"\\w+\"|/?>)")
+  private val ReComment = Pattern.compile("(?s)<!--[^-]+-->")
+
+  // preprocess.py:64-74 nuisance-attribute stripper
+  private val HtmlStrip = Pattern.compile(
+    "<([^>]+) (?:width|height|style|[-a-z]*color|background[-a-z]*) *= *" +
+      "(?:[^ \"'>]+|'[^']+'|\"[^\"]+\")([^>]*)>",
+    Pattern.CASE_INSENSITIVE)
+
+  // ---- readability.py:38-50 REGEXES (the ones the algorithm uses) ----
+  private val UnlikelyCandidates = Pattern.compile(
+    "combx|comment|disqus|foot|header|menu|meta|nav|rss|shoutbox|sidebar|aside|sponsor",
+    Pattern.CASE_INSENSITIVE)
+  private val OkMaybeCandidate = Pattern.compile("and|article|body|column|main", Pattern.CASE_INSENSITIVE)
+  private val Positive = Pattern.compile(
+    "article|body|content|entry|hentry|page|pagination|post|text", Pattern.CASE_INSENSITIVE)
+  private val Negative = Pattern.compile(
+    "combx|comment|contact|foot|footer|footnote|link|media|meta|promo|related|scroll|shoutbox|sponsor|tags|widget",
+    Pattern.CASE_INSENSITIVE)
+  private val DivToPElements = Pattern.compile(
+    "<(a|blockquote|dl|div|img|ol|p|pre|table|ul)", Pattern.CASE_INSENSITIVE)
+  // readability.py:206,292 comma split incl. CJK fullwidth comma
+  private val CommaSplit = Pattern.compile(",|\uFF0C")
+  private val SentenceEnd = Pattern.compile("\\.( |$)")
+
+  private def reSub(p: Pattern, s: String, repl: String): String = p.matcher(s).replaceAll(repl)
+
+  /** preprocess.py:85-88 — hack around lousy html before parsing. */
+  private[functions] def removeCruftyHtml(html: String): String = {
+    var h = html
+    h = reSub(ReScript, h, "")
+    h = reSub(ReDoubleQuoted, h, "$1")
+    h = reSub(ReUnclosedTag, h, "$1>$2")
+    h = reSub(ReUnclosedNumAttr, h, "$1\"$2")
+    h = reSub(ReComment, h, "")
+    h
+  }
+
+  /** preprocess.py:113-116 — strip width/height/style/color/background attrs. */
+  private[functions] def cleanAttributes(html: String): String = {
+    var h = html
+    while (HtmlStrip.matcher(h).find()) h = HtmlStrip.matcher(h).replaceAll("<$1$2>")
+    h
+  }
+
+  private def normalizeSpace(s: String): String = s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+  /** preprocess.py:125-136 — returns (title, body-soup). */
+  private[functions] def preprocess(html: String, baseUrl: String): (String, Elem) = {
+    val cleanedHtml = removeCruftyHtml(html)
+    val soup = Html.parse(cleanedHtml)
+    if (baseUrl != null) {
+      soup.findAll("a").foreach(a => a.attr("href").foreach(h => a.attrs("href") = UrlCanon.resolve(h, baseUrl)))
+      soup.findAll("img").foreach(im => im.attr("src").foreach(s => im.attrs("src") = UrlCanon.resolve(s, baseUrl)))
+    }
+    val title = (for (head <- soup.find("head"); t <- head.find("title")) yield normalizeSpace(t.text)).getOrElse("")
+    soup.findAll("script", "link", "style").foreach(_.extract())
+    val rawBody = soup.find("body").getOrElse(soup).render
+    val body = Html.parse(cleanAttributes(rawBody))
+    (title, body)
+  }
+
+  private def classAndId(e: Elem): (String, String) =
+    (e.attr("class").getOrElse(""), e.attr("id").getOrElse(""))
+
+  /** readability.py:126-135 */
+  private def removeUnlikelyCandidates(doc: Elem): Unit = {
+    doc.findAllElems.foreach { e =>
+      val (cls, id) = classAndId(e)
+      val s = e.name + cls + id
+      if (UnlikelyCandidates.matcher(s).find() && !OkMaybeCandidate.matcher(s).find() && e.name != "body")
+        e.extract()
+    }
+  }
+
+  /** readability.py:137-141 */
+  private def transformMisusedDivsIntoP(doc: Elem): Unit = {
+    doc.findAll("div").foreach { d =>
+      val inner = d.children.map(_.render).mkString
+      if (!DivToPElements.matcher(inner).find()) d.name = "p"
+    }
+  }
+
+  /** readability.py:143-146 */
+  private def linkDensity(e: Elem): Double = {
+    val linkLen = e.findAll("a").map(_.text.length).sum
+    val textLen = e.text.length
+    linkLen.toDouble / math.max(textLen, 1)
+  }
+
+  /** readability.py:148-166 */
+  private def weightNode(e: Elem): Int = {
+    var w = 0
+    val cls = e.attr("class").getOrElse("")
+    if (cls.nonEmpty) {
+      if (Negative.matcher(cls).find()) w -= 25
+      if (Positive.matcher(cls).find()) w += 25
+    }
+    val id = e.attr("id").getOrElse("")
+    if (id.nonEmpty) {
+      if (Negative.matcher(id).find()) w -= 25
+      if (Positive.matcher(id).find()) w += 25
+    }
+    w
+  }
+
+  /** readability.py:168-179 */
+  private def scoreNode(e: Elem): Double = {
+    var score = weightNode(e).toDouble
+    e.name match {
+      case "div" | "article" => score += 5
+      case "blockquote" => score += 3
+      case "form" => score -= 3
+      case "th" => score -= 5
+      case _ =>
+    }
+    score
+  }
+
+  private def commaParts(s: String): Int = CommaSplit.split(s, -1).length
+
+  /** readability.py:181-219 — insertion order preserved (document order). */
+  private def scoreParagraphs(doc: Elem, minTextLength: Int): mutable.LinkedHashMap[Elem, Double] = {
+    val candidates = mutable.LinkedHashMap.empty[Elem, Double]
+    doc.findAll("p", "td").foreach { elem =>
+      val parent = elem.parent
+      if (parent != null) {
+        val grand = parent.parent
+        val innerText = elem.text
+        if (innerText.length >= minTextLength) {
+          if (!candidates.contains(parent)) candidates(parent) = scoreNode(parent)
+          if (grand != null && !candidates.contains(grand)) candidates(grand) = scoreNode(grand)
+          var contentScore = 1.0
+          contentScore += commaParts(innerText)
+          contentScore += math.min(innerText.length / 100, 3) // Py2 int division
+          candidates(parent) += contentScore
+          if (grand != null) candidates(grand) += contentScore / 2.0
+        }
+      }
+    }
+    // readability.py:213-217 — scale by link density
+    candidates.keys.toSeq.foreach { e => candidates(e) *= (1 - linkDensity(e)) }
+    candidates
+  }
+
+  /** readability.py:221-236 — stable sort keeps document order among ties. */
+  private def selectBestCandidate(candidates: mutable.LinkedHashMap[Elem, Double]): Option[Elem] = {
+    if (candidates.isEmpty) None
+    else Some(candidates.toSeq.sortBy { case (_, s) => -s }.head._1)
+  }
+
+  /** readability.py:238-267 — assemble article from best candidate + qualifying siblings. */
+  private def getArticle(candidates: mutable.LinkedHashMap[Elem, Double], best: Elem): Elem = {
+    val threshold = math.max(10.0, candidates(best) * 0.2)
+    val output = new Elem("div")
+    val parent = best.parent
+    val siblings: Seq[Node] =
+      if (parent != null) parent.children.toVector else Vector(best)
+    siblings.foreach {
+      case _: Text => // NavigableString skipped (readability.py:245)
+      case sib: Elem =>
+        var append = sib eq best
+        if (!append && candidates.get(sib).exists(_ >= threshold)) append = true
+        if (!append && sib.name == "p") {
+          val ld = linkDensity(sib)
+          val nodeContent = sib.stringValue.getOrElse("")
+          val len = nodeContent.length
+          if (len > 80 && ld < 0.25) append = true
+          else if (len < 80 && ld == 0.0 && SentenceEnd.matcher(nodeContent).find()) append = true
+        }
+        if (append) output.append(sib)
+    }
+    output
+  }
+
+  /** readability.py:269-334 */
+  private def sanitize(node: Elem, candidates: mutable.LinkedHashMap[Elem, Double], minTextLength: Int): Elem = {
+    node.findAll("h1", "h2", "h3", "h4", "h5", "h6").foreach { h =>
+      if (weightNode(h) < 0 || linkDensity(h) > 0.33) h.extract()
+    }
+    node.findAll("form", "iframe").foreach(_.extract())
+
+    node.findAll("table", "ul", "div").foreach { el =>
+      if (el.parent != null) { // may already be detached by an earlier removal
+        val weight = weightNode(el)
+        val contentScore = candidates.getOrElse(el, 0.0)
+        if (weight + contentScore < 0) el.extract()
+        else if (commaParts(el.text) < 10) {
+          val counts = mutable.Map.empty[String, Int]
+          Seq("p", "img", "li", "a", "embed", "input").foreach(k => counts(k) = el.findAll(k).length)
+          counts("li") -= 100
+          val contentLength = el.text.length
+          val ld = linkDensity(el)
+          val toRemove =
+            if (counts("img") > counts("p")) true
+            else if (counts("li") > counts("p") && el.name != "ul" && el.name != "ol") true
+            else if (counts("input") > counts("p") / 3) true
+            else if (contentLength < minTextLength && (counts("img") == 0 || counts("img") > 2)) true
+            else if (weight < 25 && ld > 0.2) true
+            else if (weight >= 25 && ld > 0.5) true
+            else if ((counts("embed") == 1 && contentLength < 75) || counts("embed") > 1) true
+            else false
+          if (toRemove) el.extract()
+        }
+      }
+    }
+    // readability.py:330-332 — attributes cleared on output
+    (node +: node.findAllElems).foreach(_.attrs.clear())
+    node
+  }
+
+  /** Full extraction returning (title, articleNode) — readability.py:336-367. */
+  private[functions] def extractArticle(html: String, baseUrl: String): (String, Elem) = {
+    var ruthless = true
+    while (true) {
+      val (title, doc) = preprocess(html, baseUrl)
+      doc.findAll("script", "style").foreach(_.extract())
+      if (ruthless) removeUnlikelyCandidates(doc)
+      transformMisusedDivsIntoP(doc)
+      val candidates = scoreParagraphs(doc, TextLengthThreshold)
+      val best = selectBestCandidate(candidates)
+      best match {
+        case Some(b) =>
+          val article = getArticle(candidates, b)
+          val cleaned = sanitize(article, candidates, TextLengthThreshold)
+          val ok = cleaned.render.length >= RetryLength
+          if (ruthless && !ok) { ruthless = false } // retry safe
+          else return (title, cleaned)
+        case None =>
+          if (ruthless) { ruthless = false } // readability.py:352-356
+          else {
+            val article = doc.find("body").getOrElse(doc)
+            return (title, sanitize(article, candidates, TextLengthThreshold))
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The golden surface: title + '\n' + whitespace-normalized article text. */
+  def extractText(html: String, baseUrl: String): String = {
+    if (html == null) return null
+    val (title, article) = extractArticle(html, baseUrl)
+    val body = normalizeSpace(article.text)
+    if (title.isEmpty) body else if (body.isEmpty) title else title + "\n" + body
+  }
+
+  def extractText(html: Array[Byte], baseUrl: String): String =
+    if (html == null) null
+    else extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8), baseUrl)
+
+  /** Outlink extraction (F1): hrefs of <a> in document order, resolved
+   *  against the base URL (executor _parse → wiki parser semantics,
+   *  cola/job/executor.py:308-317, app/wiki/__init__.py:122-149). */
+  def extractOutlinks(html: String, baseUrl: String): Seq[String] = {
+    if (html == null) return Seq.empty
+    val soup = Html.parse(removeCruftyHtml(html))
+    soup.findAll("a").flatMap(_.attr("href")).map(h => UrlCanon.resolve(h, baseUrl))
+      .filter(_.nonEmpty).toSeq
+  }
+
+  def extractOutlinks(html: Array[Byte], baseUrl: String): Seq[String] =
+    if (html == null) Seq.empty
+    else extractOutlinks(new String(html, java.nio.charset.StandardCharsets.UTF_8), baseUrl)
+}

@@ -1,0 +1,228 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/**
+ * Minimal mutable HTML DOM + parser + serializer.
+ *
+ * Exists because the extraction pipeline (see [[Extract]]) needs the same
+ * tree operations the reference performs with BeautifulSoup
+ * (`cola/core/extractor/preprocess.py`, `readability.py`): find_all,
+ * extract (detach), contents, parent links, tag rename, text collection,
+ * and re-serialization. The corpus this engine extracts from is
+ * deterministic well-formed HTML (FIXTURES.md A.1), so the parser handles
+ * well-formed markup plus the common leniencies (void elements, raw-text
+ * script/style, stray close tags) — not arbitrary tag soup.
+ */
+object Html {
+
+  private val VoidElements: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr")
+
+  private val RawTextElements: Set[String] = Set("script", "style")
+
+  sealed trait Node {
+    var parent: Elem = _
+    /** Concatenation of all descendant text (BS4 ''.join(find_all(text=True))). */
+    def text: String
+    def render: String
+    /** Detach from parent (BS4 .extract()). */
+    def extract(): Unit = {
+      if (parent != null) { parent.children -= this; parent = null }
+    }
+  }
+
+  final class Text(val data: String) extends Node {
+    override def text: String = data
+    override def render: String = data
+  }
+
+  final class Elem(var name: String) extends Node {
+    val attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+    val children: mutable.ArrayBuffer[Node] = mutable.ArrayBuffer.empty
+
+    def attr(k: String): Option[String] = attrs.get(k)
+
+    def append(n: Node): Unit = { n.extract(); n.parent = this; children += n }
+
+    /** All descendant elements, document order, materialized (safe to mutate while iterating the result). */
+    def findAllElems: Vector[Elem] = {
+      val out = Vector.newBuilder[Elem]
+      def walk(e: Elem): Unit = e.children.foreach {
+        case c: Elem => out += c; walk(c)
+        case _ =>
+      }
+      walk(this)
+      out.result()
+    }
+
+    def findAll(names: String*): Vector[Elem] = {
+      val set = names.toSet
+      findAllElems.filter(e => set.contains(e.name))
+    }
+
+    def find(n: String): Option[Elem] = findAllElems.find(_.name == n)
+
+    /** BS4 .string: the single string child, recursing through single-element wrappers. */
+    def stringValue: Option[String] = {
+      if (children.length != 1) None
+      else children.head match {
+        case t: Text => Some(t.data)
+        case e: Elem => e.stringValue
+      }
+    }
+
+    override def text: String = {
+      val sb = new StringBuilder
+      def walk(e: Elem): Unit = e.children.foreach {
+        case t: Text => sb.append(t.data)
+        case c: Elem => walk(c)
+      }
+      walk(this)
+      sb.toString
+    }
+
+    override def render: String = {
+      val sb = new StringBuilder
+      renderTo(sb)
+      sb.toString
+    }
+
+    private def renderTo(sb: StringBuilder): Unit = {
+      if (name != "[document]") {
+        sb.append('<').append(name)
+        attrs.foreach { case (k, v) => sb.append(' ').append(k).append("=\"").append(v).append('"') }
+        if (children.isEmpty && VoidElements.contains(name)) { sb.append("/>"); return }
+        sb.append('>')
+      }
+      children.foreach {
+        case t: Text => sb.append(t.data)
+        case e: Elem => e.renderTo(sb)
+      }
+      if (name != "[document]") sb.append("</").append(name).append('>')
+    }
+  }
+
+  /** Parse into a synthetic "[document]" root. Comments and doctypes dropped. */
+  def parse(html: String): Elem = {
+    val root = new Elem("[document]")
+    var cur = root
+    val s = if (html == null) "" else html
+    lazy val sLower = s.toLowerCase
+    val n = s.length
+    var i = 0
+
+    def appendText(from: Int, until: Int): Unit =
+      if (until > from) {
+        val t = new Text(s.substring(from, until)); t.parent = cur; cur.children += t
+      }
+
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) { appendText(i, n); i = n }
+      else {
+        appendText(i, lt)
+        if (s.startsWith("<!--", lt)) {
+          val end = s.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lt + 1 < n && (s.charAt(lt + 1) == '!' || s.charAt(lt + 1) == '?')) {
+          val end = s.indexOf('>', lt)
+          i = if (end < 0) n else end + 1
+        } else if (lt + 1 < n && s.charAt(lt + 1) == '/') {
+          val end = s.indexOf('>', lt)
+          if (end < 0) i = n
+          else {
+            val tag = s.substring(lt + 2, end).trim.toLowerCase
+            // pop to the nearest matching open element; ignore if none
+            var p = cur
+            while (p != null && p.name != tag) p = p.parent
+            if (p != null && p.parent != null) cur = p.parent
+            else if (p != null) cur = root
+            i = end + 1
+          }
+        } else if (lt + 1 < n && (s.charAt(lt + 1).isLetter)) {
+          val end = findTagEnd(s, lt)
+          if (end < 0) { appendText(lt, n); i = n }
+          else {
+            val inner = s.substring(lt + 1, end)
+            val selfClose = inner.endsWith("/")
+            val body = if (selfClose) inner.dropRight(1) else inner
+            val (tag, attrs) = parseTag(body)
+            val e = new Elem(tag)
+            attrs.foreach { case (k, v) => e.attrs(k) = v }
+            e.parent = cur; cur.children += e
+            i = end + 1
+            if (!selfClose && RawTextElements.contains(tag)) {
+              val close = sLower.indexOf("</" + tag, i)
+              val stop = if (close < 0) n else close
+              if (stop > i) { val t = new Text(s.substring(i, stop)); t.parent = e; e.children += t }
+              i = if (close < 0) n
+                  else { val gt = s.indexOf('>', close); if (gt < 0) n else gt + 1 }
+            } else if (!selfClose && !VoidElements.contains(tag)) {
+              cur = e
+            }
+          }
+        } else { // stray '<'
+          appendText(lt, lt + 1)
+          i = lt + 1
+        }
+      }
+    }
+    root
+  }
+
+  /** End index of the tag's '>' honoring quoted attribute values. */
+  private def findTagEnd(s: String, lt: Int): Int = {
+    var i = lt + 1
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseTag(body: String): (String, Seq[(String, String)]) = {
+    var i = 0
+    val n = body.length
+    while (i < n && !body.charAt(i).isWhitespace) i += 1
+    val tag = body.substring(0, i).toLowerCase
+    val attrs = Seq.newBuilder[(String, String)]
+    while (i < n) {
+      while (i < n && body.charAt(i).isWhitespace) i += 1
+      if (i < n) {
+        val keyStart = i
+        while (i < n && body.charAt(i) != '=' && !body.charAt(i).isWhitespace) i += 1
+        val key = body.substring(keyStart, i).toLowerCase
+        var j = i
+        while (j < n && body.charAt(j).isWhitespace) j += 1
+        if (j < n && body.charAt(j) == '=') {
+          j += 1
+          while (j < n && body.charAt(j).isWhitespace) j += 1
+          if (j < n && (body.charAt(j) == '"' || body.charAt(j) == '\'')) {
+            val q = body.charAt(j)
+            val vStart = j + 1
+            var k = vStart
+            while (k < n && body.charAt(k) != q) k += 1
+            if (key.nonEmpty) attrs += key -> body.substring(vStart, k)
+            i = math.min(k + 1, n)
+          } else {
+            val vStart = j
+            var k = vStart
+            while (k < n && !body.charAt(k).isWhitespace) k += 1
+            if (key.nonEmpty) attrs += key -> body.substring(vStart, k)
+            i = k
+          }
+        } else {
+          if (key.nonEmpty) attrs += key -> ""
+          i = if (j > i) j else i
+        }
+      }
+    }
+    (tag, attrs.result())
+  }
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Fixtures
+
+/** Byte-identical golden checks for the extraction surface
+  * (BASELINE.json input_hint per-row invariant). Goldens are frozen
+  * under src/test/resources/golden/extract — see graft.tools.GenGolden. */
+class ExtractSpec extends AnyFunSuite {
+
+  private val goldenDir = Paths.get("src/test/resources/golden/extract")
+  private val V = 1000L
+
+  test("extractText matches frozen goldens byte-for-byte") {
+    val files = Files.list(goldenDir).toArray.map(_.toString).filter(_.endsWith(".txt"))
+    assert(files.length >= 40, "golden corpus too small")
+    files.foreach { f =>
+      val id = Paths.get(f).getFileName.toString.stripSuffix(".txt").toLong
+      val expected = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+      val actual = Fixtures.textFor(id, V)
+      assert(actual == expected, s"extract drift for page id=$id")
+    }
+  }
+
+  test("binary (input_hint html BINARY) and string inputs agree") {
+    val id = 5L
+    val html = Fixtures.htmlFor(id, V)
+    assert(Extract.extractText(html.getBytes(StandardCharsets.UTF_8), Fixtures.canonUrl(id))
+      == Extract.extractText(html, Fixtures.canonUrl(id)))
+  }
+
+  test("unlikely candidates (nav/sidebar/footer) are excluded from article text") {
+    val txt = Fixtures.textFor(3L, V)
+    assert(!txt.contains("ad one"))
+    assert(!txt.contains("Copyright footer"))
+    assert(!txt.contains("About"))
+    assert(txt.contains("Heading 3"))
+  }
+
+  test("zh pages score via the fullwidth-comma path (readability.py:206)") {
+    val txt = Fixtures.textFor(10L, V)
+    assert(Fixtures.lang(10L) == "zh")
+    assert(txt.contains("，"))
+    assert(txt.length > Extract.RetryLength)
+  }
+
+  test("tiny pages hit the ruthless→safe retry and degrade to title") {
+    val txt = Fixtures.textFor(97L, V)
+    assert(txt == "Page 97")
+  }
+
+  test("preprocess strips scripts, styles and comments") {
+    val (_, body) = Extract.preprocess(
+      "<html><head><title>t</title></head><body><script>bad()</script>" +
+        "<style>.x{}</style><!-- hidden comment --><p>keep this text here</p></body></html>", null)
+    val txt = body.text
+    assert(!txt.contains("bad()"))
+    assert(!txt.contains("hidden"))
+    assert(txt.contains("keep this text here"))
+  }
+
+  test("preprocess absolutizes links against base url (preprocess.py:90-100)") {
+    val (_, body) = Extract.preprocess(
+      """<html><body><a href="/x">l</a><img src="i.png"/></body></html>""",
+      "http://h.com/a/b")
+    assert(body.find("a").get.attr("href").contains("http://h.com/x"))
+    assert(body.find("img").get.attr("src").contains("http://h.com/a/i.png"))
+  }
+
+  test("nuisance attributes stripped (preprocess.py:64-74)") {
+    assert(Extract.cleanAttributes("""<div width="5" class="k"><p style='x' color=red>t</p></div>""")
+      == """<div class="k"><p>t</p></div>""")
+  }
+
+  test("extractOutlinks returns resolved hrefs in document order") {
+    val links = Extract.extractOutlinks(Fixtures.htmlFor(1L, V), Fixtures.canonUrl(1L))
+    assert(links.head == "http://host0.example.com/p/1#self")
+    assert(links.forall(_.startsWith("http://")))
+  }
+
+  test("extraction is deterministic (same input → same bytes)") {
+    val a = Fixtures.textFor(26L, V)
+    val b = Fixtures.textFor(26L, V)
+    assert(a == b)
+  }
+}
