@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The URL-seen set (SURVEY §2.4) — discovery-time check-and-insert dedup.
+ *
+ * Reference semantics carried: every non-`force` enqueue consults the seen
+ * set and inserts on miss (cola/core/mq/store.py:252-254,
+ * cola/core/dedup.py:84-88) — i.e. the set grows at *discovery* time. In
+ * the wave design that becomes: (1) first-seen-wins within the batch,
+ * (2) exact `left_anti` against the seen table (the source of truth, ≙
+ * MapDeduper), (3) seen ∪= survivors. `force=true` rows bypass the gate
+ * (store.py:252, D5).
+ *
+ * Scale: both sides are keyed by `url_hash = xxhash64(url_canon)` and
+ * bucketed `pmod(url_hash, P)`, so the anti-join shuffles co-partitioned
+ * keys; the optional per-bucket Bloom pre-filter (D2) removes
+ * definitely-new URLs from the join input — at 10^10 seen URLs the bloom
+ * side is ~1.2 GB total spread over P buckets while the anti-join probe
+ * shrinks to candidates that are probably-seen (true dups + ~1% FPs).
+ */
+object Dedup {
+
+  val SeenBucketCol = "bucket"
+
+  def urlHash(c: Column): Column = xxhash64(c)
+
+  def bucketOf(hashCol: Column, numBuckets: Int): Column =
+    pmod(hashCol, lit(numBuckets.toLong)).cast("int")
+
+  /** Keep the first row per url_canon within a batch, "first" = min of
+   *  `ord` (F4/D1 in-batch dedup, order-preserving like
+   *  OrderedDict.fromkeys at cola/job/executor.py:588-596). */
+  def firstSeenInBatch(df: DataFrame, ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("url_canon")).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact dedup: candidates whose url_canon is not in `seen`.
+   *  `seen` needs columns (url_hash, url_canon). */
+  def antiJoinSeen(candidates: DataFrame, seen: DataFrame): DataFrame =
+    candidates.join(seen.select("url_hash", "url_canon"),
+      Seq("url_hash", "url_canon"), "left_anti")
+
+  /**
+   * Dedup with per-bucket Bloom pre-filter. `blooms` maps bucket →
+   * serialized BloomFilter over the seen url_hashes of that bucket
+   * (see [[seenBlooms]] / [[updateBlooms]]). Candidates the bloom has
+   * never seen skip the anti-join entirely; possible hits go through the
+   * exact join, so output is identical to [[antiJoinSeen]].
+   */
+  def antiJoinSeenWithBloom(
+      spark: SparkSession,
+      candidates: DataFrame,
+      seen: DataFrame,
+      blooms: Map[Int, Array[Byte]],
+      numBuckets: Int): DataFrame = {
+    if (blooms.isEmpty) return antiJoinSeen(candidates, seen)
+    val bc = spark.sparkContext.broadcast(blooms.map { case (k, v) => k -> BloomFilter.fromBytes(v) })
+    val maybeSeen = udf((bucket: Int, h: Long) =>
+      bc.value.get(bucket).exists(_.mightContain(h)))
+    val withBucket = candidates.withColumn("__b", bucketOf(col("url_hash"), numBuckets))
+    val flagged = withBucket.withColumn("__maybe", maybeSeen(col("__b"), col("url_hash")))
+    val definitelyNew = flagged.filter(!col("__maybe")).drop("__b", "__maybe")
+    val needExact = flagged.filter(col("__maybe")).drop("__b", "__maybe")
+    definitelyNew.unionByName(antiJoinSeen(needExact, seen))
+  }
+
+  /** Build per-bucket blooms from a seen table (url_hash column).
+   *  bucketCapacity = total expected keys / numBuckets (D3). */
+  def seenBlooms(seen: DataFrame, numBuckets: Int, bucketCapacity: Long,
+      fpr: Double = 0.01): Map[Int, Array[Byte]] = {
+    seen.groupBy(bucketOf(col("url_hash"), numBuckets).as("bucket"))
+      .agg(BloomFilter.bloomAggCol(col("url_hash"), bucketCapacity, fpr).as("bloom"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+  }
+
+  /** Incremental bloom maintenance: fold a wave's new urls into the
+   *  existing per-bucket blooms (cheap — scans only the delta). */
+  def updateBlooms(existing: Map[Int, Array[Byte]], newUrls: DataFrame,
+      numBuckets: Int, bucketCapacity: Long, fpr: Double = 0.01): Map[Int, Array[Byte]] = {
+    val delta = seenBlooms(newUrls, numBuckets, bucketCapacity, fpr)
+    (existing.keySet ++ delta.keySet).map { b =>
+      (existing.get(b), delta.get(b)) match {
+        case (Some(a), Some(d)) => b -> BloomFilter.mergeBytes(a, d)
+        case (Some(a), None)    => b -> a
+        case (None, Some(d))    => b -> d
+        case (None, None)       => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+  }
+
+  /** D1 full gate for one wave: split force/non-force, in-batch first-seen,
+   *  anti-join, re-union force rows (which always pass). */
+  def dedupWave(
+      spark: SparkSession,
+      candidates: DataFrame,
+      seen: DataFrame,
+      ord: Seq[Column],
+      blooms: Option[Map[Int, Array[Byte]]] = None,
+      numBuckets: Int = 32): DataFrame = {
+    val hasForce = candidates.columns.contains("force")
+    val nonForce = if (hasForce) candidates.filter(!col("force")) else candidates
+    val forced = if (hasForce) candidates.filter(col("force")) else candidates.limit(0)
+    val inBatch = firstSeenInBatch(nonForce, ord)
+    val fresh = blooms match {
+      case Some(b) => antiJoinSeenWithBloom(spark, inBatch, seen, b, numBuckets)
+      case None    => antiJoinSeen(inBatch, seen)
+    }
+    fresh.unionByName(forced)
+  }
+}

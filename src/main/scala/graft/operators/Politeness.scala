@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Wave scheduling: per-host politeness quota + priority quotas + global
+ * budget (SURVEY §2.7 O1–O6).
+ *
+ * Deterministic contract (mirrored exactly by the in-repo reference
+ * simulator, ColaSimulator):
+ *  1. host-eligible: rank candidates within each host by (priority, seq)
+ *     ascending; keep rank <= hostBudget — the per-host politeness quota
+ *     replacing the reference's wall-clock speed control
+ *     (cola/functions/speed.py:232-248 → offline reading per SURVEY O6).
+ *  2. per-priority quota ∝ 2^-i of the wave grant (the deterministic
+ *     equivalent of the reference's exponential time slices,
+ *     cola/job/task.py:33,66-69): quota_i = floor(grant·2^(P-1-i)/(2^P-1)),
+ *     remainder distributed to priorities 0,1,… one each. FIFO by seq
+ *     within priority (O3). Unused quota is NOT redistributed (the next
+ *     wave catches up), keeping the rule one-pass and deterministic.
+ *  3. the wave grant itself = min(waveCap, budgets − applied)
+ *     (BudgetApplyServer.apply semantics, cola/functions/budget.py:137-146).
+ *
+ * With nPriorities=1 this reduces to: first `grant` candidates in seq
+ * order subject to per-host quota — exactly the reference's own
+ * deterministic e2e configuration (tests/test_master_worker.py:72-74).
+ */
+object Politeness {
+
+  /** Priority clamp (P3, cola/core/mq/node.py:120-125). */
+  def clampPriority(c: Column, nPriorities: Int): Column =
+    least(greatest(c, lit(0)), lit(nPriorities - 1))
+
+  /** Per-priority quotas ∝ 2^-i summing exactly to `grant`. */
+  def priorityQuotas(grant: Long, nPriorities: Int): Seq[Long] = {
+    require(nPriorities >= 1 && nPriorities < 62)
+    val denom = (1L << nPriorities) - 1
+    val base = (0 until nPriorities).map(i => grant * (1L << (nPriorities - 1 - i)) / denom)
+    var rem = grant - base.sum
+    base.zipWithIndex.map { case (q, i) => if (i < rem) q + 1 else q }
+  }
+
+  /** Step 1 via window — canonical small/medium path. */
+  def hostEligible(candidates: DataFrame, hostBudget: Int): DataFrame = {
+    val w = Window.partitionBy(col("host")).orderBy(col("priority").asc, col("seq").asc)
+    candidates.withColumn("__hr", row_number().over(w))
+      .filter(col("__hr") <= hostBudget)
+      .drop("__hr")
+  }
+
+  /**
+   * Step 1 at scale: two-phase salted top-k. A mega-host (J5 skew) would
+   * serialize the window's single per-host partition; instead rank within
+   * (host, salt) shards first — each shard keeps at most hostBudget rows,
+   * shrinking the final per-host rank input to ≤ salts·hostBudget rows per
+   * host regardless of skew. Identical output to [[hostEligible]].
+   */
+  def hostEligibleSalted(candidates: DataFrame, hostBudget: Int, salts: Int): DataFrame = {
+    require(salts >= 1)
+    val salted = candidates.withColumn("__salt",
+      pmod(xxhash64(col("url_canon")), lit(salts.toLong)).cast("int"))
+    val w1 = Window.partitionBy(col("host"), col("__salt"))
+      .orderBy(col("priority").asc, col("seq").asc)
+    val partial = salted.withColumn("__pr", row_number().over(w1))
+      .filter(col("__pr") <= hostBudget)
+      .drop("__pr", "__salt")
+    val w2 = Window.partitionBy(col("host")).orderBy(col("priority").asc, col("seq").asc)
+    partial.withColumn("__hr", row_number().over(w2))
+      .filter(col("__hr") <= hostBudget)
+      .drop("__hr")
+  }
+
+  /** Steps 2–3: apply per-priority quotas over host-eligible rows. */
+  def applyQuotas(eligible: DataFrame, grant: Long, nPriorities: Int): DataFrame = {
+    val quotas = priorityQuotas(grant, nPriorities)
+    val quotaExpr = quotas.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (q, i)) =>
+        when(col("priority") === i, lit(q)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("priority")).orderBy(col("seq").asc)
+    eligible.withColumn("__pq", row_number().over(w))
+      .filter(col("__pq") <= quotaExpr)
+      .drop("__pq")
+  }
+
+  /** One wave's schedule: the full O1/O3/O4/O6 pipeline. */
+  def schedule(
+      candidates: DataFrame,
+      hostBudget: Int,
+      grant: Long,
+      nPriorities: Int,
+      salts: Int = 1): DataFrame = {
+    if (grant <= 0) return candidates.limit(0)
+    val clamped = candidates.withColumn("priority", clampPriority(col("priority"), nPriorities))
+    val eligible =
+      if (salts <= 1) hostEligible(clamped, hostBudget)
+      else hostEligibleSalted(clamped, hostBudget, salts)
+    applyQuotas(eligible, grant, nPriorities)
+  }
+}

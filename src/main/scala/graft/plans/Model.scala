@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.types.StructType
+
+/** Typed row models for the engine's tables (SURVEY §1.2 Spark mapping). */
+
+/** One frontier row ≙ a reference `Url` unit (cola/core/unit.py:33-51):
+ *  priority/force carried; plus the engine's canonical key, politeness
+ *  host, FIFO seq (O3), retry counter (O8) and depth/wave lineage. */
+case class FrontierEntry(
+    url: String,
+    url_canon: String,
+    url_hash: Long,
+    host: String,
+    priority: Int,
+    depth: Int,
+    seq: Long,
+    force: Boolean,
+    error_times: Int,
+    discovered_wave: Int)
+
+/** URL-seen set row (D1/D4 — the exact MapDeduper equivalent). */
+case class SeenEntry(url_hash: Long, url_canon: String, wave: Int)
+
+/** One scheduled fetch; rank is the deterministic position within the
+ *  wave (the crawl-ordering surface the north rule pins). */
+case class ScheduleEntry(wave: Int, rank: Long, priority: Int, seq: Long,
+    host: String, url_canon: String, depth: Int)
+
+/** Dead letter (S5, cola/job/executor.py:204-227). */
+case class DeadLetter(wave: Int, url_canon: String, host: String,
+    error_times: Int, reason: String)
+
+/** Per-partition lineage row (north rule: resumable with per-partition
+ *  lineage); stage ∈ {candidates, admitted, scheduled}. */
+case class LineageRow(wave: Int, stage: String, partition_id: Int, rows: Long)
+
+/** Per-wave counters (A7 standard metrics). */
+case class WaveMetrics(wave: Int, scheduled: Long, fetched: Long, errors: Long,
+    new_urls: Long, deduped: Long, frontier_size: Long,
+    applied: Long, finished: Long, secs: Double)
+
+/** Extraction result row (S4 result sink). */
+case class PageResult(wave: Int, url_canon: String, lang: String, text: String,
+    n_outlinks: Int)
+
+object Schemas {
+  val frontier: StructType = Encoders.product[FrontierEntry].schema
+  val seen: StructType = Encoders.product[SeenEntry].schema
+  val schedule: StructType = Encoders.product[ScheduleEntry].schema
+  val dead: StructType = Encoders.product[DeadLetter].schema
+  val lineage: StructType = Encoders.product[LineageRow].schema
+  val metrics: StructType = Encoders.product[WaveMetrics].schema
+  val results: StructType = Encoders.product[PageResult].schema
+}

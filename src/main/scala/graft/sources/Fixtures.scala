@@ -56,7 +56,7 @@ object Fixtures extends Serializable {
   def warcTs(id: Long): Timestamp = new Timestamp((EpochSeconds + id) * 1000L)
 
   def linkTargets(id: Long, v: Long): Seq[Long] =
-    (0L until (id % 4 + 1)).map(k => math.floorMod(A * id + C + k, v))
+    (0L until (id % 4 + 2)).map(k => math.floorMod(A * (id + k) + C + k * k, v))
 
   /** Graph link hrefs in document order. k%3 rotates the href form. */
   def graphHrefs(id: Long, v: Long): Seq[String] = {

@@ -1,0 +1,165 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.ColaSimulator
+import graft.sources.Fixtures
+
+/** The north-rule contract: the engine's crawl ordering, URL-seen set,
+  * dead letters and resume behavior must match the independent in-memory
+  * reference simulator under the same seed list + politeness budget.
+  * Engine runs are shared across assertions (each is ~15 Spark jobs/wave). */
+class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val V = 300L
+
+  private lazy val pagesMap: Map[String, String] =
+    (0L until V).map(id => Fixtures.canonUrl(id) -> Fixtures.htmlFor(id, V)).toMap
+
+  private var pagesDF: DataFrame = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    pagesDF = Fixtures.pagesDF(spark, V)
+    pagesDF.persist().count()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"crawl-$tag").toString
+
+  private val base = CrawlSettings(
+    size = 120, nPriorities = 1, hostBudget = 3, waveCap = 60,
+    retries = 1, maxWaves = 30, urlPattern = Fixtures.UrlPattern,
+    extract = false, useBloom = false, numBuckets = 8)
+
+  private def runEngine(settings: CrawlSettings, dir: String,
+      priorityExpr: Column => Column = _ => lit(0)): (CrawlJob, CrawlSummary) = {
+    val job = new CrawlJob(spark, pagesDF, settings, dir, priorityExpr)
+    val summary = job.run(Fixtures.seeds(V))
+    (job, summary)
+  }
+
+  private def runSim(settings: CrawlSettings, priorityOf: String => Int = _ => 0): ColaSimulator = {
+    val sim = new ColaSimulator(settings, pagesMap, priorityOf)
+    sim.run(Fixtures.seeds(V))
+    sim
+  }
+
+  private def scheduleTuples(job: CrawlJob): Seq[(Int, Long, String)] =
+    job.scheduleTable.select("wave", "rank", "url_canon")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private def simTuples(sim: ColaSimulator): Seq[(Int, Long, String)] =
+    sim.schedule.map(s => (s.wave, s.rank, s.canon)).toSeq
+
+  // ---- shared runs ----
+  private lazy val fullRun: (CrawlJob, CrawlSummary) = runEngine(base, tmpDir("full"))
+  private lazy val fullSim: ColaSimulator = runSim(base)
+
+  test("crawl ordering matches the reference simulator (priorities=1, the reference's own e2e config)") {
+    assert(scheduleTuples(fullRun._1) == simTuples(fullSim), "schedule order diverged")
+  }
+
+  test("URL-seen set and dead letters match the simulator") {
+    val engineSeen = fullRun._1.seenTable.select("url_canon").collect().map(_.getString(0)).toSet
+    assert(engineSeen == fullSim.seen.toSet, "seen set diverged")
+    val engineDead = fullRun._1.deadTable.select("url_canon").collect().map(_.getString(0)).toSet
+    assert(engineDead == fullSim.dead.toSet, "dead letters diverged")
+  }
+
+  test("budget accounting (O4): applied/finished match; finished ≤ size") {
+    val summary = fullRun._2
+    assert(summary.finished == fullSim.finished)
+    assert(summary.applied == fullSim.applied)
+    assert(summary.finished <= base.size)
+    assert(summary.applied == summary.finished, "error refunds must re-balance applied")
+  }
+
+  test("politeness: per (wave, host) scheduled count never exceeds hostBudget") {
+    val maxPerHost = fullRun._1.scheduleTable.groupBy("wave", "host").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerHost <= base.hostBudget)
+  }
+
+  test("dedup: a url_canon is only re-scheduled for retries, never re-discovered") {
+    val maxSched = fullRun._1.scheduleTable.groupBy("url_canon").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxSched <= base.retries + 1)
+  }
+
+  test("seq is monotone within (wave, priority) schedule order (O3 FIFO)") {
+    val rows = fullRun._1.scheduleTable.select("wave", "priority", "rank", "seq")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+    rows.values.foreach { grp =>
+      val byRank = grp.sortBy(_._3).map(_._4).toSeq
+      assert(byRank == byRank.sorted, "seq not FIFO within priority")
+    }
+  }
+
+  test("lineage partition counts sum to wave schedule totals") {
+    val lineage = fullRun._1.lineageTable
+    val byLineage = lineage.filter(col("stage") === "scheduled")
+      .groupBy("wave").agg(sum("rows").as("rows"))
+    val byTable = fullRun._1.scheduleTable.groupBy("wave").count()
+    val mismatch = byLineage.join(byTable, Seq("wave"))
+      .filter(col("rows") =!= col("count")).count()
+    assert(mismatch == 0)
+    assert(lineage.count() > 0)
+  }
+
+  test("bloom pre-filter + salted politeness change nothing (identical schedule)") {
+    val (job, _) = runEngine(base.copy(useBloom = true, bloomCapacity = 4096, salts = 4),
+      tmpDir("bloomsalt"))
+    assert(scheduleTuples(job) == scheduleTuples(fullRun._1))
+    assert(job.seenTable.count() == fullRun._1.seenTable.count())
+  }
+
+  test("multi-priority quotas ∝ 2^-i match the simulator (priorities=3)") {
+    val settings = base.copy(nPriorities = 3, waveCap = 30, size = 90)
+    val pExprEngine = (c: Column) =>
+      coalesce(pmod(regexp_extract(c, "/p/([0-9]+)", 1).cast("long"), lit(3)), lit(0)).cast("int")
+    val pOfSim = (canon: String) =>
+      "/p/([0-9]+)".r.findFirstMatchIn(canon).map(_.group(1).toLong % 3).getOrElse(0L).toInt
+    val (job, _) = runEngine(settings, tmpDir("p3"), pExprEngine)
+    val sim = runSim(settings, pOfSim)
+    assert(scheduleTuples(job) == simTuples(sim), "multi-priority schedule diverged")
+    // all three priorities actually exercised
+    val ps = job.scheduleTable.select("priority").distinct().collect().map(_.getInt(0)).toSet
+    assert(ps == Set(0, 1, 2))
+  }
+
+  test("resume from checkpoint: killed run continues without re-fetch or reorder") {
+    val partial = tmpDir("partial")
+    runEngine(base.copy(maxWaves = 2), partial)
+    // simulate a crash mid-wave-3: an uncommitted wave dir must be ignored
+    Files.createDirectories(Paths.get(partial, "wave=3", "schedule"))
+    val (resumed, _) = runEngine(base, partial)
+    assert(scheduleTuples(resumed) == scheduleTuples(fullRun._1), "resume reordered the crawl")
+    assert(resumed.seenTable.count() == fullRun._1.seenTable.count())
+  }
+
+  test("pipeline extraction matches the pages golden text (input_hint invariant)") {
+    val settings = base.copy(extract = true, size = 20, waveCap = 20)
+    val (job, _) = runEngine(settings, tmpDir("ex"))
+    val joined = job.resultsTable.alias("r")
+      .join(pagesDF.alias("p"), col("r.url_canon") === col("p.url"))
+      .select((col("r.text") === col("p.text")).as("ok"))
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(0)), "pipeline extraction diverged from golden text")
+  }
+}
