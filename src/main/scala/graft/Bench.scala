@@ -1,24 +1,65 @@
 package graft
+
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): times every SparkEntry
+  * query at local[SPARK_GRAFT_CPUS] on SPARK_GRAFT_SF_DIR, then measures
+  * the headline frontier throughput at N and 4N cores (BASELINE.md §3),
+  * prints ONE JSON line, and records the scaling evidence in
+  * BENCH/BASELINE.md. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
+
+    val spark = FrontierBench.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // headline: frontier scheduling throughput at N vs 4N cores
+    val coresN = math.max(cpus / 4, 1)
+    val scaling = FrontierBench.measureScaling(frontierN, coresN, cpus)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","frontier_n":${scaling.n},"urls_per_sec_N":${scaling.thrN}%.1f,"urls_per_sec_4N":${scaling.thr4N}%.1f,"cores_N":${scaling.coresN},"cores_4N":${scaling.cores4N},"scaling_efficiency":${scaling.efficiency}%.3f}""")
+
+    // BASELINE.md §3: record the two-parallelism evidence
+    val benchDir = Paths.get("BENCH")
+    Files.createDirectories(benchDir)
+    val md =
+      f"""# BENCH — frontier scheduling throughput + scaling evidence
+         |
+         |Protocol per BASELINE.md §3 (same job, same deterministic input,
+         |two local parallelism levels; sandbox stand-in for N vs 4N
+         |executors).
+         |
+         || quantity | value |
+         ||---|---|
+         || frontier size (URLs/wave) | ${scaling.n} |
+         || cores N | ${scaling.coresN} (`local[${scaling.coresN}]`, shuffle.partitions=${scaling.coresN}) |
+         || cores 4N | ${scaling.cores4N} (`local[${scaling.cores4N}]`, shuffle.partitions=${scaling.cores4N}) |
+         || URLs scheduled+deduped/sec @ N | ${scaling.thrN}%.1f |
+         || URLs scheduled+deduped/sec @ 4N | ${scaling.thr4N}%.1f |
+         || scaling efficiency (thr4N/thrN)/4 | ${scaling.efficiency}%.3f (target ≥ 0.8) |
+         |
+         |Measured wave: canonicalize → D1 dedup (in-batch first-seen +
+         |exact anti-join vs 20%% pre-seen) → salted per-host politeness
+         |top-k + priority quotas (see graft.FrontierBench).
+         |
+         |Per-query times (sf=$sfDir): ${results.map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")}
+         |""".stripMargin
+    Files.writeString(benchDir.resolve("BASELINE.md"), md)
   }
 }

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.UrlCanon
+import graft.operators.{Dedup, Politeness}
+import graft.sources.Fixtures
+
+/**
+ * Headline metric (BASELINE.json): URLs scheduled+deduped per second on a
+ * synthetic frontier, plus N→4N scaling efficiency evidenced at two
+ * local parallelism levels (BASELINE.md §3 protocol — no real cluster in
+ * the sandbox).
+ *
+ * One timed "wave" at scale: n candidate URLs (≈1/3 in-batch duplicates,
+ * skewed hosts) → canonicalize → D1 dedup gate (in-batch first-seen +
+ * exact anti-join against a 20% pre-seen set) → salted per-host politeness
+ * top-k + priority quotas. The measured work is exactly the engine's
+ * scheduling DAG; input generation is ~free (spark.range).
+ *
+ * Each parallelism level runs in its own forked JVM (like spark-submit
+ * would), because sequential SparkSessions in one JVM pollute each other's
+ * heap/GC and the measurements become noise-dominated.
+ */
+object FrontierBench {
+
+  private val canonUdf = udf((u: String) => UrlCanon.canonicalize(u))
+  private val hostUdf = udf((u: String) => UrlCanon.host(u))
+
+  /** Wave candidates projected to the scheduling-operative columns only —
+   *  the raw url string is not needed past canonicalization (the fetch
+   *  join happens later, on the scheduled subset), and every byte here
+   *  goes through 3 shuffles. */
+  def candidates(spark: SparkSession, n: Long): DataFrame =
+    Fixtures.frontierUrls(spark, n)
+      .withColumn("url_canon", canonUdf(col("url")))
+      .drop("url")
+      .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
+      .withColumn("host", hostUdf(col("url_canon")))
+
+  /** The persistent URL-seen state (not wave work — a crawl reads it from
+   *  its checkpointed table): 20% of the candidate universe. */
+  def seenState(spark: SparkSession, n: Long): DataFrame =
+    candidates(spark, n).filter(col("seq") % 5 === 0)
+      .select(col("url_hash"), col("url_canon"))
+
+  /** One measured wave; returns (scheduled, seconds). */
+  def runWave(spark: SparkSession, n: Long, seen: DataFrame,
+      hostBudget: Int = 1000, salts: Int = 32, nPriorities: Int = 3): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val cands = candidates(spark, n)
+    val deduped = Dedup.dedupWave(spark, cands, seen, Seq(col("seq")))
+    val scheduled = Politeness.schedule(deduped, hostBudget, grant = n,
+      nPriorities = nPriorities, salts = salts)
+    val out = scheduled.count()
+    ((out, (System.nanoTime() - t0) / 1e9))
+  }
+
+  def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+    // single-node bench: shuffle to tmpfs so disk bandwidth doesn't become
+    // the (un-cluster-like) bottleneck; a real cluster shuffles over
+    // network+local NVMe per executor
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    b.getOrCreate()
+  }
+
+  case class ScalingResult(n: Long, coresN: Int, cores4N: Int,
+      thrN: Double, thr4N: Double, efficiency: Double)
+
+  /** Child mode: measure one config in this JVM, print a marker line. */
+  private def childMain(cores: Int, n: Long, reps: Int): Unit = {
+    val spark = session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    val seen = seenState(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    seen.count() // materialize state outside the timed wave
+    runWave(spark, n, seen) // full-size untimed warmup: JIT, codegen, GC sizing
+    val times = (1 to reps).map { _ =>
+      // let the ContextCleaner drop previous reps' shuffle files (tmpfs
+      // pressure otherwise bleeds into the next measurement)
+      System.gc(); Thread.sleep(1500)
+      runWave(spark, n, seen)._2
+    }
+    spark.stop()
+    println(f"GRAFT_WAVE_SECS ${times.min}%.4f all=${times.map(t => f"$t%.2f").mkString(",")}")
+  }
+
+  /** Stage-by-stage breakdown in a clean JVM (diagnostics). */
+  private def profileMain(cores: Int, n: Long): Unit = {
+    val spark = session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    runWave(spark, math.max(n / 10, 10000), seenState(spark, math.max(n / 10, 10000))) // warmup
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val c = f
+      println(f"GRAFT_STAGE $cores $tag%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f rows=$c")
+    }
+    time("enrich_force") {
+      // force UDF evaluation of every column via a cheap aggregate
+      candidates(spark, n).select(sum(length(col("url_canon"))), sum(length(col("host"))),
+        sum(pmod(col("url_hash"), lit(1000000L)))).collect(); n
+    }
+    val cands = candidates(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val seen = candidates(spark, n).filter(col("seq") % 5 === 0)
+      .select(col("url_hash"), col("url_canon")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    seen.count()
+    time("firstSeen") { Dedup.firstSeenInBatch(cands, Seq(col("seq"))).count() }
+    val fs = Dedup.firstSeenInBatch(cands, Seq(col("seq")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fs.count()
+    time("antiJoin") { Dedup.antiJoinSeen(fs, seen).count() }
+    val dd = Dedup.antiJoinSeen(fs, seen).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dd.count()
+    time("hostEligSalted") { Politeness.hostEligibleSalted(dd, 1000, 32).count() }
+    time("scheduleFull") { Politeness.schedule(dd, 1000, n, 3, 32).count() }
+    spark.stop()
+  }
+
+  /** Fork a fresh JVM running childMain with the same classpath/opens. */
+  private def forkChild(cores: Int, n: Long, reps: Int, heap: String): Double = {
+    val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("-D"))
+        .filterNot(_.startsWith("-Xmx"))
+    }
+    // pin the child to exactly `cores` CPUs (taskset) and tell the JVM so
+    // (ActiveProcessorCount sizes GC/JIT/shuffle pools) — otherwise a
+    // local[N] run leeches machine-wide GC/IO threads and the N vs 4N
+    // comparison is dishonest
+    val pin =
+      if (java.nio.file.Files.isRegularFile(java.nio.file.Paths.get("/usr/bin/taskset")))
+        Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+      else Seq.empty
+    val gc = sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq
+    val cmd = pin ++ Seq(javaBin, s"-Xmx$heap", s"-Xms$heap",
+      s"-XX:ActiveProcessorCount=$cores") ++ gc ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.FrontierBench", "--wave", cores.toString, n.toString, reps.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val err = proc.getErrorStream.readAllBytes()
+    proc.waitFor()
+    out.linesIterator.find(_.startsWith("GRAFT_WAVE_SECS")) match {
+      case Some(line) =>
+        System.err.println(s"[bench child cores=$cores] $line")
+        line.split(" ")(1).toDouble
+      case None =>
+        System.err.write(err)
+        throw new RuntimeException(s"child bench (cores=$cores) produced no result: $out")
+    }
+  }
+
+  /** Same job, same input, two parallelism levels, fresh JVM each. */
+  def measureScaling(n: Long, coresN: Int, cores4N: Int,
+      reps: Int = 3, heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g")): ScalingResult = {
+    val secsN = forkChild(coresN, n, reps, heap)
+    val secs4N = forkChild(cores4N, n, reps, heap)
+    val thrN = n / secsN
+    val thr4N = n / secs4N
+    val ratio = cores4N.toDouble / coresN
+    ScalingResult(n, coresN, cores4N, thrN, thr4N, (thr4N / thrN) / ratio)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 4 && args(0) == "--wave") {
+      childMain(args(1).toInt, args(2).toLong, args(3).toInt)
+      return
+    }
+    if (args.length >= 3 && args(0) == "--profile") {
+      profileMain(args(1).toInt, args(2).toLong)
+      return
+    }
+    if (args.length >= 4 && args(0) == "--pair") {
+      val r = measureScaling(args(3).toLong, args(1).toInt, args(2).toInt)
+      println(f"""{"metric":"urls_scheduled_deduped_per_sec","value":${r.thr4N}%.1f,"unit":"urls/sec","n":${r.n},"cores_N":${r.coresN},"cores_4N":${r.cores4N},"throughput_N":${r.thrN}%.1f,"throughput_4N":${r.thr4N}%.1f,"scaling_efficiency":${r.efficiency}%.3f}""")
+      return
+    }
+    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
+    val cores4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val coresN = math.max(cores4N / 4, 1)
+    val r = measureScaling(n, coresN, cores4N)
+    println(f"""{"metric":"urls_scheduled_deduped_per_sec","value":${r.thr4N}%.1f,"unit":"urls/sec","n":${r.n},"cores_N":${r.coresN},"cores_4N":${r.cores4N},"throughput_N":${r.thrN}%.1f,"throughput_4N":${r.thr4N}%.1f,"scaling_efficiency":${r.efficiency}%.3f}""")
+  }
+}

@@ -90,6 +90,7 @@ object UrlCanon extends Serializable {
   /** Percent-normalize: decode %XX when the octet is unreserved,
    *  uppercase surviving hex digits, leave malformed escapes alone. */
   private[functions] def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s // hot path: nothing to normalize
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -109,6 +110,8 @@ object UrlCanon extends Serializable {
 
   /** RFC 3986 §5.2.4 remove_dot_segments. */
   private[functions] def removeDotSegments(path: String): String = {
+    // hot path: no "." or ".." segment anywhere
+    if (path.indexOf("/.") < 0 && !path.startsWith(".")) return path
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     var in = path
     while (in.nonEmpty) {
@@ -179,6 +182,7 @@ object UrlCanon extends Serializable {
   /** Sort query params; drop empty segments; percent-normalize each. */
   private[functions] def canonQuery(query: String): String = {
     if (query == null || query.isEmpty) return ""
+    if (query.indexOf('&') < 0) return pctNormalize(query) // single param
     val parts = query.split("&").toSeq.filter(_.nonEmpty).map(pctNormalize)
     parts.sorted.mkString("&")
   }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -33,12 +32,20 @@ object Dedup {
 
   /** Keep the first row per url_canon within a batch, "first" = min of
    *  `ord` (F4/D1 in-batch dedup, order-preserving like
-   *  OrderedDict.fromkeys at cola/job/executor.py:588-596). */
+   *  OrderedDict.fromkeys at cola/job/executor.py:588-596).
+   *
+   *  Implemented as groupBy + min_by(struct(all), struct(ord)) rather than
+   *  a row_number window: a hash aggregate partial-aggregates map-side
+   *  (duplicates collapse before the shuffle — at a ~1/3 dup rate that is
+   *  a third less shuffle IO), while a window must shuffle every row and
+   *  sort. `ord` must be a total order within url_canon (seq is unique). */
   def firstSeenInBatch(df: DataFrame, ord: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(col("url_canon")).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns.toSeq
+    // `ord` must be plain value columns (ascending is implied by min_by;
+    // a SortOrder like col.asc is unevaluable inside struct())
+    df.groupBy(col("url_canon"))
+      .agg(min_by(struct(cols.map(col): _*), struct(ord: _*)).as("__first"))
+      .select(cols.map(c => col(s"__first.$c").as(c)): _*)
   }
 
   /** Exact dedup: candidates whose url_canon is not in `seen`.

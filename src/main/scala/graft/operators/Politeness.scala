@@ -72,17 +72,35 @@ object Politeness {
       .drop("__hr")
   }
 
-  /** Steps 2–3: apply per-priority quotas over host-eligible rows. */
+  /**
+   * Steps 2–3: apply per-priority quotas over host-eligible rows.
+   *
+   * Scale note: a per-priority row_number window has only nPriorities
+   * partitions — a single-task sort per priority, which would dominate a
+   * large wave. In the common case the quota does not bind (grant ≥
+   * eligible rows, e.g. unlimited budget), so we first count per priority
+   * (one cheap aggregate, O(nPriorities) rows to the driver — wave-level
+   * coordination is allowed to be driver-side, per the engine design) and
+   * run the window only for the priorities whose quota actually binds.
+   * Output is identical to the always-window version.
+   */
   def applyQuotas(eligible: DataFrame, grant: Long, nPriorities: Int): DataFrame = {
     val quotas = priorityQuotas(grant, nPriorities)
-    val quotaExpr = quotas.zipWithIndex
-      .foldLeft(lit(0L)) { case (acc, (q, i)) =>
-        when(col("priority") === i, lit(q)).otherwise(acc)
+    val counts = eligible.groupBy(col("priority")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val binding = (0 until nPriorities)
+      .filter(i => counts.getOrElse(i, 0L) > quotas(i))
+    if (binding.isEmpty) return eligible
+    val quotaExpr = binding
+      .foldLeft(lit(Long.MaxValue)) { case (acc, i) =>
+        when(col("priority") === i, lit(quotas(i))).otherwise(acc)
       }
     val w = Window.partitionBy(col("priority")).orderBy(col("seq").asc)
-    eligible.withColumn("__pq", row_number().over(w))
+    val bindingRows = eligible.filter(col("priority").isin(binding: _*))
+      .withColumn("__pq", row_number().over(w))
       .filter(col("__pq") <= quotaExpr)
       .drop("__pq")
+    eligible.filter(!col("priority").isin(binding: _*)).unionByName(bindingRows)
   }
 
   /** One wave's schedule: the full O1/O3/O4/O6 pipeline. */

@@ -230,7 +230,7 @@ class CrawlJob(
 
       // ---- D1 dedup gate ----
       val fresh = Dedup.dedupWave(spark, candidates, seen,
-          Seq(col("parent_seq").asc, col("link_idx").asc),
+          Seq(col("parent_seq"), col("link_idx")),
           if (settings.useBloom) Some(blooms) else None, settings.numBuckets)
       val newEntries = withDenseSeq(fresh, Seq(col("parent_seq").asc, col("link_idx").asc),
           waveBase(w), "seq")
