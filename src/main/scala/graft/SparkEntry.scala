@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.UrlCanon
-import graft.operators.{Dedup, Politeness}
+import graft.functions.{TextStats, UrlCanon}
+import graft.operators.{Dedup, Multimodal, Politeness, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.Fixtures
 
@@ -133,6 +133,75 @@ object SparkEntry {
       pages.select(col("url"), length(ex(col("html"), col("url"))).as("n_chars"))
     }),
 
+    // ---- training-data pipeline operators (documents/embeddings) ----
+
+    // token counting: whitespace + BPE-ish regex classes
+    "text_token_counts" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
+
+    // language ID (marker n-gram heuristic)
+    "text_lang_id" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet").select(col("doc_id"),
+        TextStats.langId(col("text")).as("lang_pred"))),
+
+    // quality scoring signals + keep gate (integer per-mille signals)
+    "text_quality" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val sig = TextStats.qualitySignals(col("text"))
+      docs.select((col("doc_id") +: sig.map { case (n, c) => c.cast("long").as(n) }) :+
+        TextStats.qualityKeep(col("text")).as("keep"): _*)
+    }),
+
+    // exact dedup (hash-groupBy) over planted exact copies
+    "dedup_exact_text" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val planted = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      TextDedup.exact(planted, "text", "doc_id").select(col("doc_id"), col("n_copies"))
+    }),
+
+    // MinHash+LSH near-dup detection, verified — equals exact Jaccard ≥ 0.8
+    "dedup_minhash_lsh" -> ((s, d) =>
+      TextDedup.minhashLshDuplicates(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id")),
+
+    // exact n-gram Jaccard pairs (threshold 500‰)
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      TextDedup.jaccardPairs(
+        TextDedup.shingles(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3), 500)),
+
+    // SimHash near-dup (block trick) — engine-only → rows-only
+    "dedup_simhash" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val planted = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      TextDedup.simhashDuplicates(planted, "text", "doc_id", maxDist = 3)
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline); double precision so
+    // the DuckDB oracle (DOUBLE[] cast) computes the identical ranking
+    "embed_topk" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LSH-bucketed ANN (scale path) — engine-only → rows-only
+    "embed_ann_lsh" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3, dim = 64)
+    }),
+
+    // document fingerprinting (rolling hash) — engine-only → rows-only
+    "text_fingerprint" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet").select(col("doc_id"),
+        TextStats.fingerprintUdf(col("text")).as("fp"))),
+
+    // multimodal binary plumbing (decode stubbed) — rows-only
+    "multimodal_features" -> ((s, _) =>
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(s, 200L))),
+
     // O1-O12 wave loop end-to-end (engine-only → rows-only)
     "crawl_schedule" -> ((s, _) => {
       val v = 150L
@@ -191,5 +260,92 @@ object SparkEntry {
 
     "skew_salt" -> oracle(
       s"""SELECT host, CAST(seq % 8 AS INT) AS salt, count(*) AS n
-          FROM ($enrichedOracle) e GROUP BY host, CAST(seq % 8 AS INT)"""))
+          FROM ($enrichedOracle) e GROUP BY host, CAST(seq % 8 AS INT)"""),
+
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '$BpeishRe2')) AS BIGINT) AS n_bpeish
+          FROM documents""",
+
+    "text_lang_id" ->
+      s"""SELECT doc_id,
+            CASE WHEN gmax > 0 AND czh = gmax THEN 'zh'
+                 WHEN gmax > 0 AND cen = gmax THEN 'en'
+                 WHEN gmax > 0 AND ces = gmax THEN 'es'
+                 WHEN gmax > 0 AND cde = gmax THEN 'de'
+                 WHEN gmax > 0 AND cfr = gmax THEN 'fr'
+                 ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, czh, cen, ces, cde, cfr,
+                       greatest(czh, cen, ces, cde, cfr) AS gmax
+                FROM (SELECT doc_id,
+                        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS czh,
+                        len(regexp_extract_all(text, '\\b(the|and|of|is|to|in|that|it|for|was)\\b')) AS cen,
+                        len(regexp_extract_all(text, '\\b(el|los|las|es|y|de|que|la|en|un)\\b')) AS ces,
+                        len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht|ein|zu|den|mit)\\b')) AS cde,
+                        len(regexp_extract_all(text, '\\b(le|la|les|et|est|ne|pas|des|une|du)\\b')) AS cfr
+                      FROM documents) c) g""",
+
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens,
+            CASE WHEN n_tokens > 0
+                 THEN CAST(floor(1000.0 * (chars - (n_tokens - 1)) / n_tokens) AS BIGINT)
+                 ELSE 0 END AS mean_token_len_milli,
+            CASE WHEN chars > 0 THEN CAST(floor(1000.0 * punct / chars) AS BIGINT) ELSE 0 END AS punct_per_mille,
+            CASE WHEN n_tokens > 0 THEN CAST(floor(1000.0 * stop / n_tokens) AS BIGINT) ELSE 0 END AS stopword_per_mille,
+            CASE WHEN chars > 0 THEN CAST(floor(1000.0 * upper / chars) AS BIGINT) ELSE 0 END AS upper_per_mille,
+            (n_tokens >= 10 AND n_tokens <= 100000
+             AND (CASE WHEN chars > 0 THEN CAST(floor(1000.0 * upper / chars) AS BIGINT) ELSE 0 END) < 500
+             AND (CASE WHEN n_tokens > 0
+                       THEN CAST(floor(1000.0 * (chars - (n_tokens - 1)) / n_tokens) AS BIGINT)
+                       ELSE 0 END) BETWEEN 1500 AND 20000) AS keep
+          FROM (SELECT doc_id, length(text) AS chars,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                  len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS punct,
+                  len(regexp_extract_all(text, '\\b(the|and|of|is|to|a|in|that|it|for)\\b')) AS stop,
+                  len(regexp_extract_all(text, '[A-Z]')) AS upper
+                FROM documents) t""",
+
+    "dedup_exact_text" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents) p
+         GROUP BY text""",
+
+    "dedup_minhash_lsh" -> jaccardOracle(800),
+
+    "dedup_ngram_jaccard" -> jaccardOracle(500),
+
+    "embed_topk" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) AS cos
+                 FROM embeddings q, embeddings c
+                 WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) s) t
+         WHERE rank <= 3""")
+
+  /** RE2 spelling of TextStats.BpeishPattern (\uXXXX → \x{...}). */
+  private val BpeishRe2 =
+    "[a-zA-Z\\x{00C0}-\\x{024F}\\x{4e00}-\\x{9fff}]+|[0-9]|[^\\sa-zA-Z0-9\\x{00C0}-\\x{024F}\\x{4e00}-\\x{9fff}]"
+
+  /** Exact shingle-Jaccard pair oracle (what LSH+verify must equal). */
+  private def jaccardOracle(minMilli: Int): String =
+    s"""WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]) AS shingle
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents) ws
+          WHERE len(w) >= 3),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                  FROM sh x JOIN sh y USING (shingle)
+                  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+        SELECT a, b, CAST(floor(1000.0 * i / (sa.sz + sb.sz - i)) AS BIGINT) AS jaccard_milli
+        FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+        WHERE CAST(floor(1000.0 * i / (sa.sz + sb.sz - i)) AS BIGINT) >= $minMilli"""
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (Array[Float]).
+ *
+ *  - Brute-force cosine top-k: exact baseline. The dot product is a pure
+ *    Catalyst expression (`aggregate` over `zip_with`) — whole-stage
+ *    codegen, no UDF. Queries are broadcast against the corpus, so the
+ *    corpus never shuffles; at 100 TB the corpus side streams.
+ *  - Random-hyperplane LSH ANN: a `bits`-bit signature per vector from
+ *    deterministic pseudo-hyperplanes (hash-derived, no RNG state);
+ *    candidates = same bucket in ≥1 of `tables` signature tables; exact
+ *    cosine re-rank on candidates only. The scale path: bucket join
+ *    instead of corpus × queries.
+ */
+object Similarity {
+
+  /** Dot product of two float-array columns (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(aggregate(
+    transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k neighbors for each query vector. `queries`/`corpus` both
+   * need (idCol, vecCol); output (query_id, neighbor_id, rank). Ties in
+   * cosine break by neighbor id (determinism across engines).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-hyperplane component: a value in [-1, 1]
+   *  derived from (table, bit, dim) by integer hashing — reproducible
+   *  everywhere, no RNG object (FIXTURES determinism rule). */
+  private def planeComponent(table: Int, bit: Int, dim: Int): Double = {
+    var h = table.toLong * 0x9E3779B97F4A7C15L + bit.toLong * 0xBF58476D1CE4E5B9L + dim.toLong * 0x94D049BB133111EBL
+    h ^= (h >>> 31); h *= 0x7FB5D329728EA185L; h ^= (h >>> 27)
+    (java.lang.Long.remainderUnsigned(h, 2000001L).toDouble / 1000000.0) - 1.0
+  }
+
+  /** All-tables signature UDF: vec → Array[Long] of `tables` sign
+   *  patterns. A UDF (not a Column tree): tables×bits×dim expression
+   *  terms would explode the plan; the UDF loops over a precomputed
+   *  plane array instead. */
+  private def signaturesUdf(dim: Int, tables: Int, bits: Int) = {
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, bits, dim)((t, b, d) => planeComponent(t, b, d))
+    udf((vec: Seq[Float]) => {
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          var dot = 0.0
+          var i = 0
+          val p = planes(t)(b)
+          while (i < dim && i < vec.length) { dot += vec(i) * p(i); i += 1 }
+          if (dot > 0) sig |= (1L << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      out
+    })
+  }
+
+  /**
+   * ANN top-k via multi-table hyperplane LSH + exact re-rank. Recall is
+   * tunable with (tables, bits); the spec measures it against
+   * [[bruteForceTopK]] on the fixture corpus.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, tables: Int = 32, bits: Int = 5): DataFrame = {
+    val sigUdf = signaturesUdf(dim, tables, bits)
+    def bucketize(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          sigUdf(col(vecCol)).as("sigs"))
+        .select(col(idAs), col(vecAs), posexplode(col("sigs")).as(Seq("table", "bucket")))
+    val qb = bucketize(queries, "query_id", "qv")
+    val cb = bucketize(corpus, "neighbor_id", "cv")
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

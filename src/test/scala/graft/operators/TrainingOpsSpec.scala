@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextStats
+
+class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ---- TextStats ----
+
+  test("tokenCount counts whitespace tokens; bpeish adds punctuation") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "hello, world! this is 42"), (2L, "  "), (3L, "one"))).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.tokenCount(col("text")).as("t"),
+      TextStats.bpeishTokenCount(col("text")).as("b")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((5, 8))) // hello , world ! this is 4 2
+    assert(out(2L) == ((0, 0)))
+    assert(out(3L) == ((1, 1)))
+  }
+
+  test("langId picks the marker-dominant language, und for no markers") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog of the house is to go"),
+      (2L, "el perro y los gatos de la casa es un animal"),
+      (3L, "der hund und die katze ist nicht ein tier zu sehen"),
+      (4L, "le chien et la maison est une des choses du jour"),
+      (5L, "这是 一个 中文 文档 测试"),
+      (6L, "zzz qqq www"))).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("quality signals are integers and qualityKeep gates junk") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "A normal document with some sensible words, punctuation and length that should pass the gate easily."),
+      (2L, "SHOUTING ALL CAPS TEXT EVERYWHERE LOUD"),
+      (3L, "x"))).toDF("id", "text")
+    val sig = TextStats.qualitySignals(col("text"))
+    val signals = df.select((col("id") +: sig.map { case (n, c) => c.as(n) }): _*).collect()
+    assert(signals.length == 3)
+    val out = df.select(col("id"), TextStats.qualityKeep(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L)); assert(!out(2L)); assert(!out(3L))
+  }
+
+  test("fingerprint is order-sensitive and whitespace-normalized") {
+    assert(TextStats.fingerprint("a b c") == TextStats.fingerprint("a  b   c"))
+    assert(TextStats.fingerprint("a b c") != TextStats.fingerprint("c b a"))
+    assert(TextStats.fingerprint("") == TextStats.fingerprint("   "))
+  }
+
+  // ---- TextDedup ----
+
+  private def docsWithCopies: DataFrame =
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+
+  test("exact dedup collapses identical texts to min id with copy count") {
+    val out = TextDedup.exact(docsWithCopies, "text", "doc_id")
+    val n = docs.count()
+    assert(out.count() == n)
+    assert(out.agg(sum("n_copies")).collect()(0).getLong(0) == 2 * n)
+    assert(out.agg(max("doc_id")).collect()(0).getLong(0) < 1000000)
+  }
+
+  test("minhash LSH + verify finds exactly the exact-Jaccard pairs (≥0.8)") {
+    val sh = TextDedup.shingles(docs, "text", "doc_id", 3)
+    val exact = TextDedup.jaccardPairs(sh, 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshDuplicates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash exact copies collide at distance 0; block trick finds them") {
+    val planted = docsWithCopies
+    val dups = TextDedup.simhashDuplicates(planted, "text", "doc_id", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
+    assert(expected.subsetOf(dups))
+  }
+
+  test("simhash hamming distance respects maxDist filter") {
+    val d3 = TextDedup.simhashDuplicates(docs, "text", "doc_id", maxDist = 3)
+    assert(d3.filter(col("dist") > 3).count() == 0)
+  }
+
+  // ---- Similarity ----
+
+  test("brute-force topK is deterministic and self-excluding") {
+    val q = embeddings.filter(col("vec_id") < 5)
+    val out = Similarity.bruteForceTopK(q, embeddings, "vec_id", "embedding", 3)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val again = Similarity.bruteForceTopK(q, embeddings, "vec_id", "embedding", 3).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("LSH ANN achieves ≥60% recall@3 vs brute force on the fixture corpus") {
+    val q = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, embeddings, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(q, embeddings, "vec_id", "embedding", 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  // ---- Multimodal ----
+
+  test("multimodal plumbing: fake media decodes to features with exact byte stats") {
+    val media = Multimodal.mediaTable(spark, 50)
+    val feats = Multimodal.extractFeatures(spark, media)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val nBytes = r.getInt(2)
+      val hist = r.getSeq[Long](4)
+      assert(hist.sum == nBytes - 12, "histogram must cover the body bytes")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+    }
+  }
+
+  test("multimodal: corrupt media rows are dropped, not fatal") {
+    val bad = spark.createDataFrame(Seq((99L, Array[Byte](1, 2, 3), "jpg", 1, 1)))
+      .toDF("doc_id", "media", "format", "width", "height")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(spark, 5).unionByName(bad))
+    assert(feats.count() == 5)
+  }
+}
