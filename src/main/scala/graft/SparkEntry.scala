@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
-import graft.operators.{Dedup, Multimodal, Politeness, Similarity, TextDedup}
+import graft.operators.{Dedup, Multimodal, Politeness, Robots, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.Fixtures
 
@@ -133,6 +133,21 @@ object SparkEntry {
       pages.select(col("url"), length(ex(col("html"), col("url"))).as("n_chars"))
     }),
 
+    // robots.txt gate: broadcast host rules + prefix check
+    "robots_filter" -> ((s, d) => {
+      val rules = Robots.rulesFromTxt(s, Seq(
+        "host0.example.com" -> "User-agent: *\nDisallow: /o/1",
+        "host3.example.com" -> "User-agent: *\nDisallow: /o/"))
+      Robots.filterAllowed(enriched(s, d), rules)
+        .select(col("url_canon"), col("host"), col("seq"))
+    }),
+
+    // A3-A5 counter aggregators: Uniq (sorted set) + Overwrite (last-write)
+    "counters_uniq_overwrite" -> ((s, d) =>
+      enriched(s, d).groupBy(col("host")).agg(
+        concat_ws(",", sort_array(collect_set(col("priority")))).as("uniq_priorities"),
+        max_by(col("priority"), col("seq")).as("last_priority"))),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // token counting: whitespace + BPE-ish regex classes
@@ -261,6 +276,20 @@ object SparkEntry {
     "skew_salt" -> oracle(
       s"""SELECT host, CAST(seq % 8 AS INT) AS salt, count(*) AS n
           FROM ($enrichedOracle) e GROUP BY host, CAST(seq % 8 AS INT)"""),
+
+    "robots_filter" -> oracle(
+      s"""SELECT url_canon, host, seq FROM (
+            SELECT url_canon, host, seq,
+                   regexp_replace(url_canon, '^http://[^/]*', '') AS path
+            FROM ($enrichedOracle) e) t
+          WHERE NOT (host = 'host0.example.com' AND path LIKE '/o/1%')
+            AND NOT (host = 'host3.example.com' AND path LIKE '/o/%')"""),
+
+    "counters_uniq_overwrite" -> oracle(
+      s"""SELECT host,
+            array_to_string(list_sort(list(DISTINCT priority)), ',') AS uniq_priorities,
+            arg_max(priority, seq) AS last_priority
+          FROM ($enrichedOracle) e GROUP BY host"""),
 
     "text_token_counts" ->
       s"""SELECT doc_id,

@@ -38,7 +38,8 @@ case class CrawlSettings(
     numBuckets: Int = 32,
     useBloom: Boolean = true,
     bloomCapacity: Long = 1000000L, // D3 floor (cola/job/__init__.py:48)
-    extract: Boolean = true)
+    extract: Boolean = true,
+    inc: Boolean = true) // O9 incremental queue (job.inc, main.yaml:22)
 
 case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
     scheduledTotal: Long, seenTotal: Long, deadTotal: Long)
@@ -58,15 +59,27 @@ class CrawlJob(
     pages: DataFrame,
     settings: CrawlSettings,
     workDir: String,
-    priorityExpr: Column => Column = _ => lit(0)) {
+    priorityExpr: Column => Column = _ => lit(0),
+    robotsRules: Option[DataFrame] = None) {
 
   import spark.implicits._
 
   private val ckpt = new Checkpoint(spark, workDir)
 
+  /** Engine counters (A1/A6/A7): executor-side partials merged at the
+   *  driver by Spark's accumulator machinery — the counter-server model. */
+  val counters = new graft.operators.CounterAccumulator()
+  spark.sparkContext.register(counters, "graft_counters")
+
   private val canonUdf = udf((u: String) => UrlCanon.canonicalize(u))
   private val hostUdf = udf((u: String) => UrlCanon.host(u))
-  private val extractTextUdf = udf((html: Array[Byte], u: String) => Extract.extractText(html, u))
+  private val extractTextUdf = {
+    val ctr = counters // local capture: the closure must not drag `this` in
+    udf((html: Array[Byte], u: String) => {
+      ctr.add("extract", "pages")
+      Extract.extractText(html, u)
+    })
+  }
   private val outlinksUdf = udf((html: Array[Byte], u: String) => Extract.extractOutlinks(html, u))
 
   /** seq base for wave w: keeps discovery FIFO monotone across waves while
@@ -88,11 +101,14 @@ class CrawlJob(
   private def emptyFrontier: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.frontier)
 
-  /** Candidate enrichment: url → (canon, hash, host). */
-  private def enrich(df: DataFrame): DataFrame =
-    df.withColumn("url_canon", canonUdf(col("url")))
+  /** Candidate enrichment: url → (canon, hash, host); robots gate applied
+   *  at discovery (disallowed urls never enter frontier or seen set). */
+  private def enrich(df: DataFrame): DataFrame = {
+    val e = df.withColumn("url_canon", canonUdf(col("url")))
       .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
       .withColumn("host", hostUdf(col("url_canon")))
+    robotsRules.fold(e)(rules => graft.operators.Robots.filterAllowed(e, rules))
+  }
 
   private def perPartitionLineage(df: DataFrame, wave: Int, stage: String): DataFrame =
     df.groupBy(spark_partition_id().as("partition_id"))
@@ -193,6 +209,11 @@ class CrawlJob(
       deadTotal += nDead
 
       val success = fetched.filter(col("html").isNotNull)
+      if (settings.inc) // O9: finished units feed the incremental queue
+        ckpt.write(success.select(col("url_canon"), lit(w).as("wave")), w, "inc")
+      counters.add("budget", "applied", nScheduled)
+      counters.add("budget", "finishes", nSuccess)
+      counters.add("budget", "errors", nErrors)
 
       // ---- extract (X1/X2) + outlinks (F1) ----
       val outlinks = success.select(
@@ -298,4 +319,10 @@ class CrawlJob(
 
   def resultsTable: DataFrame =
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "results", Schemas.results)
+
+  /** O9 incremental re-crawl queue: re-enqueue as the lowest priority
+   *  (task.py:135-139) — v1 ships the table; continuous re-crawl is a
+   *  rerun seeded from it. */
+  def incTable: DataFrame =
+    ckpt.readAll(ckpt.latestWave.getOrElse(0), "inc", Schemas.inc)
 }

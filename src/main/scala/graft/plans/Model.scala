@@ -45,6 +45,10 @@ case class WaveMetrics(wave: Int, scheduled: Long, fetched: Long, errors: Long,
 case class PageResult(wave: Int, url_canon: String, lang: String, text: String,
     n_outlinks: Int)
 
+/** Incremental re-crawl queue row (O9: every finished unit is put_inc,
+ *  cola/job/executor.py:426-427; re-crawled at lowest priority). */
+case class IncEntry(url_canon: String, wave: Int)
+
 object Schemas {
   val frontier: StructType = Encoders.product[FrontierEntry].schema
   val seen: StructType = Encoders.product[SeenEntry].schema
@@ -53,4 +57,5 @@ object Schemas {
   val lineage: StructType = Encoders.product[LineageRow].schema
   val metrics: StructType = Encoders.product[WaveMetrics].schema
   val results: StructType = Encoders.product[PageResult].schema
+  val inc: StructType = Encoders.product[IncEntry].schema
 }
