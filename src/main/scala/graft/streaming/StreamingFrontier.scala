@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A discovered-URL event on the streaming frontier. */
+case class UrlEvent(url_canon: String, host: String, priority: Int, ts: Timestamp)
+
+/** Politeness-gate state per host (token count within the current window). */
+case class HostGateState(windowStart: Long, emitted: Int)
+
+/** A gated emission. */
+case class GatedUrl(url_canon: String, host: String, priority: Int, ts: Timestamp)
+
+/**
+ * Structured-Streaming view of the frontier (the streaming reading of the
+ * reference's incremental queue, SURVEY §2 O9): continuously discovered
+ * URLs are deduped against streaming state and rate-limited per host.
+ *
+ *  - [[dedupStream]]: `withWatermark` + `dropDuplicates` — the D1
+ *    check-and-insert gate as streaming state (late duplicates beyond the
+ *    watermark age out of the state store, which is how a 10^10 seen set
+ *    must behave in a continuous crawl: bounded state + periodic compaction
+ *    to the batch seen table).
+ *  - [[hostWindowCounts]]: watermarked tumbling-window per-host counts
+ *    (the A7 metrics stream).
+ *  - [[politenessGate]]: per-host token bucket via flatMapGroupsWithState
+ *    — at most `hostBudget` URLs per host per window emitted downstream;
+ *    the custom-state analog of the batch per-host top-k (O6).
+ */
+object StreamingFrontier {
+
+  def dedupStream(events: Dataset[UrlEvent], watermark: String = "10 minutes"): Dataset[UrlEvent] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("url_canon")
+      .as[UrlEvent]
+  }
+
+  def hostWindowCounts(events: Dataset[UrlEvent], windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame = {
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("host"))
+      .agg(count(lit(1)).as("n"), min(col("priority")).as("best_priority"))
+  }
+
+  def politenessGate(events: Dataset[UrlEvent], hostBudget: Int,
+      windowMillis: Long = 60000L): Dataset[GatedUrl] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.host)
+      .flatMapGroupsWithState[HostGateState, GatedUrl](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String, rows: Iterator[UrlEvent], state: GroupState[HostGateState]) =>
+          val out = Seq.newBuilder[GatedUrl]
+          var st = state.getOption.getOrElse(HostGateState(Long.MinValue, 0))
+          // deterministic processing order within the micro-batch
+          rows.toSeq.sortBy(e => (e.priority, e.ts.getTime, e.url_canon)).foreach { e =>
+            val w = math.floorDiv(e.ts.getTime, windowMillis)
+            if (w != st.windowStart) st = HostGateState(w, 0)
+            if (st.emitted < hostBudget) {
+              out += GatedUrl(e.url_canon, host, e.priority, e.ts)
+              st = st.copy(emitted = st.emitted + 1)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingFrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: Long): Timestamp = new Timestamp(1704067200000L + s * 1000)
+
+  private def ev(url: String, host: String, p: Int, s: Long): UrlEvent =
+    UrlEvent(url, host, p, ts(s))
+
+  test("streaming dedup drops repeated url_canon across micro-batches") {
+    val sp = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[UrlEvent]
+    val q = StreamingFrontier.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(ev("u1", "a", 0, 1), ev("u2", "a", 0, 2), ev("u1", "a", 0, 3))
+    q.processAllAvailable()
+    input.addData(ev("u2", "b", 0, 4), ev("u3", "b", 0, 5))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").select("url_canon")
+      .collect().map(_.getString(0)).toSeq
+    q.stop()
+    assert(got.sorted == Seq("u1", "u2", "u3"))
+  }
+
+  test("windowed per-host counts aggregate with watermark") {
+    val sp = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[UrlEvent]
+    val q = StreamingFrontier.hostWindowCounts(input.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData(ev("u1", "a", 2, 10), ev("u2", "a", 0, 20), ev("u3", "b", 1, 70))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select("host", "n", "best_priority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    q.stop()
+    assert(rows == Set(("a", 2L, 0), ("b", 1L, 1)))
+  }
+
+  test("politeness gate emits at most hostBudget per host per window") {
+    val sp = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[UrlEvent]
+    val q = StreamingFrontier.politenessGate(input.toDS(), hostBudget = 2)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append()).start()
+    // 4 urls for host a in the same minute window, 1 for host b
+    input.addData(ev("a1", "a", 0, 1), ev("a2", "a", 1, 2), ev("a3", "a", 2, 3),
+      ev("a4", "a", 0, 4), ev("b1", "b", 0, 5))
+    q.processAllAvailable()
+    // next window: host a allowed again
+    input.addData(ev("a5", "a", 0, 65))
+    q.processAllAvailable()
+    val got = spark.table("gate_out").select("url_canon")
+      .collect().map(_.getString(0)).toSet
+    q.stop()
+    // within window 0, host a's best two by (priority, ts): a1 (p0), a4 (p0)
+    assert(got == Set("a1", "a4", "b1", "a5"))
+  }
+}
