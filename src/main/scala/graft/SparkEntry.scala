@@ -222,8 +222,8 @@ object SparkEntry {
       val v = 150L
       val pages = Fixtures.pagesDF(s, v)
       val dir = java.nio.file.Files.createTempDirectory("graft-q-crawl").toString
-      val settings = CrawlSettings(size = 40, nPriorities = 1, hostBudget = 3,
-        waveCap = 40, retries = 1, maxWaves = 15, urlPattern = Fixtures.UrlPattern,
+      val settings = CrawlSettings(size = 40, nPriorities = 1, hostBudget = 6,
+        waveCap = 40, retries = 1, maxWaves = 8, urlPattern = Fixtures.UrlPattern,
         extract = false, useBloom = true, bloomCapacity = 4096, numBuckets = 8)
       val job = new CrawlJob(s, pages, settings, dir)
       job.run(Fixtures.seeds(v))

@@ -98,10 +98,17 @@ object Similarity {
         .select(col(idAs), col(vecAs), posexplode(col("sigs")).as(Seq("table", "bucket")))
     val qb = bucketize(queries, "query_id", "qv")
     val cb = bucketize(corpus, "neighbor_id", "cv")
-    val cand = cb.join(qb, Seq("table", "bucket"))
+    // dedup candidate PAIRS on ids only (distinct over the wide vector
+    // columns would shuffle every embedding once per shared bucket),
+    // then join the vectors back for the exact re-rank
+    val candIds = cb.select(col("table"), col("bucket"), col("neighbor_id"))
+      .join(qb.select(col("table"), col("bucket"), col("query_id")), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val cand = candIds
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("cos", cosine(col("qv"), col("cv")))

@@ -187,19 +187,37 @@ class CrawlJob(
         .select(lit(w).as("wave"), col("rank"), col("priority"), col("seq"),
           col("host"), col("url_canon"), col("depth"))
 
-      // ---- "fetch" = join pages (J6/S2: html column IS the fetch result) ----
-      val fetched = scheduled.join(
+      // ---- "fetch" = join pages (J6/S2: html column IS the fetch result),
+      //      then ONE pass over html computes extraction + outlinks + the
+      //      fetch status together. Only that slim projection is persisted
+      //      — raw html must never be cached or traversed twice (at crawl
+      //      scale html dominates every other column by orders of
+      //      magnitude). nErrors rides along via Observation (no extra job).
+      val fetchedRaw = scheduled.join(
           pages.select(col("url").as("url_canon"), col("html"), col("lang")),
           Seq("url_canon"), "left")
+      val frontierCols = Schemas.frontier.fieldNames.map(col).toSeq
+      val obs = new org.apache.spark.sql.Observation(s"wave_$w")
+      val processed = fetchedRaw.select(
+          (frontierCols :+ col("lang") :+
+            col("html").isNotNull.as("ok") :+
+            (if (settings.extract)
+               when(col("html").isNotNull, extractTextUdf(col("html"), col("url_canon")))
+                 .otherwise(lit(null)).as("text")
+             else lit(null).cast("string").as("text")) :+
+            when(col("html").isNotNull, outlinksUdf(col("html"), col("url_canon")))
+              .otherwise(array().cast("array<string>")).as("outs")): _*)
+        .observe(obs, count(lit(1)).as("n"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("errors"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val errors = fetched.filter(col("html").isNull)
-      val nErrors = errors.count()
+      processed.count() // materialize: html traversed exactly once
+      val nErrors = obs.get("errors").asInstanceOf[Long]
       val nSuccess = nScheduled - nErrors
       finished += nSuccess
       applied -= nErrors // O4 error refund (budget.py:154-158)
 
       // ---- retry / dead-letter (O8) ----
-      val frontierCols = Schemas.frontier.fieldNames.map(col).toSeq
+      val errors = processed.filter(!col("ok"))
       val bumped = errors.withColumn("error_times", col("error_times") + 1)
       val retry = bumped.filter(col("error_times") <= settings.retries).select(frontierCols: _*)
       val dead = bumped.filter(col("error_times") > settings.retries)
@@ -208,35 +226,27 @@ class CrawlJob(
       val nDead = dead.count()
       deadTotal += nDead
 
-      val success = fetched.filter(col("html").isNotNull)
+      val success = processed.filter(col("ok"))
       if (settings.inc) // O9: finished units feed the incremental queue
         ckpt.write(success.select(col("url_canon"), lit(w).as("wave")), w, "inc")
       counters.add("budget", "applied", nScheduled)
       counters.add("budget", "finishes", nSuccess)
       counters.add("budget", "errors", nErrors)
 
-      // ---- extract (X1/X2) + outlinks (F1) ----
-      val outlinks = success.select(
-          col("url_canon").as("parent_canon"), col("seq").as("parent_seq"),
-          col("depth").as("parent_depth"),
-          posexplode_outer(outlinksUdf(col("html"), col("url_canon"))).as(Seq("link_idx", "out_url")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
       if (settings.extract) {
-        val nOut = outlinks.filter(col("out_url").isNotNull)
-          .groupBy(col("parent_canon")).agg(count(lit(1)).as("n_outlinks"))
-        val results = success
-          .join(nOut, success("url_canon") === nOut("parent_canon"), "left")
-          .select(lit(w).as("wave"), col("url_canon"), col("lang"),
-            extractTextUdf(col("html"), col("url_canon")).as("text"),
-            coalesce(col("n_outlinks"), lit(0L)).cast("int").as("n_outlinks"))
+        val results = success.select(lit(w).as("wave"), col("url_canon"), col("lang"),
+          col("text"), size(col("outs")).as("n_outlinks"))
         ckpt.write(results, w, "results")
       }
 
-      // ---- new candidates: P1 pattern filter, P6 resolve (inside
-      //      extractOutlinks), P7 self-drop, P8 canonicalize ----
+      // ---- outlinks (F1) → new candidates: P1 pattern filter, P6 resolve
+      //      (inside extractOutlinks), P7 self-drop, P8 canonicalize ----
+      val outlinks = success.select(
+        col("url_canon").as("parent_canon"), col("seq").as("parent_seq"),
+        col("depth").as("parent_depth"),
+        posexplode(col("outs")).as(Seq("link_idx", "out_url")))
       val candidates = enrich(
-          outlinks.filter(col("out_url").isNotNull)
+          outlinks
             .filter(col("out_url").rlike("(?i)" + settings.urlPattern))
             .withColumnRenamed("out_url", "url"))
         .filter(col("url_canon") =!= col("parent_canon"))
@@ -288,7 +298,7 @@ class CrawlJob(
         blooms = Dedup.updateBlooms(blooms, newEntries, settings.numBuckets,
           math.max(settings.bloomCapacity / settings.numBuckets, 1024))
 
-      scheduled.unpersist(); fetched.unpersist(); outlinks.unpersist()
+      scheduled.unpersist(); processed.unpersist()
       candidates.unpersist(); newEntries.unpersist()
       wave = w
     }
