@@ -138,10 +138,42 @@ object UrlCanon extends Serializable {
    * empty path -> "/", query params sorted (stable, by full "k=v" text).
    * Idempotent: canonicalize(canonicalize(u)) == canonicalize(u).
    */
+  /** Conservative single-scan check: true only when [[canonicalize]]
+   *  would provably return the input unchanged (lowercase http/https, no
+   *  userinfo/port, plain lowercase host, non-empty path, no %/#/?, no
+   *  dot segments). False negatives just take the slow path; the whole
+   *  point is that discovered URLs at crawl scale are usually already
+   *  canonical, and this avoids re-building the string per row. */
+  private[functions] def isCanonicalFast(u: String): Boolean = {
+    val n = u.length
+    val authStart =
+      if (u.startsWith("http://")) 7
+      else if (u.startsWith("https://")) 8
+      else return false
+    val pathStart = u.indexOf('/', authStart)
+    if (pathStart <= authStart) return false
+    var j = authStart
+    while (j < pathStart) {
+      val c = u.charAt(j)
+      if (!((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '.' || c == '-'))
+        return false
+      j += 1
+    }
+    j = pathStart
+    while (j < n) {
+      val c = u.charAt(j)
+      if (c == '%' || c == '#' || c == '?') return false
+      if (c == '.' && u.charAt(j - 1) == '/') return false // "/." or "/.."
+      j += 1
+    }
+    true
+  }
+
   def canonicalize(url: String): String = {
     if (url == null) return null
     val trimmed = url.trim
     if (trimmed.isEmpty) return trimmed
+    if (isCanonicalFast(trimmed)) return trimmed
     val (scheme0, auth0, path0, query0, _) = split(trimmed)
     if (scheme0.isEmpty && auth0.isEmpty) {
       // not an absolute URL; best-effort: normalize path+query only

@@ -73,6 +73,22 @@ class UrlCanonSpec extends AnyFunSuite {
     }
   }
 
+  test("fast path never disagrees with the full canonicalizer (property)") {
+    // for any url, canonical form must be a fixed point — and for inputs
+    // the fast path accepts, the slow path must agree they are unchanged
+    forAll(genUrl) { u =>
+      val c = UrlCanon.canonicalize(u)
+      if (UrlCanon.isCanonicalFast(u)) assert(c == u, s"fast path wrong on $u")
+      assert(UrlCanon.canonicalize(c) == c)
+    }
+    // targeted fast-path rejects: port, userinfo, uppercase host, %, ?, #, dot segs, no path
+    Seq("http://a.com:8080/x", "http://u@a.com/x", "http://A.com/x",
+      "http://a.com/x%41", "http://a.com/x?b=1", "http://a.com/x#f",
+      "http://a.com/./x", "http://a.com", "ftp://a.com/x")
+      .foreach(u => assert(!UrlCanon.isCanonicalFast(u), u))
+    assert(UrlCanon.isCanonicalFast("http://host0.example.com/p/123"))
+  }
+
   test("canonicalize equates raw-url variants of the same page") {
     assert(UrlCanon.canonicalize("HTTP://Host1.EXAMPLE.com:80/p/5") ==
       UrlCanon.canonicalize("http://host1.example.com/p/5#sec2"))
