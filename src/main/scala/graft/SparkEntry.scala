@@ -92,6 +92,12 @@ object SparkEntry {
       Politeness.hostEligibleSalted(enriched(s, d), 3, 4)
         .select(col("host"), col("priority"), col("seq"), col("url_canon"))),
 
+    // O6/J5 frontier-scale path: adaptive skew split (cold hosts pass
+    // narrow, only hot hosts ranked) — must equal the plain window
+    "politeness_topk_adaptive" -> ((s, d) =>
+      Politeness.hostEligibleAdaptive(enriched(s, d), 3, 4)
+        .select(col("host"), col("priority"), col("seq"), col("url_canon"))),
+
     // O4: globally ordered budget grant
     "budget_limit" -> ((s, d) =>
       urlsDF(s, d).orderBy(col("priority").asc, col("seq").asc).limit(100)
@@ -249,6 +255,13 @@ object SparkEntry {
           WHERE rn <= 3"""),
 
     "politeness_topk_salted" -> oracle(
+      s"""SELECT host, priority, seq, url_canon FROM (
+            SELECT host, priority, seq, url_canon,
+                   row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rn
+            FROM ($enrichedOracle) e) t
+          WHERE rn <= 3"""),
+
+    "politeness_topk_adaptive" -> oracle(
       s"""SELECT host, priority, seq, url_canon FROM (
             SELECT host, priority, seq, url_canon,
                    row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rn

@@ -34,18 +34,52 @@ object Dedup {
    *  `ord` (F4/D1 in-batch dedup, order-preserving like
    *  OrderedDict.fromkeys at cola/job/executor.py:588-596).
    *
-   *  Implemented as groupBy + min_by(struct(all), struct(ord)) rather than
-   *  a row_number window: a hash aggregate partial-aggregates map-side
-   *  (duplicates collapse before the shuffle — at a ~1/3 dup rate that is
-   *  a third less shuffle IO), while a window must shuffle every row and
-   *  sort. `ord` must be a total order within url_canon (seq is unique). */
+   *  Implemented as groupBy + min_by rather than a row_number window: a
+   *  hash aggregate partial-aggregates map-side (duplicates collapse
+   *  before the shuffle — at a ~1/3 dup rate that is a third less shuffle
+   *  IO), while a window must shuffle every row and sort. `ord` must be a
+   *  total order within url_canon (seq is unique).
+   *
+   *  Plan shape matters at frontier scale: a min_by whose value or
+   *  ordering is a var-length type (string/struct) cannot live in
+   *  HashAggregateExec's fixed-width UnsafeRow buffer, so Catalyst falls
+   *  back to SortAggregate — two full sorts of every candidate row. The
+   *  fast path therefore groups by (url_hash, url_canon) [+ host when
+   *  present — both functionally dependent on url_canon, so groups are
+   *  identical] and aggregates each remaining column with its own
+   *  primitive min_by, which (a) stays in whole-stage-codegen hash
+   *  aggregation and (b) lets Catalyst prune unused columns out of the
+   *  aggregate entirely. Grouping with url_hash leading also makes the
+   *  output partitioning reusable by [[antiJoinSeen]] (same key set → no
+   *  second shuffle of the candidates). Falls back to the generic
+   *  struct-valued form for multi-column `ord` or var-length payload
+   *  columns (e.g. the raw `url` before it is dropped). */
   def firstSeenInBatch(df: DataFrame, ord: Seq[Column]): DataFrame = {
     val cols = df.columns.toSeq
-    // `ord` must be plain value columns (ascending is implied by min_by;
-    // a SortOrder like col.asc is unevaluable inside struct())
-    df.groupBy(col("url_canon"))
-      .agg(min_by(struct(cols.map(col): _*), struct(ord: _*)).as("__first"))
-      .select(cols.map(c => col(s"__first.$c").as(c)): _*)
+    val keySet = Set("url_hash", "url_canon", "host")
+    val keyCols = Seq("url_hash", "url_canon", "host").filter(cols.contains)
+    val valueCols = cols.filterNot(keySet)
+    val fixedWidth = valueCols.forall { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.BooleanType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+    }
+    if (ord.size == 1 && fixedWidth && valueCols.nonEmpty && keyCols.contains("url_canon")) {
+      val aggs = valueCols.map(c => min_by(col(c), ord.head).as(c))
+      df.groupBy(keyCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(cols.map(col): _*)
+    } else {
+      // `ord` must be plain value columns (ascending is implied by min_by;
+      // a SortOrder like col.asc is unevaluable inside struct())
+      df.groupBy(col("url_canon"))
+        .agg(min_by(struct(cols.map(col): _*), struct(ord: _*)).as("__first"))
+        .select(cols.map(c => col(s"__first.$c").as(c)): _*)
+    }
   }
 
   /** Exact dedup: candidates whose url_canon is not in `seen`.
@@ -69,8 +103,14 @@ object Dedup {
       numBuckets: Int): DataFrame = {
     if (blooms.isEmpty) return antiJoinSeen(candidates, seen)
     val bc = spark.sparkContext.broadcast(blooms.map { case (k, v) => k -> BloomFilter.fromBytes(v) })
+    // The probe is pure, but it is deliberately marked nondeterministic so
+    // Catalyst cannot push the maybe/!maybe split below whatever produced
+    // `candidates`: pushed-down, the two branch filters land under the
+    // in-batch dedup aggregate and duplicate its entire subtree (scan +
+    // canonicalize UDFs + partial agg run twice); kept above, the branches
+    // share one identical Exchange and ReuseExchange computes it once.
     val maybeSeen = udf((bucket: Int, h: Long) =>
-      bc.value.get(bucket).exists(_.mightContain(h)))
+      bc.value.get(bucket).exists(_.mightContain(h))).asNondeterministic()
     val withBucket = candidates.withColumn("__b", bucketOf(col("url_hash"), numBuckets))
     val flagged = withBucket.withColumn("__maybe", maybeSeen(col("__b"), col("url_hash")))
     val definitelyNew = flagged.filter(!col("__maybe")).drop("__b", "__maybe")

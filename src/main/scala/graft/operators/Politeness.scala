@@ -73,6 +73,35 @@ object Politeness {
   }
 
   /**
+   * Step 1 at frontier scale: adaptive skew split (the J5 "saltsPerHost
+   * adapts" rule). A real frontier has ~10^7 hosts of which only
+   * mega-hosts exceed the politeness budget; ranking EVERY host through
+   * a window means two full shuffle+sorts of the wave for a constraint
+   * that binds almost nowhere. Instead: one cheap per-host count
+   * aggregate (map-side partial → tiny shuffle) finds the hosts with
+   * count > hostBudget; rows of cold hosts are all eligible by
+   * definition (rank ≤ count ≤ budget) and pass through a broadcast
+   * anti-join (narrow, no shuffle); only hot-host rows — the mega-host
+   * skew — go through the salted two-phase top-k. Output is provably
+   * identical to [[hostEligible]].
+   *
+   * The input feeds three consumers (the count, the cold filter, the hot
+   * branch) inside ONE physical plan, so when it ends at a shuffle the
+   * exchange is computed once and reused (ReuseExchange / the AQE stage
+   * cache); it is deliberately NOT persisted — caching tens of millions
+   * of rows costs more memory traffic than recomputing the narrow
+   * post-exchange tail per consumer.
+   */
+  def hostEligibleAdaptive(candidates: DataFrame, hostBudget: Int, salts: Int): DataFrame = {
+    val hotHosts = candidates.groupBy(col("host")).agg(count(lit(1)).as("__hn"))
+      .filter(col("__hn") > hostBudget)
+      .select(col("host"))
+    val cold = candidates.join(broadcast(hotHosts), Seq("host"), "left_anti")
+    val hot = candidates.join(broadcast(hotHosts), Seq("host"), "left_semi")
+    cold.unionByName(hostEligibleSalted(hot, hostBudget, salts))
+  }
+
+  /**
    * Steps 2–3: apply per-priority quotas over host-eligible rows.
    *
    * Scale note: a per-priority row_number window has only nPriorities
@@ -114,7 +143,7 @@ object Politeness {
     val clamped = candidates.withColumn("priority", clampPriority(col("priority"), nPriorities))
     val eligible =
       if (salts <= 1) hostEligible(clamped, hostBudget)
-      else hostEligibleSalted(clamped, hostBudget, salts)
+      else hostEligibleAdaptive(clamped, hostBudget, salts)
     applyQuotas(eligible, grant, nPriorities)
   }
 }

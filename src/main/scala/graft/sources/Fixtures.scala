@@ -169,8 +169,12 @@ $paras
           "case when id % 3 = 2 then id - 2 else id end").as("uid"),
         org.apache.spark.sql.functions.col("id"))
       .selectExpr(
+        // web-realistic host distribution: one mega-host holding 30% of
+        // URLs (the J5 skew case salting must absorb) plus a ~100k-host
+        // long tail (a 10^10-URL frontier has ~10^7 hosts; a handful of
+        // hosts would artificially serialize the per-host politeness rank)
         """concat('http://host',
-             cast(case when uid % 10 < 3 then 0 else 1 + (uid div 10) % 19 end as string),
+             cast(case when uid % 10 < 3 then 0 else 1 + (uid div 10) % 99999 end as string),
              '.example.com/p/', cast(uid as string)) as url""",
         "cast(uid % 3 as int) as priority",
         "id as seq")

@@ -121,6 +121,21 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineage.count() > 0)
   }
 
+  test("adaptive skew politeness equals the plain per-host window (J5)") {
+    import graft.operators.Politeness
+    // skewed synthetic frontier: one mega-host + a long tail, multi-priority
+    val cands = FrontierBenchLike.skewed(spark, 4000)
+    val plain = Politeness.hostEligible(cands, 5)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    val adaptive = Politeness.hostEligibleAdaptive(cands, 5, 3)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    assert(adaptive == plain)
+    // hot-host rows are clipped to the budget, cold hosts pass untouched
+    val perHost = Politeness.hostEligibleAdaptive(cands, 5, 3)
+      .groupBy("host").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perHost.values.forall(_ <= 5))
+  }
+
   test("bloom pre-filter + salted politeness change nothing (identical schedule)") {
     val (job, _) = runEngine(base.copy(useBloom = true, bloomCapacity = 4096, salts = 4),
       tmpDir("bloomsalt"))
@@ -161,5 +176,17 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = joined.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getBoolean(0)), "pipeline extraction diverged from golden text")
+  }
+}
+
+/** Deterministic skewed frontier for politeness unit checks. */
+private[plans] object FrontierBenchLike {
+  def skewed(spark: SparkSession, n: Long): DataFrame = {
+    spark.range(0L, n).selectExpr(
+      """concat('http://', case when id % 3 = 0 then 'mega'
+           else concat('tail', cast(id % 97 as string)) end, '.example.com') as host""",
+      "concat('http://x/', cast(id as string)) as url_canon",
+      "cast(id % 4 as int) as priority",
+      "id as seq")
   }
 }

@@ -20,11 +20,8 @@ object ProfileBench {
   }
 
   def wave(spark: SparkSession, n: Long): Long = {
-    val cands = FrontierBench.candidates(spark, n)
-    val seen = FrontierBench.candidates(spark, n).filter(col("seq") % 5 === 0)
-      .select(col("url_hash"), col("url_canon"))
-    val deduped = Dedup.dedupWave(spark, cands, seen, Seq(col("seq")))
-    Politeness.schedule(deduped, 1000, n, 3, 32).count()
+    val seen = FrontierBench.seenState(spark, n)
+    FrontierBench.runWave(spark, n, seen)._1
   }
 
   def main(args: Array[String]): Unit = {
