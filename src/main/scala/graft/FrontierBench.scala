@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.UrlCanon
+import graft.functions.UrlExprs
 import graft.operators.{Dedup, Politeness}
 import graft.sources.Fixtures
 
@@ -24,8 +24,6 @@ import graft.sources.Fixtures
  */
 object FrontierBench {
 
-  private val canonUdf = udf((u: String) => UrlCanon.canonicalize(u))
-  private val hostUdf = udf((u: String) => UrlCanon.host(u))
 
   /** Wave candidates projected to the scheduling-operative columns only —
    *  the raw url string is not needed past canonicalization (the fetch
@@ -37,7 +35,7 @@ object FrontierBench {
    *  → the dedup output partitioning is reused by the join, no reshuffle). */
   def candidates(spark: SparkSession, n: Long): DataFrame =
     Fixtures.frontierUrls(spark, n)
-      .withColumn("url_canon", canonUdf(col("url")))
+      .withColumn("url_canon", UrlExprs.canonicalizeUrl(col("url")))
       .drop("url")
       .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
 
@@ -67,7 +65,7 @@ object FrontierBench {
     // driver-side quota count, and the bloom split's nondeterministic
     // filters make its subtree ineligible for exchange reuse across those
     // consumers.
-    val withHost = deduped.withColumn("host", hostUdf(col("url_canon")))
+    val withHost = deduped.withColumn("host", UrlExprs.urlHost(col("url_canon")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scheduled = Politeness.schedule(withHost, hostBudget, grant = n,
       nPriorities = nPriorities, salts = salts)
@@ -82,7 +80,7 @@ object FrontierBench {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // NOTE: spark.memory.offHeap was measured here and REJECTED for the
@@ -154,7 +152,7 @@ object FrontierBench {
       Dedup.antiJoinSeenWithBloom(spark, fs, seen, blooms, BloomBuckets).count()
     }
     val dd = Dedup.antiJoinSeen(fs, seen)
-      .withColumn("host", hostUdf(col("url_canon")))
+      .withColumn("host", UrlExprs.urlHost(col("url_canon")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dd.count()
     time("hostEligSalted") { Politeness.hostEligibleSalted(dd, 1000, 32).count() }
@@ -227,7 +225,7 @@ object FrontierBench {
       println(f"""{"metric":"urls_scheduled_deduped_per_sec","value":${r.thr4N}%.1f,"unit":"urls/sec","n":${r.n},"cores_N":${r.coresN},"cores_4N":${r.cores4N},"throughput_N":${r.thrN}%.1f,"throughput_4N":${r.thr4N}%.1f,"scaling_efficiency":${r.efficiency}%.3f}""")
       return
     }
-    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
+    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "32000000").toLong
     val cores4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val coresN = math.max(cores4N / 4, 1)
     val r = measureScaling(n, coresN, cores4N)

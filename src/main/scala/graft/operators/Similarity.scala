@@ -101,13 +101,19 @@ object Similarity {
     // dedup candidate PAIRS on ids only (distinct over the wide vector
     // columns would shuffle every embedding once per shared bucket),
     // then join the vectors back for the exact re-rank
+    // query buckets are tiny (|queries|×tables rows) → broadcast, so the
+    // tables×-exploded corpus index is probed map-side and never shuffles
     val candIds = cb.select(col("table"), col("bucket"), col("neighbor_id"))
-      .join(qb.select(col("table"), col("bucket"), col("query_id")), Seq("table", "bucket"))
+      .join(broadcast(qb.select(col("table"), col("bucket"), col("query_id"))),
+        Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    // (the candIds→corpus join is left to AQE: with few queries the pair
+    // set is broadcast at runtime; with many queries it must shuffle)
     val cand = candIds
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), Seq("query_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        Seq("query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -71,8 +71,10 @@ class CrawlJob(
   val counters = new graft.operators.CounterAccumulator()
   spark.sparkContext.register(counters, "graft_counters")
 
-  private val canonUdf = udf((u: String) => UrlCanon.canonicalize(u))
-  private val hostUdf = udf((u: String) => UrlCanon.host(u))
+  // native Catalyst expressions (UrlExprs): same semantics as the
+  // UrlCanon functions, zero-copy fast path, no Scala-UDF bridge
+  private def canonCol(c: Column): Column = graft.functions.UrlExprs.canonicalizeUrl(c)
+  private def hostCol(c: Column): Column = graft.functions.UrlExprs.urlHost(c)
   private val extractTextUdf = {
     val ctr = counters // local capture: the closure must not drag `this` in
     udf((html: Array[Byte], u: String) => {
@@ -104,9 +106,9 @@ class CrawlJob(
   /** Candidate enrichment: url → (canon, hash, host); robots gate applied
    *  at discovery (disallowed urls never enter frontier or seen set). */
   private def enrich(df: DataFrame): DataFrame = {
-    val e = df.withColumn("url_canon", canonUdf(col("url")))
+    val e = df.withColumn("url_canon", canonCol(col("url")))
       .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
-      .withColumn("host", hostUdf(col("url_canon")))
+      .withColumn("host", hostCol(col("url_canon")))
     robotsRules.fold(e)(rules => graft.operators.Robots.filterAllowed(e, rules))
   }
 

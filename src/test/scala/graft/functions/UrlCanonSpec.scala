@@ -89,6 +89,32 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(UrlCanon.isCanonicalFast("http://host0.example.com/p/123"))
   }
 
+  test("byte kernel ≡ UrlCanon for canonicalize and host (property + vectors)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+    def checkOne(u: String): Unit = {
+      val ck = Option(UrlCanonKernel.canonicalize(u8(u))).map(_.toString).orNull
+      assert(ck == UrlCanon.canonicalize(u), s"canonicalize kernel diverged on $u")
+      val hk = Option(UrlCanonKernel.host(u8(u))).map(_.toString).orNull
+      assert(hk == UrlCanon.host(u), s"host kernel diverged on $u")
+    }
+    forAll(genUrl)(checkOne)
+    // canonical inputs must take the zero-copy path (same object back)
+    val canon = u8("http://host0.example.com/p/123")
+    assert(UrlCanonKernel.canonicalize(canon) eq canon)
+    // edge vectors incl. whitespace, unicode, empty-ish, missing path
+    Seq("", " ", "http://a.com/x ", " http://a.com/x", "http://a.com/x\n",
+      "http://a.com", "http://a.com/", "http://héllo.com/x", "http://a.com/ü",
+      "invalid", "http://u@a.com/x", "https://a.com/x", "HTTP://A.com/x",
+      "http://a.com/x/./y", "http://a.com/x?b=1&a=2#f")
+      .foreach(checkOne)
+    assert(UrlCanonKernel.canonicalize(null) == null && UrlCanonKernel.host(null) == null)
+    // frozen vector file agreement
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("src/test/resources/golden/canon/vectors.tsv")).asScala
+    lines.foreach(l => checkOne(l.split("\t", 2)(0)))
+  }
+
   test("canonicalize equates raw-url variants of the same page") {
     assert(UrlCanon.canonicalize("HTTP://Host1.EXAMPLE.com:80/p/5") ==
       UrlCanon.canonicalize("http://host1.example.com/p/5#sec2"))

@@ -25,7 +25,7 @@ object ProfileBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "8000000").toLong
+    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "32000000").toLong
     val sp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_P", "64").toInt
     Seq(8, 32, 8).foreach { cores =>
       val spark = session(cores, sp)
