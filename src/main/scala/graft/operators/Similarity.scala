@@ -63,7 +63,12 @@ object Similarity {
   private def signaturesUdf(dim: Int, tables: Int, bits: Int) = {
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(tables, bits, dim)((t, b, d) => planeComponent(t, b, d))
-    udf((vec: Seq[Float]) => {
+    udf((vecSeq: Seq[Float]) => {
+      // copy once: the Seq Spark hands over may be list-backed, and
+      // indexing it inside the tables×bits×dim loop turns the signature
+      // into O(d²) pointer chasing per (table, bit)
+      val vec = vecSeq.toArray
+      val n = math.min(dim, vec.length)
       val out = new Array[Long](tables)
       var t = 0
       while (t < tables) {
@@ -73,7 +78,7 @@ object Similarity {
           var dot = 0.0
           var i = 0
           val p = planes(t)(b)
-          while (i < dim && i < vec.length) { dot += vec(i) * p(i); i += 1 }
+          while (i < n) { dot += vec(i) * p(i); i += 1 }
           if (dot > 0) sig |= (1L << b)
           b += 1
         }
