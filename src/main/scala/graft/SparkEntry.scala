@@ -208,6 +208,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // embedding-cosine near-dup pairs (exact baseline; double precision
+    // so the DuckDB oracle computes the identical cosine)
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64)
+    }),
+
     // LSH-bucketed ANN (scale path) — engine-only → rows-only
     "embed_ann_lsh" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
@@ -359,6 +367,15 @@ object SparkEntry {
     "dedup_minhash_lsh" -> jaccardOracle(800),
 
     "dedup_ngram_jaccard" -> jaccardOracle(500),
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+                CAST(floor(1000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                         CAST(b.embedding AS DOUBLE[]))) AS BIGINT) AS cos_milli
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND CAST(floor(1000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                        CAST(b.embedding AS DOUBLE[]))) AS BIGINT) >= 400""",
 
     "embed_topk" ->
       """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (

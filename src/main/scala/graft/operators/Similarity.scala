@@ -29,6 +29,38 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
+   * cosine ≥ threshold (per-mille, integer — engine/oracle-stable).
+   * Scale path: candidates come from the same hyperplane-LSH bucket join
+   * as [[lshTopK]] when `tables > 0`; `tables = 0` is the exact
+   * (broadcast-nested-loop over the smaller side) baseline for oracles
+   * and small corpora — the cosine itself is a codegen'd expression
+   * either way.
+   */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+      minCosineMilli: Int, dim: Int, tables: Int = 0, bits: Int = 5): DataFrame = {
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val pairs =
+      if (tables <= 0) a.crossJoin(b).filter(col("a") < col("b"))
+      else {
+        val sigUdf = signaturesUdf(dim, tables, bits)
+        val buckets = df.select(col(idCol).as("id"), sigUdf(col(vecCol)).as("sigs"))
+          .select(col("id"), posexplode(col("sigs")).as(Seq("table", "bucket")))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+            col("x.id") < col("y.id"))
+          .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+        cand.join(a, Seq("a")).join(b, Seq("b"))
+      }
+    pairs
+      .withColumn("cos_milli",
+        floor(lit(1000.0) * cosine(col("va"), col("vb"))).cast("long"))
+      .filter(col("cos_milli") >= minCosineMilli)
+      .select(col("a"), col("b"), col("cos_milli"))
+  }
+
+  /**
    * Exact top-k neighbors for each query vector. `queries`/`corpus` both
    * need (idCol, vecCol); output (query_id, neighbor_id, rank). Ties in
    * cosine break by neighbor id (determinism across engines).

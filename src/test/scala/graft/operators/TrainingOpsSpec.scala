@@ -129,6 +129,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("embedding-cosine near-dup pairs: LSH candidates are a subset of exact; thresholds hold") {
+    val exact = Similarity.cosineNearDups(embeddings, "vec_id", "embedding", 300, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exact.nonEmpty)
+    assert(exact.forall { case (a, b, c) => a < b && c >= 300 })
+    val viaLsh = Similarity.cosineNearDups(embeddings, "vec_id", "embedding", 300,
+        dim = 64, tables = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaLsh.toSet.subsetOf(exact.toSet), "LSH produced a pair the exact pass rejects")
+  }
+
   // ---- Multimodal ----
 
   test("multimodal plumbing: fake media decodes to features with exact byte stats") {
