@@ -98,6 +98,14 @@ object SparkEntry {
       Politeness.hostEligibleAdaptive(enriched(s, d), 3, 4)
         .select(col("host"), col("priority"), col("seq"), col("url_canon"))),
 
+    // O7 adaptive throttling: per-host budget decay from banned windows
+    "throttle_decay" -> ((s, d) => {
+      val m = enriched(s, d).groupBy((col("seq") % 5).cast("int").as("wave"), col("host"))
+        .agg(count(lit(1)).as("fetched"),
+          sum(when(col("seq") % 11 === 0, 1L).otherwise(0L)).as("errors"))
+      Politeness.adaptiveHostBudgets(m, defaultBudget = 100)
+    }),
+
     // O4: globally ordered budget grant
     "budget_limit" -> ((s, d) =>
       urlsDF(s, d).orderBy(col("priority").asc, col("seq").asc).limit(100)
@@ -275,6 +283,19 @@ object SparkEntry {
                    row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rn
             FROM ($enrichedOracle) e) t
           WHERE rn <= 3"""),
+
+    "throttle_decay" -> oracle(
+      s"""SELECT host,
+            CAST(greatest(1, coalesce(min(CASE WHEN errors > 0 THEN coalesce(prev_fetched, 1) END), 100)) AS INT) AS host_budget
+          FROM (
+            SELECT host, wave, errors,
+                   lag(fetched) OVER (PARTITION BY host ORDER BY wave) AS prev_fetched
+            FROM (
+              SELECT CAST(seq % 5 AS INT) AS wave, host,
+                     count(*) AS fetched,
+                     sum(CASE WHEN seq % 11 = 0 THEN 1 ELSE 0 END) AS errors
+              FROM ($enrichedOracle) e GROUP BY 1, 2) m) t
+          GROUP BY host"""),
 
     "budget_limit" -> oracle(
       "SELECT url, priority, seq FROM urls ORDER BY priority, seq LIMIT 100"),

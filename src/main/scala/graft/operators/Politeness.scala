@@ -102,6 +102,30 @@ object Politeness {
   }
 
   /**
+   * O7 adaptive throttling, offline reading (cola/functions/speed.py:
+   * 203-230): when a host bans an instance, the reference lowers that
+   * instance's rate to the minimum pages/min it observed in the windows
+   * *preceding* past bans. Deterministic wave equivalent: a wave with
+   * fetch errors on a host ≙ a banned window; the host's decayed budget
+   * is the minimum `fetched` of the waves immediately before its banned
+   * waves (floor 1; first-wave bans decay to 1); hosts never banned keep
+   * `defaultBudget`. Input: per-(wave, host) metrics
+   * (wave INT, host STRING, fetched LONG, errors LONG); output:
+   * (host, host_budget INT) — feed the budgets into a per-host politeness
+   * gate for the next run.
+   */
+  def adaptiveHostBudgets(metrics: DataFrame, defaultBudget: Int): DataFrame = {
+    val w = Window.partitionBy(col("host")).orderBy(col("wave").asc)
+    metrics
+      .withColumn("__prev", lag(col("fetched"), 1).over(w))
+      .groupBy(col("host"))
+      .agg(min(when(col("errors") > 0, coalesce(col("__prev"), lit(1L)))).as("__minBefore"))
+      .select(col("host"),
+        greatest(lit(1L), coalesce(col("__minBefore"), lit(defaultBudget.toLong)))
+          .cast("int").as("host_budget"))
+  }
+
+  /**
    * Steps 2–3: apply per-priority quotas over host-eligible rows.
    *
    * Scale note: a per-priority row_number window has only nPriorities

@@ -136,6 +136,23 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perHost.values.forall(_ <= 5))
   }
 
+  test("O7 adaptive throttling: budget decays to min fetched before banned waves") {
+    import graft.operators.Politeness
+    val sp = spark
+    import sp.implicits._
+    // host a: banned at waves 2 and 4 (prev fetched 7 and 4) -> budget 4
+    // host b: banned at its first wave -> floor 1
+    // host c: never banned -> default 10
+    val m = Seq(
+      ("a", 1, 7L, 0L), ("a", 2, 5L, 2L), ("a", 3, 4L, 0L), ("a", 4, 6L, 1L),
+      ("b", 1, 9L, 3L), ("b", 2, 8L, 0L),
+      ("c", 1, 2L, 0L))
+      .toDF("host", "wave", "fetched", "errors")
+    val out = Politeness.adaptiveHostBudgets(m, defaultBudget = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 4, "b" -> 1, "c" -> 10))
+  }
+
   test("bloom pre-filter + salted politeness change nothing (identical schedule)") {
     val (job, _) = runEngine(base.copy(useBloom = true, bloomCapacity = 4096, salts = 4),
       tmpDir("bloomsalt"))
