@@ -278,9 +278,42 @@ object Extract extends Serializable {
     if (title.isEmpty) body else if (body.isEmpty) title else title + "\n" + body
   }
 
+  /** X3 charset sniffing (lab/generic/__init__.py:99-103: chardet detect,
+   *  re-encode when confidence > 0.5) — deterministic replacement: a
+   *  strict UTF-8 validity scan. Valid UTF-8 (incl. pure ASCII) → "utf-8";
+   *  any invalid sequence → "windows-1252" (the web's de-facto 8-bit
+   *  fallback, every byte valid). Pure-Scala, no detector library. */
+  def sniffCharset(bytes: Array[Byte]): String = {
+    if (bytes == null) return "utf-8"
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      val len =
+        if (b < 0x80) 1
+        else if (b >= 0xc2 && b <= 0xdf) 2
+        else if (b >= 0xe0 && b <= 0xef) 3
+        else if (b >= 0xf0 && b <= 0xf4) 4
+        else return "windows-1252"
+      if (i + len > n) return "windows-1252"
+      var j = 1
+      while (j < len) {
+        if ((bytes(i + j) & 0xc0) != 0x80) return "windows-1252"
+        j += 1
+      }
+      i += len
+    }
+    "utf-8"
+  }
+
+  /** Decode with the sniffed charset (X3). */
+  def decodeHtml(bytes: Array[Byte]): String =
+    if (bytes == null) null
+    else new String(bytes, java.nio.charset.Charset.forName(sniffCharset(bytes)))
+
   def extractText(html: Array[Byte], baseUrl: String): String =
     if (html == null) null
-    else extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8), baseUrl)
+    else extractText(decodeHtml(html), baseUrl)
 
   /** Outlink extraction (F1): hrefs of <a> in document order, resolved
    *  against the base URL (executor _parse → wiki parser semantics,
@@ -294,5 +327,5 @@ object Extract extends Serializable {
 
   def extractOutlinks(html: Array[Byte], baseUrl: String): Seq[String] =
     if (html == null) Seq.empty
-    else extractOutlinks(new String(html, java.nio.charset.StandardCharsets.UTF_8), baseUrl)
+    else extractOutlinks(decodeHtml(html), baseUrl)
 }

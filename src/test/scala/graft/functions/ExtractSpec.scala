@@ -80,6 +80,22 @@ class ExtractSpec extends AnyFunSuite {
     assert(links.forall(_.startsWith("http://")))
   }
 
+  test("charset sniffing (X3): UTF-8 detected, invalid bytes fall back to windows-1252") {
+    import java.nio.charset.StandardCharsets
+    assert(Extract.sniffCharset("plain ascii".getBytes(StandardCharsets.US_ASCII)) == "utf-8")
+    assert(Extract.sniffCharset("héllo — ü 中文".getBytes(StandardCharsets.UTF_8)) == "utf-8")
+    val latin1 = "caf\u00e9".getBytes(StandardCharsets.ISO_8859_1) // 0xE9 alone: invalid UTF-8
+    assert(Extract.sniffCharset(latin1) == "windows-1252")
+    assert(Extract.decodeHtml(latin1) == "caf\u00e9")
+    // truncated multibyte sequence
+    assert(Extract.sniffCharset(Array(0xE4.toByte, 0xB8.toByte)) == "windows-1252")
+    // overlong/illegal lead bytes
+    assert(Extract.sniffCharset(Array(0xC0.toByte, 0xAF.toByte)) == "windows-1252")
+    assert(Extract.sniffCharset(Array[Byte]()) == "utf-8")
+    // decode of valid utf-8 round-trips
+    assert(Extract.decodeHtml("中文 test".getBytes(StandardCharsets.UTF_8)) == "中文 test")
+  }
+
   test("extraction is deterministic (same input → same bytes)") {
     val a = Fixtures.textFor(26L, V)
     val b = Fixtures.textFor(26L, V)
