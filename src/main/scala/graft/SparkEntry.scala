@@ -162,6 +162,34 @@ object SparkEntry {
         concat_ws(",", sort_array(collect_set(col("priority")))).as("uniq_priorities"),
         max_by(col("priority"), col("seq")).as("last_priority"))),
 
+    // X4 title/date scalar parses (wiki parser semantics,
+    // app/wiki/__init__.py:93-120: title before " - Wikipedia", en
+    // edit-timestamp regex + month-name lookup -> timestamp; re-formatted
+    // so the oracle compares stable strings)
+    "title_date_parse" -> ((s, d) => {
+      val base = urlsDF(s, d).selectExpr("seq",
+        "concat('Page ', cast(seq as string), ' - Wikipedia') as title",
+        """concat(lpad(cast(seq % 24 as string), 2, '0'), ':',
+                  lpad(cast(seq % 60 as string), 2, '0'), ', ',
+                  lpad(cast(1 + seq % 28 as string), 2, '0'), ' March ',
+                  cast(2020 + seq % 5 as string)) as edited""")
+      // month-name -> number lookup mirrors the reference's
+      // calendar.month_name scan; Spark 4's parser rejects MMMM for
+      // parsing, so extract the parts via regex like the reference does
+      base.selectExpr("seq",
+        "regexp_extract(title, '^(.*) - Wikipedia$', 1) as page_title",
+        """date_format(make_timestamp(
+             cast(regexp_extract(edited, '(\\d{4})$', 1) as int),
+             element_at(map('January',1,'February',2,'March',3,'April',4,
+                            'May',5,'June',6,'July',7,'August',8,'September',9,
+                            'October',10,'November',11,'December',12),
+               regexp_extract(edited, ', \\d{2} (\\w+) ', 1)),
+             cast(regexp_extract(edited, ', (\\d{2}) ', 1) as int),
+             cast(regexp_extract(edited, '^(\\d{2}):', 1) as int),
+             cast(regexp_extract(edited, ':(\\d{2}),', 1) as int), 0),
+           'yyyy-MM-dd HH:mm') as edit_ts""")
+    }),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // token counting: whitespace + BPE-ish regex classes
@@ -332,6 +360,18 @@ object SparkEntry {
             array_to_string(list_sort(list(DISTINCT priority)), ',') AS uniq_priorities,
             arg_max(priority, seq) AS last_priority
           FROM ($enrichedOracle) e GROUP BY host"""),
+
+    "title_date_parse" -> oracle(
+      """SELECT seq,
+                regexp_extract(title, '^(.*) - Wikipedia$', 1) AS page_title,
+                strftime(strptime(edited, '%H:%M, %d %B %Y'), '%Y-%m-%d %H:%M') AS edit_ts
+         FROM (SELECT seq,
+                      concat('Page ', CAST(seq AS STRING), ' - Wikipedia') AS title,
+                      concat(lpad(CAST(seq % 24 AS STRING), 2, '0'), ':',
+                             lpad(CAST(seq % 60 AS STRING), 2, '0'), ', ',
+                             lpad(CAST(1 + seq % 28 AS STRING), 2, '0'), ' March ',
+                             CAST(2020 + seq % 5 AS STRING)) AS edited
+               FROM urls) t"""),
 
     "text_token_counts" ->
       s"""SELECT doc_id,
