@@ -101,7 +101,7 @@ object FrontierBench {
       thrN: Double, thr4N: Double, efficiency: Double)
 
   /** Child mode: measure one config in this JVM, print a marker line. */
-  private def childMain(cores: Int, n: Long, reps: Int): Unit = {
+  private def childMain(cores: Int, n: Long, reps: Int, warmups: Int): Unit = {
     val spark = session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     val seen = seenState(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -109,8 +109,8 @@ object FrontierBench {
     // bloom pre-filter state: maintained with the seen set (D2/D3), so
     // built in state prep, not in the timed wave
     val blooms = Some(seenBloomState(seen, n))
-    runWave(spark, n, seen, blooms = blooms) // full-size untimed warmup: JIT, codegen, GC sizing
-    runWave(spark, n, seen, blooms = blooms) // second warmup: tiered JIT reaches steady state
+    // full-size untimed warmups: JIT, codegen, GC sizing
+    (1 to warmups).foreach(_ => runWave(spark, n, seen, blooms = blooms))
     val times = (1 to reps).map { _ =>
       // let the ContextCleaner drop previous reps' shuffle files (tmpfs
       // pressure otherwise bleeds into the next measurement)
@@ -161,7 +161,7 @@ object FrontierBench {
   }
 
   /** Fork a fresh JVM running childMain with the same classpath/opens. */
-  private def forkChild(cores: Int, n: Long, reps: Int, heap: String): Double = {
+  private def forkChild(cores: Int, n: Long, reps: Int, heap: String, warmups: Int = 2): Double = {
     val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = {
       import scala.jdk.CollectionConverters._
@@ -183,7 +183,7 @@ object FrontierBench {
     val cmd = pin ++ Seq(javaBin, s"-Xmx$heap", s"-Xms$heap",
       s"-XX:ActiveProcessorCount=$cores") ++ gc ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.FrontierBench", "--wave", cores.toString, n.toString, reps.toString)
+      "graft.FrontierBench", "--wave", cores.toString, n.toString, reps.toString, warmups.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()
@@ -200,11 +200,19 @@ object FrontierBench {
     }
   }
 
-  /** Same job, same input, two parallelism levels, fresh JVM each. */
+  /** Same job, same input, two parallelism levels, fresh JVM each.
+   *  The levels are INTERLEAVED across `rounds` child JVMs per level and
+   *  the min taken per level: this host's background load drifts ±20%
+   *  over tens of minutes, and measuring each level in one contiguous
+   *  block would let the drift land entirely on one side of the ratio. */
   def measureScaling(n: Long, coresN: Int, cores4N: Int,
-      reps: Int = 3, heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g")): ScalingResult = {
-    val secsN = forkChild(coresN, n, reps, heap)
-    val secs4N = forkChild(cores4N, n, reps, heap)
+      rounds: Int = 2, heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g")): ScalingResult = {
+    val samples = (1 to rounds).map { r =>
+      val w = if (r == 1) 2 else 1 // later children: JIT profile still fresh-per-JVM, one warmup suffices
+      (forkChild(coresN, n, 2, heap, w), forkChild(cores4N, n, 2, heap, w))
+    }
+    val secsN = samples.map(_._1).min
+    val secs4N = samples.map(_._2).min
     val thrN = n / secsN
     val thr4N = n / secs4N
     val ratio = cores4N.toDouble / coresN
@@ -213,7 +221,8 @@ object FrontierBench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "--wave") {
-      childMain(args(1).toInt, args(2).toLong, args(3).toInt)
+      childMain(args(1).toInt, args(2).toLong, args(3).toInt,
+        if (args.length >= 5) args(4).toInt else 2)
       return
     }
     if (args.length >= 3 && args(0) == "--profile") {

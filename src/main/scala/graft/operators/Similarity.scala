@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two float-array columns (codegen'd). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product of two numeric-array columns: a native codegen
+   *  Expression looping over ArrayData (the higher-order
+   *  aggregate-over-zip_with form materializes an intermediate array per
+   *  row pair — prohibitive on n² near-dup passes). Bit-identical
+   *  accumulation order to the fold form. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(aggregate(
     transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
@@ -39,8 +42,11 @@ object Similarity {
    */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       minCosineMilli: Int, dim: Int, tables: Int = 0, bits: Int = 5): DataFrame = {
-    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // norms are per-ROW, so compute them before the pairwise join: each
+    // pair then evaluates one dot product instead of dot + two norms
+    // (three zip_with/transform array passes -> one)
+    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
     val pairs =
       if (tables <= 0) a.crossJoin(b).filter(col("a") < col("b"))
       else {
@@ -55,7 +61,7 @@ object Similarity {
       }
     pairs
       .withColumn("cos_milli",
-        floor(lit(1000.0) * cosine(col("va"), col("vb"))).cast("long"))
+        floor(lit(1000.0) * (dot(col("va"), col("vb")) / (col("na") * col("nb")))).cast("long"))
       .filter(col("cos_milli") >= minCosineMilli)
       .select(col("a"), col("b"), col("cos_milli"))
   }
