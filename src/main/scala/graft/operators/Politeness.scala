@@ -102,6 +102,24 @@ object Politeness {
   }
 
   /**
+   * Per-host-budget politeness gate: like [[hostEligible]] but each host's
+   * quota comes from a `budgets` table (host STRING, host_budget INT) —
+   * the output of [[adaptiveHostBudgets]] — with `defaultBudget` for
+   * hosts not in the table. The rank bound is a column, so the
+   * WindowGroupLimit partial pushdown does not apply; use after the
+   * adaptive hot/cold split (or on the hot subset) at scale.
+   */
+  def hostEligibleBudgets(candidates: DataFrame, budgets: DataFrame,
+      defaultBudget: Int): DataFrame = {
+    val joined = candidates.join(
+      broadcast(budgets.select(col("host"), col("host_budget"))), Seq("host"), "left")
+    val w = Window.partitionBy(col("host")).orderBy(col("priority").asc, col("seq").asc)
+    joined.withColumn("__hr", row_number().over(w))
+      .filter(col("__hr") <= coalesce(col("host_budget"), lit(defaultBudget)))
+      .drop("__hr", "host_budget")
+  }
+
+  /**
    * O7 adaptive throttling, offline reading (cola/functions/speed.py:
    * 203-230): when a host bans an instance, the reference lowers that
    * instance's rate to the minimum pages/min it observed in the windows

@@ -153,6 +153,25 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("a" -> 4, "b" -> 1, "c" -> 10))
   }
 
+  test("O7 budget gate: decayed per-host budgets bound the next run's schedule") {
+    import graft.operators.Politeness
+    val sp = spark
+    import sp.implicits._
+    val cands = FrontierBenchLike.skewed(spark, 900)
+    val mega = "http://mega.example.com"
+    val budgets = Seq((mega, 2)).toDF("host", "host_budget")
+    val out = Politeness.hostEligibleBudgets(cands, budgets, defaultBudget = 4)
+      .groupBy("host").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out(mega) == 2)
+    assert(out.filterNot(_._1 == mega).values.forall(_ <= 4))
+    // matches the fixed-budget window when every budget equals the default
+    val fixed = Politeness.hostEligible(cands, 4)
+      .select("host", "seq").collect().map(_.toSeq).toSet
+    val viaTable = Politeness.hostEligibleBudgets(cands, budgets.limit(0), 4)
+      .select("host", "seq").collect().map(_.toSeq).toSet
+    assert(fixed == viaTable)
+  }
+
   test("bloom pre-filter + salted politeness change nothing (identical schedule)") {
     val (job, _) = runEngine(base.copy(useBloom = true, bloomCapacity = 4096, salts = 4),
       tmpDir("bloomsalt"))
