@@ -225,7 +225,10 @@ class CrawlJob(
       val dead = bumped.filter(col("error_times") > settings.retries)
         .select(lit(w).as("wave"), col("url_canon"), col("host"),
           col("error_times"), lit("fetch_miss").as("reason"))
-      val nDead = dead.count()
+      // nDead rides the dead-letter write via Observation (one job, not two)
+      val deadObs = new org.apache.spark.sql.Observation(s"dead_$w")
+      ckpt.write(dead.observe(deadObs, count(lit(1)).as("n")), w, "dead")
+      val nDead = deadObs.get("n").asInstanceOf[Long]
       deadTotal += nDead
 
       val success = processed.filter(col("ok"))
@@ -281,13 +284,14 @@ class CrawlJob(
         .unionByName(perPartitionLineage(newEntries, w, "admitted"))
         .unionByName(perPartitionLineage(scheduled, w, "scheduled"))
       ckpt.write(scheduleTable, w, "schedule")
-      ckpt.write(dead, w, "dead")
       ckpt.write(newEntries.select(col("url_hash"), col("url_canon"), lit(w).as("wave")), w, "seen_delta")
-      ckpt.write(frontierNext, w, "frontier")
+      // frontierSize rides the frontier write (no separate count job)
+      val frontierObs = new org.apache.spark.sql.Observation(s"frontier_$w")
+      ckpt.write(frontierNext.observe(frontierObs, count(lit(1)).as("n")), w, "frontier")
       ckpt.write(lineage, w, "lineage")
 
       frontier = ckpt.read(w, "frontier", Schemas.frontier)
-      frontierSize = frontier.count()
+      frontierSize = frontierObs.get("n").asInstanceOf[Long]
       val secs = (System.nanoTime() - t0) / 1e9
       val metrics = Seq(WaveMetrics(w, nScheduled, nSuccess, nErrors, nNew,
         nCandidates - nNew, frontierSize, applied, finished, secs)).toDF()
