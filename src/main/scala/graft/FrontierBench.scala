@@ -206,7 +206,8 @@ object FrontierBench {
    *  over tens of minutes, and measuring each level in one contiguous
    *  block would let the drift land entirely on one side of the ratio. */
   def measureScaling(n: Long, coresN: Int, cores4N: Int,
-      rounds: Int = 2, heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g")): ScalingResult = {
+      rounds: Int = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt,
+      heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g")): ScalingResult = {
     val samples = (1 to rounds).map { r =>
       val w = if (r == 1) 2 else 1 // later children: JIT profile still fresh-per-JVM, one warmup suffices
       (forkChild(coresN, n, 2, heap, w), forkChild(cores4N, n, 2, heap, w))
