@@ -252,6 +252,13 @@ object SparkEntry {
       Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64)
     }),
 
+    // IVF coarse-quantizer ANN (scale path #2) — engine-only → rows-only
+    "embed_ann_ivf" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3,
+        nClusters = 16, nProbe = 4, iters = 2)
+    }),
+
     // LSH-bucketed ANN (scale path) — engine-only → rows-only
     "embed_ann_lsh" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")

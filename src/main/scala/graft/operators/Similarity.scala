@@ -128,6 +128,87 @@ object Similarity {
   }
 
   /**
+   * Deterministic IVF (inverted-file) ANN — the coarse-quantizer scale
+   * path: k-means with hash-ordered seed vectors and a FIXED number of
+   * Lloyd iterations (no RNG, reproducible across runs/parallelism), a
+   * cluster-id index on the corpus, and per-query probing of the
+   * `nProbe` nearest centroids followed by exact cosine re-rank. The
+   * probed fraction ≈ nProbe/nClusters of the corpus, vs. the full scan
+   * of [[bruteForceTopK]].
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, idCol, vecCol, nClusters, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((vecSeq: Seq[Float]) => nearestCentroid(bc.value, vecSeq.toArray))
+    val probeUdf = udf((vecSeq: Seq[Float]) => nearestCentroids(bc.value, vecSeq.toArray, nProbe))
+    val index = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      assignUdf(col(vecCol)).as("cluster"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeUdf(col(vecCol))).as("cluster"))
+    val cand = index.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Deterministic k-means: seeds = the nClusters vectors with smallest
+   *  xxhash64(id); `iters` Lloyd steps, each one assign-UDF pass + an
+   *  element-wise mean via posexplode + groupBy (k×d rows to the driver —
+   *  tiny). Empty clusters keep their previous centroid. */
+  private[operators] def trainCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int, iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(nClusters)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf((vecSeq: Seq[Float]) => nearestCentroid(bc.value, vecSeq.toArray))
+      val means = corpus
+        .select(assignUdf(col(vecCol)).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim")).agg(avg(col("v")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (means.contains((c, 0))) old.indices.map(d => means((c, d))).toArray else old
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private[operators] def nearestCentroid(cs: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cd = cs(c); var d = 0.0; var i = 0
+      val n = math.min(cd.length, v.length)
+      while (i < n) { val x = cd(i) - v(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private[operators] def nearestCentroids(cs: Array[Array[Double]], v: Array[Float], nProbe: Int): Array[Int] = {
+    val dists = cs.zipWithIndex.map { case (cd, c) =>
+      var d = 0.0; var i = 0
+      val n = math.min(cd.length, v.length)
+      while (i < n) { val x = cd(i) - v(i); d += x * x; i += 1 }
+      (d, c)
+    }
+    dists.sortBy(t => (t._1, t._2)).take(nProbe).map(_._2)
+  }
+
+  /**
    * ANN top-k via multi-table hyperplane LSH + exact re-rank. Recall is
    * tunable with (tables, bits); the spec measures it against
    * [[bruteForceTopK]] on the fixture corpus.

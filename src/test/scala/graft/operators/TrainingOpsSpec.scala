@@ -129,6 +129,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF ANN: deterministic k-means index recovers clustered neighbors") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // clustered corpus: 8 well-separated centers, 40 points each with a
+    // small deterministic per-dim offset -> true top-k neighbors share
+    // the cluster, so nProbe=2 of 8 must recover them
+    val sp = spark
+    val clustered = sp.range(0, 320).selectExpr("id as vec_id",
+      """transform(sequence(0, 15), d ->
+           cast(10.0 * cast(id % 8 as double) * cos(cast(d as double) * (1.0 + cast(id % 8 as double)))
+                + 0.01 * cast(pmod(hash(id, d), 7) as double) as float)) as embedding""")
+      .persist()
+    clustered.count()
+    val q = clustered.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(q, clustered, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, clustered, "vec_id", "embedding", 3,
+      nClusters = 8, nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // deterministic: same input -> identical result set
+    val again = Similarity.ivfTopK(q, clustered, "vec_id", "embedding", 3,
+      nClusters = 8, nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+    clustered.unpersist()
+  }
+
   test("embedding-cosine near-dup pairs: LSH candidates are a subset of exact; thresholds hold") {
     val exact = Similarity.cosineNearDups(embeddings, "vec_id", "embedding", 300, dim = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
