@@ -146,32 +146,57 @@ object Politeness {
   /**
    * Steps 2–3: apply per-priority quotas over host-eligible rows.
    *
-   * Scale note: a per-priority row_number window has only nPriorities
-   * partitions — a single-task sort per priority, which would dominate a
-   * large wave. In the common case the quota does not bind (grant ≥
-   * eligible rows, e.g. unlimited budget), so we first count per priority
-   * (one cheap aggregate, O(nPriorities) rows to the driver — wave-level
-   * coordination is allowed to be driver-side, per the engine design) and
-   * run the window only for the priorities whose quota actually binds.
-   * Output is identical to the always-window version.
+   * Scale note: "first quota_i rows by seq within priority i" is a
+   * selection problem, NOT a sort problem — a per-priority row_number
+   * window would funnel each priority into a single task. Because seq is
+   * unique, the quota is equivalent to a THRESHOLD: seq ≤ (the quota_i-th
+   * smallest seq). One aggregate over (priority, seq >> 16) yields the
+   * per-priority totals (does the quota bind?) plus an exact
+   * order-preserving histogram (buckets are contiguous seq ranges holding
+   * ≤ 2^16 rows each); the driver prefix-sums a binding priority's
+   * buckets to the bucket containing the threshold, resolves the exact
+   * value with orderBy+limit+max over that ≤ 2^16-row bucket (compiles to
+   * TakeOrderedAndProject — bounded per-partition heaps), and the final
+   * result is ONE narrow filter over the input: no unions, no window, no
+   * single-task sort. Output identical to the window formulation.
    */
   def applyQuotas(eligible: DataFrame, grant: Long, nPriorities: Int): DataFrame = {
     val quotas = priorityQuotas(grant, nPriorities)
-    val counts = eligible.groupBy(col("priority")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val Shift = 16
+    val hist = eligible
+      .groupBy(col("priority"), shiftright(col("seq"), Shift).as("__b"))
+      .count().collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val counts = hist.groupBy(_._1).map { case (p, rows) => p -> rows.map(_._3).sum }
     val binding = (0 until nPriorities)
       .filter(i => counts.getOrElse(i, 0L) > quotas(i))
     if (binding.isEmpty) return eligible
-    val quotaExpr = binding
-      .foldLeft(lit(Long.MaxValue)) { case (acc, i) =>
-        when(col("priority") === i, lit(quotas(i))).otherwise(acc)
+    val cutSeq: Map[Int, Long] = binding.map { i =>
+      val q = quotas(i)
+      val bs = hist.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1)
+      var before = 0L
+      var cutB = bs.last._1
+      var found = false
+      bs.foreach { case (b, c) =>
+        if (!found) {
+          if (before + c <= q) before += c
+          else { cutB = b; found = true }
+        }
       }
-    val w = Window.partitionBy(col("priority")).orderBy(col("seq").asc)
-    val bindingRows = eligible.filter(col("priority").isin(binding: _*))
-      .withColumn("__pq", row_number().over(w))
-      .filter(col("__pq") <= quotaExpr)
-      .drop("__pq")
-    eligible.filter(!col("priority").isin(binding: _*)).unionByName(bindingRows)
+      val rem = (q - before).toInt // ≤ one bucket = ≤ 2^16 rows (seq unique)
+      val cut =
+        if (!found) Long.MaxValue // unreachable for a binding priority
+        else if (rem == 0) (cutB << Shift) - 1
+        else eligible.filter(col("priority") === i &&
+            shiftright(col("seq"), Shift) === cutB)
+          .orderBy(col("seq").asc).limit(rem)
+          .agg(max(col("seq"))).collect()(0).getLong(0)
+      i -> cut
+    }.toMap
+    val keep = binding.foldLeft(lit(true)) { (acc, i) =>
+      when(col("priority") === i, col("seq") <= cutSeq(i)).otherwise(acc)
+    }
+    eligible.filter(keep)
   }
 
   /** One wave's schedule: the full O1/O3/O4/O6 pipeline. */
