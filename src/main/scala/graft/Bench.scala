@@ -68,7 +68,12 @@ object Bench {
          |exact anti-join vs 20%% pre-seen) → salted per-host politeness
          |top-k + priority quotas (see graft.FrontierBench). Protocol:
          |separate taskset-pinned JVM per level (-XX:ActiveProcessorCount,
-         |-Xms=-Xmx), full-size untimed warmup, min of 3 steady reps.
+         |-Xms=-Xmx); the two levels are INTERLEAVED across
+         |${FrontierBench.benchRounds} rounds of child JVMs per level
+         |(background-load drift must not land on one side of the ratio);
+         |each child runs full-size untimed warmups (2 in round 1, 1
+         |after — JIT is fresh per JVM) then ${FrontierBench.benchReps}
+         |timed reps; reported time = min over all reps of all rounds.
          |
          |**Why two pairs.** All pairs run the identical job on identical
          |input; only parallelism differs. On this single box an 8MB-copy

@@ -205,12 +205,18 @@ object FrontierBench {
    *  the min taken per level: this host's background load drifts ±20%
    *  over tens of minutes, and measuring each level in one contiguous
    *  block would let the drift land entirely on one side of the ratio. */
+  /** Timed reps per child JVM / interleaved rounds per level — exposed so
+   *  the recorded methodology (BENCH/BASELINE.md) interpolates the real
+   *  values instead of restating them by hand. */
+  val benchReps: Int = 2
+  def benchRounds: Int = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
+
   def measureScaling(n: Long, coresN: Int, cores4N: Int,
-      rounds: Int = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt,
+      rounds: Int = benchRounds,
       heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g")): ScalingResult = {
     val samples = (1 to rounds).map { r =>
       val w = if (r == 1) 2 else 1 // later children: JIT profile still fresh-per-JVM, one warmup suffices
-      (forkChild(coresN, n, 2, heap, w), forkChild(cores4N, n, 2, heap, w))
+      (forkChild(coresN, n, benchReps, heap, w), forkChild(cores4N, n, benchReps, heap, w))
     }
     val secsN = samples.map(_._1).min
     val secs4N = samples.map(_._2).min

@@ -321,7 +321,7 @@ object SparkEntry {
 
     "throttle_decay" -> oracle(
       s"""SELECT host,
-            CAST(greatest(1, coalesce(min(CASE WHEN errors > 0 THEN coalesce(prev_fetched, 1) END), 100)) AS INT) AS host_budget
+            CAST(greatest(1, least(100, coalesce(min(CASE WHEN errors > 0 THEN coalesce(prev_fetched, 1) END), 100))) AS INT) AS host_budget
           FROM (
             SELECT host, wave, errors,
                    lag(fetched) OVER (PARTITION BY host ORDER BY wave) AS prev_fetched

@@ -85,6 +85,8 @@ object UrlCanonKernel {
   * inside whole-stage codegen with no Scala-UDF encoder bridge. Null-safe
   * (UnaryExpression's default eval short-circuits null children) and
   * deterministic. */
+// (no ExpectsInputTypes: AbstractDataType is private[sql] in Spark 4; both
+// expressions are constructed only by UrlExprs over string columns)
 case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(input: Any): Any =
@@ -96,13 +98,25 @@ case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override def prettyName: String = "canonicalize_url"
 }
 
-/** Native Catalyst expression for [[UrlCanonKernel.host]]. */
+/** Native Catalyst expression for [[UrlCanonKernel.host]].
+  *
+  * `nullable` is unconditionally true: the kernel returns null for
+  * NON-null inputs that have no authority (relative URLs, bare words),
+  * so inheriting UnaryExpression's `child.nullable` would, over a
+  * non-nullable child column, codegen `isNull = false` and let a null
+  * UTF8String leak into downstream hash/join code. */
 case class UrlHost(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     UrlCanonKernel.host(input.asInstanceOf[UTF8String])
+  // not defineCodeGen: the kernel can return null for a non-null child, so
+  // the generated code must derive isNull from the RESULT, not the child
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanonKernel.host($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlCanonKernel.host($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   override protected def withNewChildInternal(newChild: Expression): UrlHost =
     copy(child = newChild)
   override def prettyName: String = "url_host"

@@ -53,7 +53,15 @@ object Dedup {
    *  output partitioning reusable by [[antiJoinSeen]] (same key set → no
    *  second shuffle of the candidates). Falls back to the generic
    *  struct-valued form for multi-column `ord` or var-length payload
-   *  columns (e.g. the raw `url` before it is dropped). */
+   *  columns (e.g. the raw `url` before it is dropped).
+   *
+   *  CALLER CONTRACT (both paths): `host`, when present, MUST be derived
+   *  from `url_canon` (as every engine call site does, via
+   *  UrlExprs.urlHost(url_canon)) — an independent host column would
+   *  silently widen the fast path's grouping key and under-deduplicate.
+   *  `ord` MUST be tie-free within a url_canon group (seq is unique by
+   *  construction): on a tie the per-column min_by aggregates could mix
+   *  columns from different rows into a row that never existed. */
   def firstSeenInBatch(df: DataFrame, ord: Seq[Column]): DataFrame = {
     val cols = df.columns.toSeq
     val keySet = Set("url_hash", "url_canon", "host")

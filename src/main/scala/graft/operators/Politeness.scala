@@ -126,8 +126,11 @@ object Politeness {
    * *preceding* past bans. Deterministic wave equivalent: a wave with
    * fetch errors on a host ≙ a banned window; the host's decayed budget
    * is the minimum `fetched` of the waves immediately before its banned
-   * waves (floor 1; first-wave bans decay to 1); hosts never banned keep
-   * `defaultBudget`. Input: per-(wave, host) metrics
+   * waves (floor 1; first-wave bans decay to 1), capped at `defaultBudget`
+   * — the reference only ever LOWERS a rate (speed.py:226-227 assigns only
+   * when `adaptive_pages < self.instance_calc_rates[instance]`), so a
+   * banned host must never end up above an unbanned one; hosts never
+   * banned keep `defaultBudget`. Input: per-(wave, host) metrics
    * (wave INT, host STRING, fetched LONG, errors LONG); output:
    * (host, host_budget INT) — feed the budgets into a per-host politeness
    * gate for the next run.
@@ -139,7 +142,9 @@ object Politeness {
       .groupBy(col("host"))
       .agg(min(when(col("errors") > 0, coalesce(col("__prev"), lit(1L)))).as("__minBefore"))
       .select(col("host"),
-        greatest(lit(1L), coalesce(col("__minBefore"), lit(defaultBudget.toLong)))
+        greatest(lit(1L),
+          least(lit(defaultBudget.toLong),
+            coalesce(col("__minBefore"), lit(defaultBudget.toLong))))
           .cast("int").as("host_budget"))
   }
 

@@ -158,10 +158,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic k-means: seeds = the nClusters vectors with smallest
-   *  xxhash64(id); `iters` Lloyd steps, each one assign-UDF pass + an
-   *  element-wise mean via posexplode + groupBy (k×d rows to the driver —
-   *  tiny). Empty clusters keep their previous centroid. */
+  /** k-means with hash-ordered seeds (no RNG): seeds = the nClusters
+   *  vectors with smallest xxhash64(id); `iters` Lloyd steps, each one
+   *  assign-UDF pass + an element-wise mean via posexplode + groupBy
+   *  (k×d rows to the driver — tiny). Empty clusters keep their previous
+   *  centroid.
+   *
+   *  Determinism: seeds and iteration count are fixed, and each mean is
+   *  QUANTIZED to 1e-6 before use — partial-aggregate merge order in the
+   *  avg shuffle is not bit-stable across runs/parallelism, and an
+   *  unquantized mean could flip a borderline assignment. Quantization
+   *  absorbs that (float addition error ≪ 1e-6 per dimension at these
+   *  magnitudes); the hard guarantee remains same-plan-same-run, which is
+   *  what the determinism spec pins. */
   private[operators] def trainCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nClusters: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
@@ -175,7 +184,8 @@ object Similarity {
       val assignUdf = udf((vecSeq: Seq[Float]) => nearestCentroid(bc.value, vecSeq.toArray))
       val means = corpus
         .select(assignUdf(col(vecCol)).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy(col("cluster"), col("dim")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((round(avg(col("v")) * 1e6d) / 1e6d).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (means.contains((c, 0))) old.indices.map(d => means((c, d))).toArray else old

@@ -143,14 +143,17 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     // host a: banned at waves 2 and 4 (prev fetched 7 and 4) -> budget 4
     // host b: banned at its first wave -> floor 1
     // host c: never banned -> default 10
+    // host d: banned but prev fetched 15 > default -> CAPPED at default
+    //         (the reference only ever lowers a rate, speed.py:226-227)
     val m = Seq(
       ("a", 1, 7L, 0L), ("a", 2, 5L, 2L), ("a", 3, 4L, 0L), ("a", 4, 6L, 1L),
       ("b", 1, 9L, 3L), ("b", 2, 8L, 0L),
-      ("c", 1, 2L, 0L))
+      ("c", 1, 2L, 0L),
+      ("d", 1, 15L, 0L), ("d", 2, 12L, 1L))
       .toDF("host", "wave", "fetched", "errors")
     val out = Politeness.adaptiveHostBudgets(m, defaultBudget = 10)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(out == Map("a" -> 4, "b" -> 1, "c" -> 10))
+    assert(out == Map("a" -> 4, "b" -> 1, "c" -> 10, "d" -> 10))
   }
 
   test("O7 budget gate: decayed per-host budgets bound the next run's schedule") {
