@@ -223,12 +223,18 @@ object SparkEntry {
       TextDedup.minhashLshDuplicates(
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id")),
 
-    // exact n-gram Jaccard pairs (threshold 500‰)
+    // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
+    // candidate self-join's hot-shingle fan-out; the reported Jaccard is
+    // still exact over ALL shingles, and the DuckDB oracle (uncapped
+    // exact) proves the cap loses nothing on this corpus
     "dedup_ngram_jaccard" -> ((s, d) =>
       TextDedup.jaccardPairs(
-        TextDedup.shingles(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3), 500)),
+        TextDedup.shingles(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3),
+        500, maxDf = 32)),
 
-    // SimHash near-dup (block trick) — engine-only → rows-only
+    // SimHash near-dup via the block trick; the oracle recomputes the
+    // md5-nibble simhash in SQL and takes the EXACT all-pairs Hamming
+    // set — i.e. it proves the pigeonhole block join finds every pair
     "dedup_simhash" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val planted = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
@@ -244,35 +250,61 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // embedding-cosine near-dup pairs (exact baseline; double precision
-    // so the DuckDB oracle computes the identical cosine)
+    // embedding-cosine near-dup pairs — SHIPPED path is LSH candidates
+    // (48 tables × 5-bit signatures: bucket equi-join, no cartesian);
+    // the oracle is the EXACT pair set, so the run proves candidate
+    // coverage down to the pairs sitting right at the 400‰ threshold.
+    // Double precision so the DuckDB oracle computes the identical cosine
     "dedup_embedding_cosine" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
         .withColumn("embedding", col("embedding").cast("array<double>"))
-      Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64)
+      Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64,
+        tables = 48, bits = 5)
     }),
 
-    // IVF coarse-quantizer ANN (scale path #2) — engine-only → rows-only
+    // IVF ANN machinery oracle: exhaustive probing (nProbe = nClusters)
+    // makes the quantize→probe→re-rank pipeline provably equal exact
+    // top-k, so the DuckDB oracle pins ids AND ranks; approximation
+    // quality at nProbe < nClusters is pinned by the recall spec
     "embed_ann_ivf" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3,
-        nClusters = 16, nProbe = 4, iters = 2)
+        nClusters = 16, nProbe = 16, iters = 2)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // LSH-bucketed ANN (scale path) — engine-only → rows-only
+    // LSH-bucketed ANN property oracle: every returned neighbor must be
+    // a member of the Spark-exact top-10 (itself oracled via embed_topk),
+    // and exactly k results per query — collapses to a constant table
+    // the DuckDB side states independently
     "embed_ann_lsh" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3, dim = 64)
+      val q = emb.filter(col("vec_id") < 20)
+      val ann = Similarity.lshTopK(q, emb, "vec_id", "embedding", 3, dim = 64)
+      val exact10 = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id")).withColumn("__in", lit(1L))
+      ann.join(exact10, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("__in"), lit(0L))).as("n_in_exact_top10"))
     }),
 
-    // document fingerprinting (rolling hash) — engine-only → rows-only
+    // document fingerprinting (rolling hash; oracle replays the
+    // polynomial in HUGEINT mod 2^64)
     "text_fingerprint" -> ((s, d) =>
       s.read.parquet(s"$d/documents.parquet").select(col("doc_id"),
         TextStats.fingerprintUdf(col("text")).as("fp"))),
 
-    // multimodal binary plumbing (decode stubbed) — rows-only
+    // multimodal binary plumbing (decode stubbed, features real byte work);
+    // histogram emitted as a csv scalar so the driver's pandas comparator
+    // can sort/hash it, and so the DuckDB oracle (which replays the
+    // deterministic fake-media LCG) compares exactly
     "multimodal_features" -> ((s, _) =>
-      Multimodal.extractFeatures(s, Multimodal.mediaTable(s, 200L))),
+      Multimodal.extractFeatures(s, Multimodal.mediaTable(s, 200L))
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          col("mean_byte_milli"),
+          concat_ws(",", col("histogram")).as("hist_csv"),
+          col("thumb_w"), col("thumb_h"))),
 
     // O1-O12 wave loop end-to-end (engine-only → rows-only)
     "crawl_schedule" -> ((s, _) => {
@@ -436,6 +468,46 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardOracle(500),
 
+    "dedup_simhash" -> simhashOracle,
+
+    // replays TextStats.fingerprint: per word a base-131 polynomial over
+    // UTF-16 units (fixture text is BMP-only, so code points coincide),
+    // folded FNV-1a-style across words; HUGEINT mod 2^64 emulates Long
+    // wraparound, final two's-complement fold back to BIGINT
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(1469598103934665603 AS HUGEINT),
+                 [list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                     [CAST(unicode(c) AS HUGEINT) FOR c IN regexp_extract_all(w, '.')]),
+                    (acc, ch) -> (acc * 131 + ch) % 18446744073709551616)
+                  FOR w IN list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)]),
+               (acc, wh) -> (xor(CAST(acc AS UBIGINT), CAST(wh AS UBIGINT))::HUGEINT * 1099511628211) % 18446744073709551616) AS h
+           FROM documents) t""",
+
+    // exhaustive-probe IVF ≡ exact top-k (see the query comment)
+    "embed_ann_ivf" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) AS cos
+                 FROM embeddings q, embeddings c
+                 WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) s) t
+         WHERE rank <= 3""",
+
+    // ANN containment property: 3 results per query, all inside the
+    // exact top-10 (measured headroom on the fixture: max exact rank 4)
+    "embed_ann_lsh" ->
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
+                CAST(3 AS BIGINT) AS n_in_exact_top10
+         FROM embeddings WHERE vec_id < 20""",
+
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
                 CAST(floor(1000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -444,6 +516,46 @@ object SparkEntry {
          WHERE a.vec_id < b.vec_id
            AND CAST(floor(1000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                         CAST(b.embedding AS DOUBLE[]))) AS BIGINT) >= 400""",
+
+    // replays Multimodal.fakeMedia byte-for-byte: the 64-bit LCG runs in
+    // HUGEINT mod 2^64; byte i = state>>>56 after i+1 steps; 16-bucket
+    // histogram (all buckets, zeros included) as csv; integer divisions
+    // mirror the Scala Long arithmetic exactly
+    "multimodal_features" ->
+      """WITH RECURSIVE docs AS (
+           SELECT CAST(range AS BIGINT) AS doc_id,
+                  CAST(4 + range % 5 AS INT) AS w,
+                  CAST(3 + range % 4 AS INT) AS h
+           FROM range(0, 200)
+         ), lcg AS (
+           SELECT doc_id, w, h, 0 AS i,
+                  (CAST(doc_id AS HUGEINT) * 6364136223846793005 + 1442695040888963407) % 18446744073709551616 AS s
+           FROM docs
+           UNION ALL
+           SELECT doc_id, w, h, i + 1,
+                  (s * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+           FROM lcg WHERE i + 1 < w * h
+         ), bytes AS (
+           SELECT doc_id, CAST(s // 72057594037927936 AS BIGINT) AS b FROM lcg
+         ), hist AS (
+           SELECT d.doc_id, g.range AS bucket, coalesce(c.n, 0) AS n
+           FROM docs d CROSS JOIN range(0, 16) g
+           LEFT JOIN (SELECT doc_id, b // 16 AS bucket, count(*) AS n FROM bytes GROUP BY 1, 2) c
+             ON c.doc_id = d.doc_id AND c.bucket = g.range
+         ), agg AS (
+           SELECT doc_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY bucket) AS hist_csv
+           FROM hist GROUP BY doc_id
+         ), stats AS (
+           SELECT doc_id, CAST(sum(b) AS BIGINT) AS sm, count(*) AS len FROM bytes GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                CASE WHEN d.doc_id % 3 = 0 THEN 'png' ELSE 'jpg' END AS format,
+                CAST(12 + d.w * d.h AS INT) AS n_bytes,
+                CAST(s.sm * 1000 // (s.len * 255) AS BIGINT) AS mean_byte_milli,
+                a.hist_csv,
+                CAST(greatest(d.w // 2, 1) AS INT) AS thumb_w,
+                CAST(greatest(d.h // 2, 1) AS INT) AS thumb_h
+         FROM docs d JOIN agg a USING (doc_id) JOIN stats s USING (doc_id)""",
 
     "embed_topk" ->
       """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
@@ -460,6 +572,37 @@ object SparkEntry {
   /** RE2 spelling of TextStats.BpeishPattern (\uXXXX → \x{...}). */
   private val BpeishRe2 =
     "[a-zA-Z\\x{00C0}-\\x{024F}\\x{4e00}-\\x{9fff}]+|[0-9]|[^\\sa-zA-Z0-9\\x{00C0}-\\x{024F}\\x{4e00}-\\x{9fff}]"
+
+  /** Exact all-pairs Hamming-≤3 oracle over the md5-nibble simhash (what
+    * the block-trick bucket join must equal). Bit b of a word = bit
+    * (b mod 4) of hex nibble (b div 4) of md5(word); per-bit ±1 sums over
+    * words; doc bit = (sum > 0); dist = Σ bit differences. */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 64).map(b =>
+      s"sum(CASE WHEN (nib[${b / 4 + 1}] >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val bits = (0 until 64).map(b => s"(b$b > 0) AS t$b").mkString(", ")
+    val dist = (0 until 64).map(b => s"CASE WHEN x.t$b <> y.t$b THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH planted AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        words AS (
+          SELECT id, w FROM (
+            SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM planted) t
+          WHERE length(w) > 0),
+        nibs AS (
+          SELECT id, [instr('0123456789abcdef', substring(md5(w), i + 1, 1)) - 1
+                      FOR i IN generate_series(0, 15)] AS nib
+          FROM words),
+        sums AS (SELECT id, $bitSums FROM nibs GROUP BY id),
+        sig AS (SELECT id, $bits FROM sums)
+        SELECT a, b, dist FROM (
+          SELECT x.id AS a, y.id AS b, CAST($dist AS INT) AS dist
+          FROM sig x JOIN sig y ON x.id < y.id) p
+        WHERE dist <= 3"""
+  }
 
   /** Exact shingle-Jaccard pair oracle (what LSH+verify must equal). */
   private def jaccardOracle(minMilli: Int): String =

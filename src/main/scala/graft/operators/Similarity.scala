@@ -34,11 +34,12 @@ object Similarity {
   /**
    * Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
    * cosine ≥ threshold (per-mille, integer — engine/oracle-stable).
-   * Scale path: candidates come from the same hyperplane-LSH bucket join
-   * as [[lshTopK]] when `tables > 0`; `tables = 0` is the exact
-   * (broadcast-nested-loop over the smaller side) baseline for oracles
-   * and small corpora — the cosine itself is a codegen'd expression
-   * either way.
+   * The SHIPPED path (the `dedup_embedding_cosine` query) is `tables > 0`:
+   * candidates come from a hyperplane-LSH bucket equi-join (same family
+   * as [[lshTopK]]) and only candidates pay a cosine — no cartesian
+   * anywhere, and the driver oracle checks the result against the exact
+   * pair set, proving candidate coverage on the fixture. `tables = 0` is
+   * the exact all-pairs baseline, kept for verification and tiny corpora.
    */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
       minCosineMilli: Int, dim: Int, tables: Int = 0, bits: Int = 5): DataFrame = {
@@ -51,7 +52,8 @@ object Similarity {
       if (tables <= 0) a.crossJoin(b).filter(col("a") < col("b"))
       else {
         val sigUdf = signaturesUdf(dim, tables, bits)
-        val buckets = df.select(col(idCol).as("id"), sigUdf(col(vecCol)).as("sigs"))
+        val buckets = df.select(col(idCol).as("id"),
+            sigUdf(col(vecCol).cast("array<double>")).as("sigs"))
           .select(col("id"), posexplode(col("sigs")).as(Seq("table", "bucket")))
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
@@ -97,11 +99,13 @@ object Similarity {
   /** All-tables signature UDF: vec → Array[Long] of `tables` sign
    *  patterns. A UDF (not a Column tree): tables×bits×dim expression
    *  terms would explode the plan; the UDF loops over a precomputed
-   *  plane array instead. */
+   *  plane array instead. Takes doubles — callers cast float vectors
+   *  (exact widening, identical signatures) so one UDF serves both the
+   *  raw float corpus and the double-cast oracle path. */
   private def signaturesUdf(dim: Int, tables: Int, bits: Int) = {
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(tables, bits, dim)((t, b, d) => planeComponent(t, b, d))
-    udf((vecSeq: Seq[Float]) => {
+    udf((vecSeq: Seq[Double]) => {
       // copy once: the Seq Spark hands over may be list-backed, and
       // indexing it inside the tables×bits×dim loop turns the signature
       // into O(d²) pointer chasing per (table, bit)
@@ -140,14 +144,19 @@ object Similarity {
       vecCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
+    // double precision throughout (exact float→double widening): the
+    // re-rank cosine then matches the brute-force/DuckDB DOUBLE ranking
+    // bit-for-bit, so exhaustive probing (nProbe = nClusters) is
+    // oracle-checkable against the exact top-k
+    val vecD = col(vecCol).cast("array<double>")
     val centroids = trainCentroids(corpus, idCol, vecCol, nClusters, iters)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf((vecSeq: Seq[Float]) => nearestCentroid(bc.value, vecSeq.toArray))
-    val probeUdf = udf((vecSeq: Seq[Float]) => nearestCentroids(bc.value, vecSeq.toArray, nProbe))
-    val index = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      assignUdf(col(vecCol)).as("cluster"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probeUdf(col(vecCol))).as("cluster"))
+    val assignUdf = udf((vecSeq: Seq[Double]) => nearestCentroid(bc.value, vecSeq.toArray))
+    val probeUdf = udf((vecSeq: Seq[Double]) => nearestCentroids(bc.value, vecSeq.toArray, nProbe))
+    val index = corpus.select(col(idCol).as("neighbor_id"), vecD.as("cv"),
+      assignUdf(vecD).as("cluster"))
+    val probes = queries.select(col(idCol).as("query_id"), vecD.as("qv"),
+        explode(probeUdf(vecD)).as("cluster"))
     val cand = index.join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -174,16 +183,17 @@ object Similarity {
   private[operators] def trainCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nClusters: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
+    val vecD = col(vecCol).cast("array<double>")
     var centroids: Array[Array[Double]] = corpus
-      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("__h"))
+      .select(vecD.as("v"), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(nClusters)
-      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .collect().map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf((vecSeq: Seq[Float]) => nearestCentroid(bc.value, vecSeq.toArray))
+      val assignUdf = udf((vecSeq: Seq[Double]) => nearestCentroid(bc.value, vecSeq.toArray))
       val means = corpus
-        .select(assignUdf(col(vecCol)).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .select(assignUdf(vecD).as("cluster"), posexplode(vecD).as(Seq("dim", "v")))
         .groupBy(col("cluster"), col("dim"))
         .agg((round(avg(col("v")) * 1e6d) / 1e6d).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
@@ -195,7 +205,7 @@ object Similarity {
     centroids
   }
 
-  private[operators] def nearestCentroid(cs: Array[Array[Double]], v: Array[Float]): Int = {
+  private[operators] def nearestCentroid(cs: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -208,7 +218,7 @@ object Similarity {
     best
   }
 
-  private[operators] def nearestCentroids(cs: Array[Array[Double]], v: Array[Float], nProbe: Int): Array[Int] = {
+  private[operators] def nearestCentroids(cs: Array[Array[Double]], v: Array[Double], nProbe: Int): Array[Int] = {
     val dists = cs.zipWithIndex.map { case (cd, c) =>
       var d = 0.0; var i = 0
       val n = math.min(cd.length, v.length)
@@ -228,7 +238,7 @@ object Similarity {
     val sigUdf = signaturesUdf(dim, tables, bits)
     def bucketize(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-          sigUdf(col(vecCol)).as("sigs"))
+          sigUdf(col(vecCol).cast("array<double>")).as("sigs"))
         .select(col(idAs), col(vecAs), posexplode(col("sigs")).as(Seq("table", "bucket")))
     val qb = bucketize(queries, "query_id", "qv")
     val cb = bucketize(corpus, "neighbor_id", "cv")

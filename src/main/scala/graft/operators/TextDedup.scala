@@ -41,18 +41,45 @@ object TextDedup {
       .distinct()
   }
 
+  /** Shingles with document frequency above `maxDf` (the hot tail: stop
+   *  phrases, boilerplate). */
+  private def hotShingles(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("shingle"))
+
   /** Exact Jaccard for every pair sharing ≥1 shingle (classic
-   *  |A∩B| / (|A|+|B|−|A∩B|) via a self-join on shingle). Output ids are
-   *  ordered a < b; jaccard reported as exact per-mille (integers). */
-  def jaccardPairs(sh: DataFrame, minJaccardMilli: Int): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    withJaccard(inter, sizes)
-      .filter(col("jaccard_milli") >= minJaccardMilli)
-      .select(col("a"), col("b"), col("jaccard_milli"))
+   *  |A∩B| / (|A|+|B|−|A∩B|)). Output ids are ordered a < b; jaccard
+   *  reported as exact per-mille (integers).
+   *
+   *  `maxDf > 0` is the scale knob: the candidate self-join's fan-out is
+   *  Σ df² over shingles, so ONE stop-phrase shingle with df = 10^6 makes
+   *  10^12 candidate pairs. With the cap, shingles with df > maxDf are
+   *  excluded from CANDIDATE GENERATION only; the Jaccard reported for
+   *  each surviving pair is still exact over ALL shingles (hot ones
+   *  included), via [[jaccardForPairs]]. A pair is missed only if every
+   *  single shared shingle has df > maxDf — for a pair above a real
+   *  threshold (hundreds of shared shingles) that requires essentially
+   *  all-boilerplate documents; the planted hot-shingle spec pins that
+   *  the cap changes nothing on the fixture. `maxDf <= 0` keeps the
+   *  uncapped exact join (small corpora / oracles). */
+  def jaccardPairs(sh: DataFrame, minJaccardMilli: Int, maxDf: Int = 0): DataFrame = {
+    if (maxDf <= 0) {
+      val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+        .filter(col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      withJaccard(inter, sizes)
+        .filter(col("jaccard_milli") >= minJaccardMilli)
+        .select(col("a"), col("b"), col("jaccard_milli"))
+    } else {
+      val rare = sh.join(hotShingles(sh, maxDf), Seq("shingle"), "left_anti")
+      val cand = rare.as("x").join(rare.as("y"), col("x.shingle") === col("y.shingle"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+        .distinct()
+      jaccardForPairs(cand, sh, minJaccardMilli)
+    }
   }
 
   private def withJaccard(inter: DataFrame, sizes: DataFrame): DataFrame =
@@ -63,15 +90,21 @@ object TextDedup {
         floor(lit(1000) * col("inter") / (col("sza") + col("szb") - col("inter"))))
 
   /** Exact Jaccard restricted to a given candidate pair set (the verify
-   *  step of LSH — never materializes the all-pairs shingle join). */
+   *  step of LSH — never materializes the all-pairs shingle join).
+   *
+   *  The intersection is computed WITHOUT a shingle self-join: expand
+   *  each candidate pair by side-a's shingles, then probe (b, shingle)
+   *  with a semi-join. Both join keys — the doc id, and the (id, shingle)
+   *  pair which is unique per side (shingles are distinct within a doc) —
+   *  are blowup-free, so a corpus-wide hot shingle costs nothing here:
+   *  total work is Σ over pairs of |A|, the floor for exact verification. */
   def jaccardForPairs(cand: DataFrame, sh: DataFrame, minJaccardMilli: Int): DataFrame = {
     val candIds = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
     val shc = sh.join(candIds, Seq("id"), "left_semi")
     val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = shc.as("x").join(shc.as("y"), col("x.shingle") === col("y.shingle"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .join(cand, Seq("a", "b"), "left_semi")
+    val aShingles = cand.join(shc.withColumnRenamed("id", "a"), Seq("a"))
+    val inter = aShingles
+      .join(shc.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"), "left_semi")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     withJaccard(inter, sizes)
@@ -119,14 +152,21 @@ object TextDedup {
     jaccardForPairs(candidates, sh, minJaccardMilli)
   }
 
-  /** 64-bit SimHash from word-level xxhash64 (sign-sum per bit). */
+  /** 64-bit SimHash (sign-sum per bit). The word hash is the first 16 hex
+   *  nibbles of md5(word) — not xxhash64 — deliberately: md5 is the one
+   *  64-bit-capable hash both Spark and DuckDB evaluate identically, so
+   *  the exact Hamming-pair set has a cross-engine SQL oracle. Bit b of a
+   *  word = bit (b mod 4) of nibble (b div 4); quality is equivalent. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val words = df.select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("hx", md5(col("w")))
+      .withColumn("nib", expr(
+        "transform(sequence(0, 15), i -> instr('0123456789abcdef', substring(hx, i + 1, 1)) - 1)"))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+      val bit = shiftright(col("nib").getItem(b / 4), b % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$b")
     }
     words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), (0 until 64).map(b =>

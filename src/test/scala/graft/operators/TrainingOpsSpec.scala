@@ -93,6 +93,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact)
   }
 
+  test("jaccard df-cap: a planted corpus-wide hot shingle changes nothing above threshold") {
+    // prepend the same boilerplate to EVERY doc: its shingles get
+    // df = corpus size ≫ maxDf, exactly the stop-phrase blowup the cap
+    // targets. Capped candidates + exact verify must equal the uncapped
+    // exact pair set, values included (verify counts hot shingles too).
+    val planted = docs.withColumn("text",
+      concat(lit("copyright footer boilerplate "), col("text")))
+    val sh = TextDedup.shingles(planted, "text", "doc_id", 3)
+    val hotDf = sh.filter(col("shingle") === "copyright footer boilerplate").count()
+    assert(hotDf == docs.count(), "hot shingle must hit every doc")
+    assert(hotDf > 32, "fixture must exceed the cap for this test to bite")
+    val uncapped = TextDedup.jaccardPairs(sh, 500).collect().map(_.toSeq).toSet
+    val capped = TextDedup.jaccardPairs(sh, 500, maxDf = 32).collect().map(_.toSeq).toSet
+    assert(uncapped.nonEmpty, "corpus should contain planted near-dups")
+    assert(capped == uncapped)
+  }
+
   test("simhash exact copies collide at distance 0; block trick finds them") {
     val planted = docsWithCopies
     val dups = TextDedup.simhashDuplicates(planted, "text", "doc_id", maxDist = 0)
@@ -166,6 +183,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         dim = 64, tables = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(viaLsh.toSet.subsetOf(exact.toSet), "LSH produced a pair the exact pass rejects")
+  }
+
+  test("shipped cosine near-dup plan is a bucket join — no cartesian/BNLJ") {
+    val emb = embeddings.withColumn("embedding", col("embedding").cast("array<double>"))
+    val shipped = Similarity.cosineNearDups(emb, "vec_id", "embedding", 400,
+      dim = 64, tables = 48, bits = 5)
+    val plan = shipped.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(40).mkString("\n"))
+    // and it still finds exactly the exact pair set on the fixture
+    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64)
+      .collect().map(_.toSeq).toSet
+    assert(shipped.collect().map(_.toSeq).toSet == exact)
   }
 
   // ---- Multimodal ----
