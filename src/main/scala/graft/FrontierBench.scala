@@ -45,6 +45,41 @@ object FrontierBench {
     candidates(spark, n).filter(col("seq") % 5 === 0)
       .select(col("url_hash"), col("url_canon"))
 
+  /** Fixed storage bucket count for the seen table — identical at every
+   *  parallelism level (a real deployment's bucket count is a property
+   *  of the stored table, not of the cluster size). childMain also pins
+   *  spark.sql.shuffle.partitions to this value so the candidate-side
+   *  exchange lands directly on the bucket layout at every level — the
+   *  N vs 4N comparison must not differ in plan shape. */
+  val StorageBuckets = 64
+
+  /** Build the seen set the way the engine stores it (Checkpoint's
+   *  bucketed wave-partitioned table) and return the table-backed frame:
+   *  the timed wave's anti-join then reads a bucketed scan with no
+   *  seen-side Exchange, exactly like CrawlJob's wave DAG. */
+  def seenStateTable(spark: SparkSession, n: Long, dir: String): DataFrame = {
+    val ckpt = new graft.plans.Checkpoint(spark, dir, StorageBuckets)
+    ckpt.ensureBucketed("seen", "url_hash BIGINT, url_canon STRING")
+    ckpt.writeBucketed(seenState(spark, n), 0, "seen")
+    ckpt.readBucketed("seen", 0).select(col("url_hash"), col("url_canon"))
+  }
+
+  /** tmpfs-backed scratch dir when available (single-box bench: state
+   *  reads should be bandwidth-fair, like a cluster's page-cached NVMe). */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   /** Bench bloom state over the seen set (built with the state, not in the
    *  timed wave — a crawl maintains it incrementally per D2/D3). */
   def seenBloomState(seen: DataFrame, n: Long, numBuckets: Int = BloomBuckets): Map[Int, Array[Byte]] =
@@ -100,25 +135,38 @@ object FrontierBench {
   case class ScalingResult(n: Long, coresN: Int, cores4N: Int,
       thrN: Double, thr4N: Double, efficiency: Double)
 
-  /** Child mode: measure one config in this JVM, print a marker line. */
+  /** Child mode: measure one config in this JVM, print a marker line.
+   *  SPARK_GRAFT_SEEN=mem switches to the round-1-style in-memory seen
+   *  (diagnostic comparison only; the shipped path is the table). */
   private def childMain(cores: Int, n: Long, reps: Int, warmups: Int): Unit = {
     val spark = session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    val seen = seenState(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    seen.count() // materialize state outside the timed wave
-    // bloom pre-filter state: maintained with the seen set (D2/D3), so
-    // built in state prep, not in the timed wave
-    val blooms = Some(seenBloomState(seen, n))
-    // full-size untimed warmups: JIT, codegen, GC sizing
-    (1 to warmups).foreach(_ => runWave(spark, n, seen, blooms = blooms))
-    val times = (1 to reps).map { _ =>
-      // let the ContextCleaner drop previous reps' shuffle files (tmpfs
-      // pressure otherwise bleeds into the next measurement)
-      System.gc(); Thread.sleep(1500)
-      runWave(spark, n, seen, blooms = blooms)._2
-    }
-    spark.stop()
-    println(f"GRAFT_WAVE_SECS ${times.min}%.4f all=${times.map(t => f"$t%.2f").mkString(",")}")
+    // same plan shape at every level: candidate exchanges land on the
+    // fixed storage-bucket layout (see StorageBuckets)
+    spark.conf.set("spark.sql.shuffle.partitions", StorageBuckets.toString)
+    val dir = scratchDir("graft-bench-seen")
+    try {
+      // seen state read the way the engine stores it: bucketed table,
+      // built in state prep, not in the timed wave
+      val seen =
+        if (sys.env.get("SPARK_GRAFT_SEEN").contains("mem")) {
+          val s = seenState(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          s.count(); s
+        } else seenStateTable(spark, n, dir.toString)
+      // bloom pre-filter state: maintained with the seen set (D2/D3), so
+      // built in state prep, not in the timed wave
+      val blooms = Some(seenBloomState(seen, n))
+      // full-size untimed warmups: JIT, codegen, GC sizing
+      (1 to warmups).foreach(_ => runWave(spark, n, seen, blooms = blooms))
+      val times = (1 to reps).map { _ =>
+        // let the ContextCleaner drop previous reps' shuffle files (tmpfs
+        // pressure otherwise bleeds into the next measurement)
+        System.gc(); Thread.sleep(1500)
+        runWave(spark, n, seen, blooms = blooms)._2
+      }
+      spark.stop()
+      println(f"GRAFT_WAVE_SECS ${times.min}%.4f all=${times.map(t => f"$t%.2f").mkString(",")}")
+    } finally deleteRecursively(dir)
   }
 
   /** Stage-by-stage breakdown in a clean JVM (diagnostics). */
@@ -140,8 +188,8 @@ object FrontierBench {
     }
     val cands = candidates(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.count()
-    val seen = seenState(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    seen.count()
+    spark.conf.set("spark.sql.shuffle.partitions", StorageBuckets.toString)
+    val seen = seenStateTable(spark, n, scratchDir("graft-profile-seen").toString)
     val blooms = seenBloomState(seen, n)
     time("firstSeen") { Dedup.firstSeenInBatch(cands, Seq(col("seq"))).count() }
     val fs = Dedup.firstSeenInBatch(cands, Seq(col("seq")))

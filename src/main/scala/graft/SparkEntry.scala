@@ -111,6 +111,18 @@ object SparkEntry {
       urlsDF(s, d).orderBy(col("priority").asc, col("seq").asc).limit(100)
         .select(col("url"), col("priority"), col("seq"))),
 
+    // P2: ordered-rule parser dispatch, first match wins, case-insensitive
+    // (cola/core/urls.py:62-73); rules overlap so order is load-bearing
+    "parser_dispatch" -> ((s, d) => {
+      import graft.operators.{ParserDispatch, ParserRule}
+      val rules = Seq(
+        ParserRule("/o/[0-9]*[02468]$", "extract"),
+        ParserRule("^http://host1", "links"),
+        ParserRule("host", "leaf"))
+      urlsDF(s, d).select(col("url"), col("seq"),
+        ParserDispatch.parserId(col("url"), rules).as("parser_id"))
+    }),
+
     // P3: priority clamp
     "priority_clamp" -> ((s, d) =>
       urlsDF(s, d).select(col("seq"),
@@ -366,6 +378,14 @@ object SparkEntry {
 
     "budget_limit" -> oracle(
       "SELECT url, priority, seq FROM urls ORDER BY priority, seq LIMIT 100"),
+
+    "parser_dispatch" -> oracle(
+      """SELECT url, seq,
+           CASE WHEN regexp_matches(url, '/o/[0-9]*[02468]$', 'i') THEN 'extract'
+                WHEN regexp_matches(url, '^http://host1', 'i') THEN 'links'
+                WHEN regexp_matches(url, 'host', 'i') THEN 'leaf'
+                ELSE NULL END AS parser_id
+         FROM urls"""),
 
     "priority_clamp" -> oracle(
       "SELECT seq, CAST(least(greatest(priority * 7 - 3, 0), 2) AS INT) AS pclamp FROM urls"),

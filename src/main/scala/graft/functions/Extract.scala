@@ -279,12 +279,30 @@ object Extract extends Serializable {
   }
 
   /** X3 charset sniffing (lab/generic/__init__.py:99-103: chardet detect,
-   *  re-encode when confidence > 0.5) — deterministic replacement: a
-   *  strict UTF-8 validity scan. Valid UTF-8 (incl. pure ASCII) → "utf-8";
-   *  any invalid sequence → "windows-1252" (the web's de-facto 8-bit
-   *  fallback, every byte valid). Pure-Scala, no detector library. */
+   *  re-encode when confidence > 0.5) — a deterministic chardet-lite:
+   *
+   *  1. strict UTF-8 validity scan (incl. pure ASCII) → "utf-8";
+   *  2. else GBK: every maximal run of high (≥0x80) bytes must have even
+   *     length (latin-1's accented letters sit ISOLATED inside ASCII
+   *     words — odd runs — while double-byte CJK text comes in pairs),
+   *     the bytes must strictly decode as GBK, and ≥ half of the decoded
+   *     non-ASCII chars must be CJK (the confidence>0.5 gate);
+   *  3. else "windows-1252" (the web's de-facto 8-bit fallback, every
+   *     byte valid — covers latin-1).
+   *
+   *  Pure-Scala, no detector library, no RNG — unlike chardet the result
+   *  is a pure function of the bytes. Big5/Shift-JIS are not separately
+   *  modeled (documented divergence: chardet's frequency models would be
+   *  needed to split them from GBK, which shares their lead/trail byte
+   *  ranges; such pages detect as GBK or fall back to windows-1252). */
   def sniffCharset(bytes: Array[Byte]): String = {
     if (bytes == null) return "utf-8"
+    if (isValidUtf8(bytes)) return "utf-8"
+    if (evenHighByteRuns(bytes) && decodesAsCjk(bytes, "GBK")) return "GBK"
+    "windows-1252"
+  }
+
+  private def isValidUtf8(bytes: Array[Byte]): Boolean = {
     var i = 0
     val n = bytes.length
     while (i < n) {
@@ -294,16 +312,58 @@ object Extract extends Serializable {
         else if (b >= 0xc2 && b <= 0xdf) 2
         else if (b >= 0xe0 && b <= 0xef) 3
         else if (b >= 0xf0 && b <= 0xf4) 4
-        else return "windows-1252"
-      if (i + len > n) return "windows-1252"
+        else return false
+      if (i + len > n) return false
       var j = 1
       while (j < len) {
-        if ((bytes(i + j) & 0xc0) != 0x80) return "windows-1252"
+        if ((bytes(i + j) & 0xc0) != 0x80) return false
         j += 1
       }
       i += len
     }
-    "utf-8"
+    true
+  }
+
+  /** True when every maximal run of bytes ≥ 0x80 has even length AND at
+   *  least one such run exists (a double-byte-charset shape). */
+  private def evenHighByteRuns(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    val n = bytes.length
+    var sawRun = false
+    while (i < n) {
+      if ((bytes(i) & 0x80) != 0) {
+        var j = i
+        while (j < n && (bytes(j) & 0x80) != 0) j += 1
+        if (((j - i) & 1) != 0) return false
+        sawRun = true
+        i = j
+      } else i += 1
+    }
+    sawRun
+  }
+
+  /** Strict decode + CJK-majority gate (the deterministic stand-in for
+   *  chardet's confidence > 0.5). */
+  private def decodesAsCjk(bytes: Array[Byte], charset: String): Boolean = {
+    val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val decoded =
+      try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => return false }
+    var cjk = 0
+    var nonAscii = 0
+    var i = 0
+    while (i < decoded.length) {
+      val c = decoded.charAt(i)
+      if (c >= 0x80) {
+        nonAscii += 1
+        if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3000 && c <= 0x303f) ||
+            (c >= 0xff00 && c <= 0xffef)) cjk += 1
+      }
+      i += 1
+    }
+    nonAscii > 0 && cjk * 2 >= nonAscii
   }
 
   /** Decode with the sniffed charset (X3). */

@@ -11,23 +11,88 @@ import org.apache.spark.sql.types.StructType
  * mq.status / task.status / budget / bloom bits → here one committed
  * manifest per wave over immutable parquet).
  *
- * Commit protocol: all of a wave's outputs (frontier, seen_delta,
- * schedule, dead, lineage, metrics, results) are written under
- * `<dir>/wave=<k>/...`, then a small manifest file is atomically moved
- * into `<dir>/manifest/wave-<k>.properties`. A wave without its manifest
- * is invisible — resume reads the max committed wave and continues
- * without re-fetching or reordering (the continuation depends only on
- * committed state; kill-resume equivalence is asserted by CrawlJobSpec).
- * Iceberg would give the same semantics via snapshot commits; the runtime
- * has no iceberg jars (checked), so this parquet+manifest fallback per
- * SURVEY §7.4-5.
+ * Commit protocol: all of a wave's outputs are written, then a small
+ * manifest file is atomically moved into
+ * `<dir>/manifest/wave-<k>.properties`. A wave without its manifest is
+ * invisible — resume reads the max committed wave and continues without
+ * re-fetching or reordering (the continuation depends only on committed
+ * state; kill-resume equivalence is asserted by CrawlJobSpec).
+ *
+ * Two storage layouts, one commit rule:
+ *  - small per-wave outputs (schedule, dead, lineage, metrics, results,
+ *    inc) are plain parquet under `<dir>/wave=<k>/<name>`;
+ *  - the two tables that sit on a join's BIG side every wave — `seen`
+ *    and `frontier` — are catalog tables at `<dir>/<name>`,
+ *    PARTITIONED BY (wave) and CLUSTERED/SORTED BY (url_hash, url_canon)
+ *    INTO `numBuckets` BUCKETS. Storage bucketing is what makes the
+ *    per-wave dedup anti-join and leftover-frontier anti-join
+ *    shuffle-free on their big side: the scan reports
+ *    HashPartitioning(url_hash, url_canon), so only the wave's (small)
+ *    probe side exchanges, and the CUMULATIVE seen set is never
+ *    reshuffled again after its delta was written once. Wave partitions
+ *    keep the commit rule: uncommitted `wave=k` partition dirs are crash
+ *    debris and removed by [[cleanUncommitted]].
+ *
+ * Iceberg would give the same semantics via snapshot commits + bucket
+ * partition transforms; the runtime has no iceberg jars (checked), so
+ * this parquet+manifest+bucketed-table fallback per SURVEY §7.4-5.
  */
-final class Checkpoint(spark: SparkSession, val dir: String) {
+final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 32) {
 
   private val manifestDir: Path = Paths.get(dir, "manifest")
   Files.createDirectories(manifestDir)
 
   def waveDir(w: Int): String = s"$dir/wave=$w"
+
+  /** Bucketed-table names synced by [[cleanUncommitted]]. */
+  val bucketedNames: Seq[String] = Seq("seen", "frontier")
+
+  /** Catalog-safe table name, unique per checkpoint location and stable
+   *  across sessions (resume re-derives it). */
+  private def tableName(name: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"graft_${name}_$md"
+  }
+
+  /** (Re-)register the bucketed wave-partitioned table `<dir>/<name>` and
+   *  sync partitions with the files on disk. DROP + CREATE (not IF NOT
+   *  EXISTS) so a resume never sees stale partition registrations for
+   *  waves [[cleanUncommitted]] just removed. Idempotent; data columns
+   *  must lead with (url_hash, url_canon) join keys present. */
+  def ensureBucketed(name: String, dataColsDdl: String): Unit = {
+    val t = tableName(name)
+    Files.createDirectories(Paths.get(dir, name)) // RECOVER needs the location
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t ($dataColsDdl, wave INT)
+      USING parquet PARTITIONED BY (wave)
+      CLUSTERED BY (url_hash, url_canon) SORTED BY (url_hash, url_canon)
+      INTO $numBuckets BUCKETS LOCATION '$dir/$name'""")
+    spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+  }
+
+  /** Append one wave's rows. The pre-insert repartition uses exactly the
+   *  bucket keys and count, so every task holds one bucket's rows and
+   *  writes one file (no small-file fan-out); the insert's local sort
+   *  satisfies SORTED BY. `df` columns must match the table's data
+   *  columns in order (insertInto is positional). */
+  def writeBucketed(df: DataFrame, w: Int, name: String): Unit =
+    df.withColumn("wave", org.apache.spark.sql.functions.lit(w))
+      .repartition(numBuckets,
+        org.apache.spark.sql.functions.col("url_hash"),
+        org.apache.spark.sql.functions.col("url_canon"))
+      .write.mode("append").insertInto(tableName(name))
+
+  /** All committed rows up to and including wave `upTo` (partition-pruned). */
+  def readBucketed(name: String, upTo: Int): DataFrame =
+    spark.table(tableName(name))
+      .filter(org.apache.spark.sql.functions.col("wave") <= upTo)
+
+  /** One wave's rows, without the partition column. */
+  def readBucketedWave(name: String, w: Int): DataFrame =
+    spark.table(tableName(name))
+      .filter(org.apache.spark.sql.functions.col("wave") === w)
+      .drop("wave")
 
   def write(df: DataFrame, w: Int, name: String): Unit =
     df.write.mode("overwrite").parquet(s"${waveDir(w)}/$name")
@@ -72,13 +137,20 @@ final class Checkpoint(spark: SparkSession, val dir: String) {
     props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
   }
 
-  /** Drop any uncommitted wave directories > latest manifest (crash debris). */
+  /** Drop any uncommitted wave outputs > latest manifest (crash debris):
+   *  top-level `wave=k` dirs and, inside each bucketed table, `wave=k`
+   *  partition dirs. */
   def cleanUncommitted(): Unit = {
     val latest = latestWave.getOrElse(-1)
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("wave="))
-      .filter(p => p.getFileName.toString.stripPrefix("wave=").toInt > latest)
-      .foreach(deleteRecursively)
+    def clean(root: Path): Unit = {
+      if (!Files.isDirectory(root)) return
+      Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("wave="))
+        .filter(p => p.getFileName.toString.stripPrefix("wave=").toInt > latest)
+        .foreach(deleteRecursively)
+    }
+    clean(Paths.get(dir))
+    bucketedNames.foreach(n => clean(Paths.get(dir, n)))
   }
 
   private def deleteRecursively(p: Path): Unit = {

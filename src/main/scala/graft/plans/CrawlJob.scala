@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{Extract, UrlCanon}
-import graft.operators.{Dedup, Politeness}
+import graft.operators.{Dedup, ParserDispatch, ParserRule, Politeness}
 
 /**
  * Job configuration ≙ the reference's YAML settings tree
@@ -19,7 +19,12 @@ import graft.operators.{Dedup, Politeness}
  * @param retries     error retries before dead-letter (server policy,
  *                    main.yaml:29-33)
  * @param urlPattern  accept regex (P1, cola/core/urls.py:48-60) —
- *                    case-insensitive like re.IGNORECASE (urls.py:27)
+ *                    case-insensitive like re.IGNORECASE (urls.py:27);
+ *                    shorthand for a single `extract` rule when
+ *                    `parsers` is empty
+ * @param parsers     ordered (pattern, parser_id) routing rules (P2,
+ *                    urls.py:62-73): first match dispatches, no match
+ *                    drops the URL; see [[graft.operators.ParserDispatch]]
  * @param salts       politeness salting shards for mega-hosts (J5)
  * @param useBloom    per-bucket Bloom pre-filter in front of the exact
  *                    anti-join (D2) — output provably identical either way
@@ -39,7 +44,9 @@ case class CrawlSettings(
     useBloom: Boolean = true,
     bloomCapacity: Long = 1000000L, // D3 floor (cola/job/__init__.py:48)
     extract: Boolean = true,
-    inc: Boolean = true) // O9 incremental queue (job.inc, main.yaml:22)
+    inc: Boolean = true, // O9 incremental queue (job.inc, main.yaml:22)
+    incPasses: Int = 0, // O9 automated re-crawl passes once the frontier drains
+    parsers: Seq[ParserRule] = Seq.empty)
 
 case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
     scheduledTotal: Long, seenTotal: Long, deadTotal: Long)
@@ -64,7 +71,19 @@ class CrawlJob(
 
   import spark.implicits._
 
-  private val ckpt = new Checkpoint(spark, workDir)
+  private val ckpt = new Checkpoint(spark, workDir, settings.numBuckets)
+
+  /** P2 rule table; `urlPattern` alone ≙ one catch-all `extract` parser. */
+  private val parserRules: Seq[ParserRule] =
+    if (settings.parsers.nonEmpty) settings.parsers
+    else Seq(ParserRule(settings.urlPattern, "extract"))
+  private val textParserIds = ParserDispatch.idsWhere(parserRules, _.extractsText)
+  private val linkParserIds = ParserDispatch.idsWhere(parserRules, _.followsLinks)
+
+  private val frontierCols = Schemas.frontier.fieldNames.map(col).toSeq
+  private def ddlOf(schema: org.apache.spark.sql.types.StructType, drop: Set[String] = Set.empty) =
+    schema.fields.filterNot(f => drop(f.name))
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
 
   /** Engine counters (A1/A6/A7): executor-side partials merged at the
    *  driver by Spark's accumulator machinery — the counter-server model. */
@@ -92,16 +111,29 @@ class CrawlJob(
   /** Dense deterministic sequence: total-order sort + zipWithIndex. The
    *  one justified RDD drop (SURVEY §2.10): a dense global rank must not
    *  depend on partition boundaries, and zipWithIndex is the distributed
-   *  way to get one (row_number over an empty window would single-task). */
+   *  way to get one (row_number over an empty window would single-task).
+   *
+   *  Runs at the InternalRow level (`queryExecution.toRdd` +
+   *  JoinedRow + internalCreateDataFrame): the old `.rdd` form paid a
+   *  full UnsafeRow→external Row→UnsafeRow round trip (boxing every
+   *  column, twice per wave). Rows obey the standard valid-until-next()
+   *  iterator contract — JoinedRow wraps, downstream operators copy if
+   *  they buffer. */
   private def withDenseSeq(df: DataFrame, ord: Seq[Column], start: Long, outCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     val sorted = df.orderBy(ord: _*)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (start + i)) }
-    spark.createDataFrame(rdd, schema)
+    val rdd = sorted.queryExecution.toRdd.zipWithIndex.mapPartitions { it =>
+      val joined = new JoinedRow()
+      val seqRow = new GenericInternalRow(1)
+      it.map { case (r, i) =>
+        seqRow.update(0, start + i)
+        joined(r, seqRow): InternalRow
+      }
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
-
-  private def emptyFrontier: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.frontier)
 
   /** Candidate enrichment: url → (canon, hash, host); robots gate applied
    *  at discovery (disallowed urls never enter frontier or seen set). */
@@ -122,7 +154,7 @@ class CrawlJob(
   private def admitSeeds(seeds: Seq[String]): Unit = {
     val raw = seeds.zipWithIndex.toDF("url", "__idx")
       .filter(length(trim(col("url"))) > 0) // P4 blank drop (store.py:249-250)
-      .filter(col("url").rlike("(?i)" + settings.urlPattern))
+      .filter(ParserDispatch.accepts(col("url"), parserRules)) // P1/P2
     val entries = enrich(raw)
       .withColumn("priority", Politeness.clampPriority(priorityExpr(col("url_canon")), settings.nPriorities))
       .withColumn("depth", lit(0))
@@ -132,15 +164,22 @@ class CrawlJob(
     val deduped = Dedup.firstSeenInBatch(entries, Seq(col("__idx")))
     val withSeq = withDenseSeq(deduped, Seq(col("__idx")), waveBase(0), "seq")
       .drop("__idx")
-      .select(Schemas.frontier.fieldNames.map(col).toSeq: _*)
-    ckpt.write(withSeq, 0, "frontier")
-    ckpt.write(withSeq.select(col("url_hash"), col("url_canon"), lit(0).as("wave")), 0, "seen_delta")
+      .select(frontierCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ckpt.writeBucketed(withSeq, 0, "frontier")
+    ckpt.writeBucketed(withSeq.select(col("url_hash"), col("url_canon")), 0, "seen")
+    withSeq.unpersist()
     ckpt.commit(0, Map("applied" -> "0", "finished" -> "0", "scheduledTotal" -> "0", "deadTotal" -> "0"))
   }
 
   /** Run (or resume) the crawl to completion. */
   def run(seeds: Seq[String]): CrawlSummary = {
     ckpt.cleanUncommitted()
+    // storage-partitioned state tables: seen + frontier are bucketed by
+    // (url_hash, url_canon), so every wave's anti-joins read them
+    // shuffle-free on the big side (see Checkpoint scaladoc)
+    ckpt.ensureBucketed("seen", ddlOf(Schemas.seen, drop = Set("wave")))
+    ckpt.ensureBucketed("frontier", ddlOf(Schemas.frontier))
     val resumedWave = ckpt.latestWave
     if (resumedWave.isEmpty) admitSeeds(seeds)
     var wave = ckpt.latestWave.get
@@ -150,8 +189,8 @@ class CrawlJob(
     var scheduledTotal = state("scheduledTotal").toLong
     var deadTotal = state("deadTotal").toLong
 
-    var frontier = ckpt.read(wave, "frontier", Schemas.frontier)
-    def seenUpTo(w: Int): DataFrame = ckpt.readAll(w, "seen_delta", Schemas.seen)
+    var frontier = ckpt.readBucketedWave("frontier", wave)
+    def seenUpTo(w: Int): DataFrame = ckpt.readBucketed("seen", w)
     var blooms: Map[Int, Array[Byte]] =
       if (settings.useBloom)
         Dedup.seenBlooms(seenUpTo(wave), settings.numBuckets,
@@ -159,6 +198,7 @@ class CrawlJob(
       else Map.empty
 
     var frontierSize = frontier.count()
+    var incPassesLeft = settings.incPasses
 
     while (frontierSize > 0 && wave < settings.maxWaves &&
            (settings.size < 0 || finished < settings.size)) {
@@ -172,8 +212,11 @@ class CrawlJob(
       val seen = seenUpTo(wave)
 
       // ---- schedule (O1/O3/O4/O6) ----
+      // P2 dispatch on the raw url (executor.py:415 parses the produced
+      // url string), computed once into the persisted wave frame
       val scheduled = Politeness.schedule(frontier, settings.hostBudget, grant,
         settings.nPriorities, settings.salts)
+        .withColumn("parser_id", ParserDispatch.parserId(col("url"), parserRules))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nScheduled = scheduled.count()
       if (nScheduled == 0) { // frontier non-empty but nothing eligible: done
@@ -198,16 +241,21 @@ class CrawlJob(
       val fetchedRaw = scheduled.join(
           pages.select(col("url").as("url_canon"), col("html"), col("lang")),
           Seq("url_canon"), "left")
-      val frontierCols = Schemas.frontier.fieldNames.map(col).toSeq
       val obs = new org.apache.spark.sql.Observation(s"wave_$w")
+      // which parsers extract text / follow links is driver-side plan
+      // specialization — constant isin sets over the dispatched column
+      def pidIn(ids: Seq[String]): Column =
+        if (ids.isEmpty) lit(false) else col("parser_id").isin(ids.map(x => x: Any): _*)
       val processed = fetchedRaw.select(
-          (frontierCols :+ col("lang") :+
+          (frontierCols :+ col("parser_id") :+ col("lang") :+
             col("html").isNotNull.as("ok") :+
-            (if (settings.extract)
-               when(col("html").isNotNull, extractTextUdf(col("html"), col("url_canon")))
+            (if (settings.extract && textParserIds.nonEmpty)
+               when(col("html").isNotNull && pidIn(textParserIds),
+                 extractTextUdf(col("html"), col("url_canon")))
                  .otherwise(lit(null)).as("text")
              else lit(null).cast("string").as("text")) :+
-            when(col("html").isNotNull, outlinksUdf(col("html"), col("url_canon")))
+            when(col("html").isNotNull && pidIn(linkParserIds),
+              outlinksUdf(col("html"), col("url_canon")))
               .otherwise(array().cast("array<string>")).as("outs")): _*)
         .observe(obs, count(lit(1)).as("n"),
           sum(when(col("ok"), 0L).otherwise(1L)).as("errors"))
@@ -233,18 +281,19 @@ class CrawlJob(
 
       val success = processed.filter(col("ok"))
       if (settings.inc) // O9: finished units feed the incremental queue
-        ckpt.write(success.select(col("url_canon"), lit(w).as("wave")), w, "inc")
+        ckpt.write(success.select(col("url"), col("url_canon"),
+          lit(w).as("wave"), col("priority"), col("seq")), w, "inc")
       counters.add("budget", "applied", nScheduled)
       counters.add("budget", "finishes", nSuccess)
       counters.add("budget", "errors", nErrors)
 
       if (settings.extract) {
-        val results = success.select(lit(w).as("wave"), col("url_canon"), col("lang"),
-          col("text"), size(col("outs")).as("n_outlinks"))
+        val results = success.select(lit(w).as("wave"), col("url_canon"),
+          col("parser_id"), col("lang"), col("text"), size(col("outs")).as("n_outlinks"))
         ckpt.write(results, w, "results")
       }
 
-      // ---- outlinks (F1) → new candidates: P1 pattern filter, P6 resolve
+      // ---- outlinks (F1) → new candidates: P1/P2 rule filter, P6 resolve
       //      (inside extractOutlinks), P7 self-drop, P8 canonicalize ----
       val outlinks = success.select(
         col("url_canon").as("parent_canon"), col("seq").as("parent_seq"),
@@ -252,7 +301,7 @@ class CrawlJob(
         posexplode(col("outs")).as(Seq("link_idx", "out_url")))
       val candidates = enrich(
           outlinks
-            .filter(col("out_url").rlike("(?i)" + settings.urlPattern))
+            .filter(ParserDispatch.accepts(col("out_url"), parserRules))
             .withColumnRenamed("out_url", "url"))
         .filter(col("url_canon") =!= col("parent_canon"))
         .withColumn("priority", Politeness.clampPriority(priorityExpr(col("url_canon")), settings.nPriorities))
@@ -275,7 +324,11 @@ class CrawlJob(
       val nNew = newEntries.count()
 
       // ---- next frontier ----
-      val leftover = frontier.join(scheduled.select("url_canon"), Seq("url_canon"), "left_anti")
+      // keyed (url_hash, url_canon): the frontier side is a bucketed scan
+      // on exactly those keys → no Exchange and no wide-string-only key;
+      // only the wave's scheduled rows (≤ waveCap) shuffle
+      val leftover = frontier.join(scheduled.select("url_hash", "url_canon"),
+          Seq("url_hash", "url_canon"), "left_anti")
         .select(frontierCols: _*)
       val frontierNext = leftover.unionByName(retry).unionByName(newEntries)
 
@@ -284,14 +337,35 @@ class CrawlJob(
         .unionByName(perPartitionLineage(newEntries, w, "admitted"))
         .unionByName(perPartitionLineage(scheduled, w, "scheduled"))
       ckpt.write(scheduleTable, w, "schedule")
-      ckpt.write(newEntries.select(col("url_hash"), col("url_canon"), lit(w).as("wave")), w, "seen_delta")
-      // frontierSize rides the frontier write (no separate count job)
-      val frontierObs = new org.apache.spark.sql.Observation(s"frontier_$w")
-      ckpt.write(frontierNext.observe(frontierObs, count(lit(1)).as("n")), w, "frontier")
-      ckpt.write(lineage, w, "lineage")
+      ckpt.writeBucketed(newEntries.select(col("url_hash"), col("url_canon")), w, "seen")
 
-      frontier = ckpt.read(w, "frontier", Schemas.frontier)
-      frontierSize = frontierObs.get("n").asInstanceOf[Long]
+      // exact arithmetic, no count job: scheduled ⊆ frontier and the
+      // frontier is unique per url_canon, so the leftover anti-join
+      // removes exactly nScheduled rows; retries and new entries re-enter
+      val nextSizeBase = frontierSize - nScheduled + (nErrors - nDead) + nNew
+
+      // ---- O9 automated re-crawl: frontier drained with budget left →
+      //      re-seed one pass from the inc queue (task.py:135-139: the inc
+      //      slice runs when the priority slices have nothing) ----
+      var frontierOut = frontierNext
+      var nIncSeeded = 0L
+      var reseeded: DataFrame = null
+      if (nextSizeBase == 0 && settings.inc && incPassesLeft > 0 &&
+          (settings.size < 0 || settings.size - applied > 0)) {
+        reseeded = incReseed(w, seen, if (settings.useBloom) Some(blooms) else None)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        nIncSeeded = reseeded.count()
+        frontierOut = frontierNext.unionByName(reseeded)
+        incPassesLeft -= 1
+        counters.add("inc", "reseeded", nIncSeeded)
+      }
+
+      ckpt.writeBucketed(frontierOut, w, "frontier")
+      ckpt.write(lineage, w, "lineage")
+      if (reseeded != null) reseeded.unpersist()
+
+      frontier = ckpt.readBucketedWave("frontier", w)
+      frontierSize = nextSizeBase + nIncSeeded
       val secs = (System.nanoTime() - t0) / 1e9
       val metrics = Seq(WaveMetrics(w, nScheduled, nSuccess, nErrors, nNew,
         nCandidates - nNew, frontierSize, applied, finished, secs)).toDF()
@@ -311,9 +385,40 @@ class CrawlJob(
     summary(wave, applied, finished, scheduledTotal, deadTotal)
   }
 
+  /** O9/D5: build one re-crawl pass from the inc queue. Every finished
+   *  unit was put_inc (force=True semantics, cola/core/mq/node.py:181-184);
+   *  the deterministic wave reading re-executes the UNIQUE finished set
+   *  per pass, FIFO by first finish (wave, seq) — the inc store's order —
+   *  at the slice after all priorities (≙ lowest priority here, since a
+   *  re-seed only happens when nothing else is runnable). The rows carry
+   *  force=true and go through the normal dedup gate, which they pass
+   *  despite being seen (D5, store.py:252). */
+  private def incReseed(w: Int, seen: DataFrame,
+      blooms: Option[Map[Int, Array[Byte]]]): DataFrame = {
+    val incAll = ckpt.readAll(w, "inc", Schemas.inc)
+    val firstFin = incAll.groupBy(col("url_canon"))
+      .agg(min(struct(col("wave"), col("priority"), col("seq"), col("url"))).as("f"))
+      .select(col("f.url").as("url"), col("url_canon"), col("f.wave").as("inc_wave"),
+        col("f.priority").as("inc_priority"), col("f.seq").as("inc_seq"))
+    val entries = firstFin
+      .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
+      .withColumn("host", hostCol(col("url_canon")))
+      .withColumn("priority", lit(settings.nPriorities - 1))
+      .withColumn("depth", lit(0))
+      .withColumn("force", lit(true))
+      .withColumn("error_times", lit(0))
+      .withColumn("discovered_wave", lit(w))
+    val passed = Dedup.dedupWave(spark, entries, seen,
+      Seq(col("inc_seq")), blooms, settings.numBuckets)
+    withDenseSeq(passed,
+      Seq(col("inc_wave").asc, col("inc_priority").asc, col("inc_seq").asc),
+      waveBase(w), "seq")
+      .select(frontierCols: _*)
+  }
+
   private def summary(wave: Int, applied: Long, finished: Long,
       scheduledTotal: Long, deadTotal: Long): CrawlSummary = {
-    val seenTotal = ckpt.readAll(wave, "seen_delta", Schemas.seen).count()
+    val seenTotal = ckpt.readBucketed("seen", wave).count()
     CrawlSummary(wave, applied, finished, scheduledTotal, seenTotal, deadTotal)
   }
 
@@ -322,7 +427,7 @@ class CrawlJob(
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "schedule", Schemas.schedule)
 
   def seenTable: DataFrame =
-    ckpt.readAll(ckpt.latestWave.getOrElse(0), "seen_delta", Schemas.seen)
+    ckpt.readBucketed("seen", ckpt.latestWave.getOrElse(0))
 
   def deadTable: DataFrame =
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "dead", Schemas.dead)

@@ -41,13 +41,17 @@ case class WaveMetrics(wave: Int, scheduled: Long, fetched: Long, errors: Long,
     new_urls: Long, deduped: Long, frontier_size: Long,
     applied: Long, finished: Long, secs: Double)
 
-/** Extraction result row (S4 result sink). */
-case class PageResult(wave: Int, url_canon: String, lang: String, text: String,
-    n_outlinks: Int)
+/** Extraction result row (S4 result sink); parser_id = the P2 rule that
+ *  handled the page. */
+case class PageResult(wave: Int, url_canon: String, parser_id: String,
+    lang: String, text: String, n_outlinks: Int)
 
-/** Incremental re-crawl queue row (O9: every finished unit is put_inc,
- *  cola/job/executor.py:426-427; re-crawled at lowest priority). */
-case class IncEntry(url_canon: String, wave: Int)
+/** Incremental re-crawl queue row (O9: every finished unit is put_inc
+ *  with force=True, cola/job/executor.py:426-427 + core/mq/node.py:181-184;
+ *  re-crawled in the slice after all priorities, task.py:135-139).
+ *  (wave, priority, seq) is the finish order — the inc store's FIFO
+ *  (within a wave, units finish in schedule order = (priority, seq)). */
+case class IncEntry(url: String, url_canon: String, wave: Int, priority: Int, seq: Long)
 
 object Schemas {
   val frontier: StructType = Encoders.product[FrontierEntry].schema

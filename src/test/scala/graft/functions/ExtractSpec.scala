@@ -80,17 +80,30 @@ class ExtractSpec extends AnyFunSuite {
     assert(links.forall(_.startsWith("http://")))
   }
 
-  test("charset sniffing (X3): UTF-8 detected, invalid bytes fall back to windows-1252") {
+  test("charset sniffing (X3): UTF-8, GBK and latin-1 pages detected deterministically") {
     import java.nio.charset.StandardCharsets
     assert(Extract.sniffCharset("plain ascii".getBytes(StandardCharsets.US_ASCII)) == "utf-8")
     assert(Extract.sniffCharset("héllo — ü 中文".getBytes(StandardCharsets.UTF_8)) == "utf-8")
-    val latin1 = "caf\u00e9".getBytes(StandardCharsets.ISO_8859_1) // 0xE9 alone: invalid UTF-8
+    // latin-1 / windows-1252: accented letters isolated inside ASCII words
+    // (odd high-byte runs) \u2014 must NOT be claimed by the GBK detector
+    val latin1 = "caf\u00e9 na\u00efve r\u00e9sum\u00e9".getBytes(StandardCharsets.ISO_8859_1)
     assert(Extract.sniffCharset(latin1) == "windows-1252")
-    assert(Extract.decodeHtml(latin1) == "caf\u00e9")
-    // truncated multibyte sequence
-    assert(Extract.sniffCharset(Array(0xE4.toByte, 0xB8.toByte)) == "windows-1252")
-    // overlong/illegal lead bytes
-    assert(Extract.sniffCharset(Array(0xC0.toByte, 0xAF.toByte)) == "windows-1252")
+    assert(Extract.decodeHtml(latin1) == "caf\u00e9 na\u00efve r\u00e9sum\u00e9")
+    // a real GBK page body: Chinese sentence with ASCII mixed in
+    val gbkText = "\u7f51\u7edc\u722c\u866b\u7684\u8c03\u5ea6\u961f\u5217 crawler \u6570\u636e\u5206\u6790\u7cfb\u7edf\u3002"
+    val gbk = gbkText.getBytes(java.nio.charset.Charset.forName("GBK"))
+    assert(Extract.sniffCharset(gbk) == "GBK")
+    assert(Extract.decodeHtml(gbk) == gbkText) // round-trips through detection
+    // end-to-end: a GBK-encoded HTML page extracts the same text as its
+    // UTF-8 twin (the reference re-encodes after chardet, generic:99-103)
+    val gbkHtml = "<html><head><title>T</title></head><body><div id='c'>" +
+      (1 to 12).map(_ => gbkText).mkString("<p>", "</p><p>", "</p>") + "</div></body></html>"
+    assert(Extract.extractText(gbkHtml.getBytes(java.nio.charset.Charset.forName("GBK")), "http://h/x") ==
+      Extract.extractText(gbkHtml.getBytes(StandardCharsets.UTF_8), "http://h/x"))
+    // a lone valid GBK pair is claimed by GBK (it IS a hanzi in GBK);
+    // bytes no supported charset strictly decodes fall back to 1252
+    assert(Extract.sniffCharset(Array(0xE4.toByte, 0xB8.toByte)) == "GBK")
+    assert(Extract.sniffCharset(Array(0x81.toByte, 0x3f.toByte, 0xFF.toByte, 0xFF.toByte)) == "windows-1252")
     assert(Extract.sniffCharset(Array[Byte]()) == "utf-8")
     // decode of valid utf-8 round-trips
     assert(Extract.decodeHtml("中文 test".getBytes(StandardCharsets.UTF_8)) == "中文 test")

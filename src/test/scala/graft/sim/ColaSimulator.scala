@@ -34,12 +34,25 @@ class ColaSimulator(
   val dead = mutable.ArrayBuffer.empty[String]
   var applied = 0L
   var finished = 0L
+  // O9 inc store: finished units in first-finish FIFO order (canon -> raw)
+  private val incQueue = mutable.LinkedHashMap.empty[String, String]
+  private var incPassesLeft = settings.incPasses
 
   private def waveBase(w: Int): Long = w.toLong << 40
 
-  private val pattern = ("(?i)" + settings.urlPattern).r
+  // P1/P2 rule table: ordered patterns, first match dispatches, no match
+  // drops (cola/core/urls.py:48-73). Behaviors duplicated here on purpose
+  // (structural independence from graft.operators.ParserDispatch).
+  private val rules: Seq[(scala.util.matching.Regex, String)] =
+    (if (settings.parsers.nonEmpty) settings.parsers.map(r => (r.pattern, r.parserId))
+     else Seq((settings.urlPattern, "extract")))
+      .map { case (p, id) => (("(?i)" + p).r, id) }
+  private val followsLinks = Map("extract" -> true, "links" -> true, "leaf" -> false)
 
-  private def accepts(url: String): Boolean = pattern.findFirstIn(url).isDefined
+  private def parserOf(url: String): Option[String] =
+    rules.collectFirst { case (re, id) if re.findFirstIn(url).isDefined => id }
+
+  private def accepts(url: String): Boolean = parserOf(url).isDefined
 
   private def clamp(p: Int): Int = math.min(math.max(p, 0), settings.nPriorities - 1)
 
@@ -106,10 +119,15 @@ class ColaSimulator(
             else dead += e.canon
           case Some(html) =>
             finished += 1
-            Extract.extractOutlinks(html, e.canon).zipWithIndex.foreach { case (out, li) =>
-              if (accepts(out)) {
-                val canon = UrlCanon.canonicalize(out)
-                if (canon != e.canon) candidates += ((e.seq, li, out))
+            if (!incQueue.contains(e.canon)) incQueue += e.canon -> e.url
+            // P2: only link-following parsers feed the frontier; dispatch
+            // on the raw url like the engine (executor.py:415)
+            if (parserOf(e.url).exists(followsLinks)) {
+              Extract.extractOutlinks(html, e.canon).zipWithIndex.foreach { case (out, li) =>
+                if (accepts(out)) {
+                  val canon = UrlCanon.canonicalize(out)
+                  if (canon != e.canon) candidates += ((e.seq, li, out))
+                }
               }
             }
         }
@@ -127,6 +145,17 @@ class ColaSimulator(
         }
       }
       frontier = leftover ++ retries ++ fresh
+      // O9 automated re-crawl: frontier drained with budget left → one
+      // pass over the inc store (first-finish FIFO), lowest priority,
+      // bypassing the seen gate (put_inc force=True, node.py:181-184)
+      if (frontier.isEmpty && settings.inc && incPassesLeft > 0 &&
+          (settings.size < 0 || settings.size - applied > 0)) {
+        incQueue.zipWithIndex.foreach { case ((canon, raw), i) =>
+          frontier += Entry(raw, canon, UrlCanon.host(canon),
+            settings.nPriorities - 1, 0, waveBase(w) + i, 0)
+        }
+        incPassesLeft -= 1
+      }
       wave = w
     }
   }
