@@ -119,13 +119,17 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def latestWave: Option[Int] = {
-    if (!Files.exists(manifestDir)) return None
-    val waves = Files.list(manifestDir).iterator().asScala
+  def committedWaves: Seq[Int] = {
+    if (!Files.exists(manifestDir)) return Seq.empty
+    Files.list(manifestDir).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("wave-") && s.endsWith(".properties") =>
         s.stripPrefix("wave-").stripSuffix(".properties").toInt }
       .toSeq
+  }
+
+  def latestWave: Option[Int] = {
+    val waves = committedWaves
     if (waves.isEmpty) None else Some(waves.max)
   }
 

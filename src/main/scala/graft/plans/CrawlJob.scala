@@ -108,31 +108,42 @@ class CrawlJob(
    *  across parallelism levels (O3). */
   private def waveBase(w: Int): Long = w.toLong << 40
 
-  /** Dense deterministic sequence: total-order sort + zipWithIndex. The
-   *  one justified RDD drop (SURVEY §2.10): a dense global rank must not
-   *  depend on partition boundaries, and zipWithIndex is the distributed
-   *  way to get one (row_number over an empty window would single-task).
+  /** Dense deterministic sequence: total-order sort + a zipWithIndex
+   *  equivalent. The one justified RDD drop (SURVEY §2.10): a dense
+   *  global rank must not depend on partition boundaries (a row_number
+   *  over an empty window would single-task).
    *
-   *  Runs at the InternalRow level (`queryExecution.toRdd` +
-   *  JoinedRow + internalCreateDataFrame): the old `.rdd` form paid a
-   *  full UnsafeRow→external Row→UnsafeRow round trip (boxing every
-   *  column, twice per wave). Rows obey the standard valid-until-next()
-   *  iterator contract — JoinedRow wraps, downstream operators copy if
-   *  they buffer. */
-  private def withDenseSeq(df: DataFrame, ord: Seq[Column], start: Long, outCol: String): DataFrame = {
+   *  Runs at the InternalRow level (`queryExecution.toRdd` + JoinedRow +
+   *  internalCreateDataFrame): the old `.rdd` form paid a full
+   *  UnsafeRow→external Row→UnsafeRow round trip (boxing every column,
+   *  twice per wave). Rows obey the standard valid-until-next() iterator
+   *  contract — JoinedRow wraps, downstream operators copy if they buffer.
+   *
+   *  Returns (df, total): the per-partition count pass a dense rank needs
+   *  anyway yields the global count for free, so callers never pay a
+   *  separate count job for nScheduled / nNew. */
+  private def withDenseSeq(df: DataFrame, ord: Seq[Column], start: Long, outCol: String): (DataFrame, Long) = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     val sorted = df.orderBy(ord: _*)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val rdd = sorted.queryExecution.toRdd.zipWithIndex.mapPartitions { it =>
+    val rdd0 = sorted.queryExecution.toRdd
+    val counts = rdd0.mapPartitions { it =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single(n)
+    }.collect()
+    val offsets = counts.scanLeft(start)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (p, it) =>
       val joined = new JoinedRow()
       val seqRow = new GenericInternalRow(1)
-      it.map { case (r, i) =>
-        seqRow.update(0, start + i)
+      var i = offsets(p)
+      it.map { r =>
+        seqRow.update(0, i)
+        i += 1
         joined(r, seqRow): InternalRow
       }
     }
-    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
+    (org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, schema),
+      offsets.last - start)
   }
 
   /** Candidate enrichment: url → (canon, hash, host); robots gate applied
@@ -162,7 +173,7 @@ class CrawlJob(
       .withColumn("error_times", lit(0))
       .withColumn("discovered_wave", lit(0))
     val deduped = Dedup.firstSeenInBatch(entries, Seq(col("__idx")))
-    val withSeq = withDenseSeq(deduped, Seq(col("__idx")), waveBase(0), "seq")
+    val withSeq = withDenseSeq(deduped, Seq(col("__idx")), waveBase(0), "seq")._1
       .drop("__idx")
       .select(frontierCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -189,7 +200,13 @@ class CrawlJob(
     var scheduledTotal = state("scheduledTotal").toLong
     var deadTotal = state("deadTotal").toLong
 
+    // one persisted frontier read per wave: the bucketed scan has no
+    // exchange for ReuseExchange to share, and politeness reads it three
+    // ways + the leftover anti-join — cache instead of 4 parquet scans.
+    // (InMemoryRelation preserves the scan's hash partitioning, so the
+    // leftover join stays exchange-free on this side.)
     var frontier = ckpt.readBucketedWave("frontier", wave)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def seenUpTo(w: Int): DataFrame = ckpt.readBucketed("seen", w)
     var blooms: Map[Int, Array[Byte]] =
       if (settings.useBloom)
@@ -207,7 +224,10 @@ class CrawlJob(
       val grant =
         if (settings.size < 0) settings.waveCap
         else math.min(settings.waveCap, settings.size - applied)
-      if (grant <= 0) return summary(wave, applied, finished, scheduledTotal, deadTotal)
+      if (grant <= 0) {
+        frontier.unpersist()
+        return summary(wave, applied, finished, scheduledTotal, deadTotal)
+      }
 
       val seen = seenUpTo(wave)
 
@@ -218,17 +238,18 @@ class CrawlJob(
         settings.nPriorities, settings.salts)
         .withColumn("parser_id", ParserDispatch.parserId(col("url"), parserRules))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nScheduled = scheduled.count()
+      // the rank pass doubles as the nScheduled count and the cache build
+      val (ranked, nScheduled) = withDenseSeq(
+        scheduled.select(col("priority"), col("seq"), col("host"), col("url_canon"), col("depth")),
+        Seq(col("priority").asc, col("seq").asc), 0L, "rank")
       if (nScheduled == 0) { // frontier non-empty but nothing eligible: done
-        scheduled.unpersist()
+        scheduled.unpersist(); frontier.unpersist()
         return summary(wave, applied, finished, scheduledTotal, deadTotal)
       }
       applied += nScheduled
       scheduledTotal += nScheduled
 
-      val scheduleTable = withDenseSeq(
-        scheduled.select(col("priority"), col("seq"), col("host"), col("url_canon"), col("depth")),
-        Seq(col("priority").asc, col("seq").asc), 0L, "rank")
+      val scheduleTable = ranked
         .select(lit(w).as("wave"), col("rank"), col("priority"), col("seq"),
           col("host"), col("url_canon"), col("depth"))
 
@@ -273,14 +294,19 @@ class CrawlJob(
       val dead = bumped.filter(col("error_times") > settings.retries)
         .select(lit(w).as("wave"), col("url_canon"), col("host"),
           col("error_times"), lit("fetch_miss").as("reason"))
-      // nDead rides the dead-letter write via Observation (one job, not two)
-      val deadObs = new org.apache.spark.sql.Observation(s"dead_$w")
-      ckpt.write(dead.observe(deadObs, count(lit(1)).as("n")), w, "dead")
-      val nDead = deadObs.get("n").asInstanceOf[Long]
+      // dead letters and the inc queue only get a write job when they
+      // have rows (most waves have no errors; empty parquet writes cost
+      // a full job each on the driver-latency-bound wave path)
+      var nDead = 0L
+      if (nErrors > 0) {
+        val deadObs = new org.apache.spark.sql.Observation(s"dead_$w")
+        ckpt.write(dead.observe(deadObs, count(lit(1)).as("n")), w, "dead")
+        nDead = deadObs.get("n").asInstanceOf[Long]
+      }
       deadTotal += nDead
 
       val success = processed.filter(col("ok"))
-      if (settings.inc) // O9: finished units feed the incremental queue
+      if (settings.inc && nSuccess > 0) // O9: finished units feed the inc queue
         ckpt.write(success.select(col("url"), col("url_canon"),
           lit(w).as("wave"), col("priority"), col("seq")), w, "inc")
       counters.add("budget", "applied", nScheduled)
@@ -317,11 +343,13 @@ class CrawlJob(
       val fresh = Dedup.dedupWave(spark, candidates, seen,
           Seq(col("parent_seq"), col("link_idx")),
           if (settings.useBloom) Some(blooms) else None, settings.numBuckets)
-      val newEntries = withDenseSeq(fresh, Seq(col("parent_seq").asc, col("link_idx").asc),
-          waveBase(w), "seq")
-        .select(Schemas.frontier.fieldNames.map(col).toSeq: _*)
+      // nNew rides the dense-seq count pass; the cache builds at the seen
+      // write (the first action over newEntries)
+      val (freshSeq, nNew) = withDenseSeq(fresh,
+        Seq(col("parent_seq").asc, col("link_idx").asc), waveBase(w), "seq")
+      val newEntries = freshSeq
+        .select(frontierCols: _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nNew = newEntries.count()
 
       // ---- next frontier ----
       // keyed (url_hash, url_canon): the frontier side is a bucketed scan
@@ -337,7 +365,8 @@ class CrawlJob(
         .unionByName(perPartitionLineage(newEntries, w, "admitted"))
         .unionByName(perPartitionLineage(scheduled, w, "scheduled"))
       ckpt.write(scheduleTable, w, "schedule")
-      ckpt.writeBucketed(newEntries.select(col("url_hash"), col("url_canon")), w, "seen")
+      if (nNew > 0)
+        ckpt.writeBucketed(newEntries.select(col("url_hash"), col("url_canon")), w, "seen")
 
       // exact arithmetic, no count job: scheduled ⊆ frontier and the
       // frontier is unique per url_canon, so the leftover anti-join
@@ -349,12 +378,10 @@ class CrawlJob(
       //      slice runs when the priority slices have nothing) ----
       var frontierOut = frontierNext
       var nIncSeeded = 0L
-      var reseeded: DataFrame = null
       if (nextSizeBase == 0 && settings.inc && incPassesLeft > 0 &&
           (settings.size < 0 || settings.size - applied > 0)) {
-        reseeded = incReseed(w, seen, if (settings.useBloom) Some(blooms) else None)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        nIncSeeded = reseeded.count()
+        val (reseeded, nSeeded) = incReseed(w, seen, if (settings.useBloom) Some(blooms) else None)
+        nIncSeeded = nSeeded
         frontierOut = frontierNext.unionByName(reseeded)
         incPassesLeft -= 1
         counters.add("inc", "reseeded", nIncSeeded)
@@ -362,17 +389,21 @@ class CrawlJob(
 
       ckpt.writeBucketed(frontierOut, w, "frontier")
       ckpt.write(lineage, w, "lineage")
-      if (reseeded != null) reseeded.unpersist()
 
+      frontier.unpersist()
       frontier = ckpt.readBucketedWave("frontier", w)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       frontierSize = nextSizeBase + nIncSeeded
       val secs = (System.nanoTime() - t0) / 1e9
-      val metrics = Seq(WaveMetrics(w, nScheduled, nSuccess, nErrors, nNew,
-        nCandidates - nNew, frontierSize, applied, finished, secs)).toDF()
-      ckpt.write(metrics, w, "metrics")
+      // A7 wave metrics are driver-known scalars — they ride the manifest
+      // (no parquet job); metricsTable reconstructs them from manifests
       ckpt.commit(w, Map(
         "applied" -> applied.toString, "finished" -> finished.toString,
-        "scheduledTotal" -> scheduledTotal.toString, "deadTotal" -> deadTotal.toString))
+        "scheduledTotal" -> scheduledTotal.toString, "deadTotal" -> deadTotal.toString,
+        "m.scheduled" -> nScheduled.toString, "m.fetched" -> nSuccess.toString,
+        "m.errors" -> nErrors.toString, "m.new_urls" -> nNew.toString,
+        "m.deduped" -> (nCandidates - nNew).toString,
+        "m.frontier_size" -> frontierSize.toString, "m.secs" -> secs.toString))
 
       if (settings.useBloom && nNew > 0)
         blooms = Dedup.updateBlooms(blooms, newEntries, settings.numBuckets,
@@ -382,6 +413,7 @@ class CrawlJob(
       candidates.unpersist(); newEntries.unpersist()
       wave = w
     }
+    frontier.unpersist()
     summary(wave, applied, finished, scheduledTotal, deadTotal)
   }
 
@@ -394,7 +426,7 @@ class CrawlJob(
    *  force=true and go through the normal dedup gate, which they pass
    *  despite being seen (D5, store.py:252). */
   private def incReseed(w: Int, seen: DataFrame,
-      blooms: Option[Map[Int, Array[Byte]]]): DataFrame = {
+      blooms: Option[Map[Int, Array[Byte]]]): (DataFrame, Long) = {
     val incAll = ckpt.readAll(w, "inc", Schemas.inc)
     val firstFin = incAll.groupBy(col("url_canon"))
       .agg(min(struct(col("wave"), col("priority"), col("seq"), col("url"))).as("f"))
@@ -410,10 +442,10 @@ class CrawlJob(
       .withColumn("discovered_wave", lit(w))
     val passed = Dedup.dedupWave(spark, entries, seen,
       Seq(col("inc_seq")), blooms, settings.numBuckets)
-    withDenseSeq(passed,
+    val (seeded, n) = withDenseSeq(passed,
       Seq(col("inc_wave").asc, col("inc_priority").asc, col("inc_seq").asc),
       waveBase(w), "seq")
-      .select(frontierCols: _*)
+    (seeded.select(frontierCols: _*), n)
   }
 
   private def summary(wave: Int, applied: Long, finished: Long,
@@ -435,8 +467,18 @@ class CrawlJob(
   def lineageTable: DataFrame =
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "lineage", Schemas.lineage)
 
-  def metricsTable: DataFrame =
-    ckpt.readAll(ckpt.latestWave.getOrElse(0), "metrics", Schemas.metrics)
+  /** A7 per-wave metrics, reconstructed from the wave manifests. */
+  def metricsTable: DataFrame = {
+    val rows = ckpt.committedWaves.filter(_ > 0).sorted.flatMap { w =>
+      val m = ckpt.manifest(w)
+      if (!m.contains("m.scheduled")) None
+      else Some(WaveMetrics(w, m("m.scheduled").toLong, m("m.fetched").toLong,
+        m("m.errors").toLong, m("m.new_urls").toLong, m("m.deduped").toLong,
+        m("m.frontier_size").toLong, m("applied").toLong, m("finished").toLong,
+        m("m.secs").toDouble))
+    }
+    rows.toDF()
+  }
 
   def resultsTable: DataFrame =
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "results", Schemas.results)

@@ -11,10 +11,24 @@ object QueryTime {
     val spark = FrontierBench.session(32)
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
+    val nJobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(j.jobId, System.nanoTime())
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        nJobs.incrementAndGet()
+        Option(starts.remove(j.jobId)).foreach(t0 => jobNanos.addAndGet(System.nanoTime() - t0))
+      }
+    })
     (1 to reps).foreach { r =>
+      nJobs.set(0); jobNanos.set(0)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"QUERY $name rep=$r ${(System.nanoTime() - t0) / 1e9}%7.2f s rows=$n")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener drain
+      println(f"QUERY $name rep=$r $wall%7.2f s rows=$n jobs=${nJobs.get} jobSecs=${jobNanos.get / 1e9}%.2f")
     }
     spark.stop()
   }
