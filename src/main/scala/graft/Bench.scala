@@ -65,7 +65,10 @@ object Bench {
          || scaling efficiency ${scaling.coresN}→${scaling.cores4N} | ${scaling.efficiency}%.3f |
          |
          |Measured wave: canonicalize → D1 dedup (in-batch first-seen +
-         |exact anti-join vs 20%% pre-seen) → salted per-host politeness
+         |exact anti-join against a 20%%-pre-seen BUCKETED seen table —
+         |read the way the engine stores it, ${FrontierBench.StorageBuckets}
+         |buckets on (url_hash, url_canon), no seen-side Exchange; see
+         |BENCH/PLANS.md §7) → salted per-host politeness
          |top-k + priority quotas (see graft.FrontierBench). Protocol:
          |separate taskset-pinned JVM per level (-XX:ActiveProcessorCount,
          |-Xms=-Xmx); the two levels are INTERLEAVED across

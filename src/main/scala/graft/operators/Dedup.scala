@@ -49,9 +49,10 @@ object Dedup {
    *  identical] and aggregates each remaining column with its own
    *  primitive min_by, which (a) stays in whole-stage-codegen hash
    *  aggregation and (b) lets Catalyst prune unused columns out of the
-   *  aggregate entirely. Grouping with url_hash leading also makes the
-   *  output partitioning reusable by [[antiJoinSeen]] (same key set → no
-   *  second shuffle of the candidates). Falls back to the generic
+   *  aggregate entirely. (When the seen side is a bucketed storage table,
+   *  the anti-join re-exchanges the DEDUPED output to the bucket layout —
+   *  the post-dedup delta, never the raw candidates, and never the
+   *  cumulative seen side.) Falls back to the generic
    *  struct-valued form for multi-column `ord` or var-length payload
    *  columns (e.g. the raw `url` before it is dropped).
    *

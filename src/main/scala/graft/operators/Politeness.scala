@@ -158,7 +158,9 @@ object Politeness {
    * smallest seq). One aggregate over (priority, seq >> 16) yields the
    * per-priority totals (does the quota bind?) plus an exact
    * order-preserving histogram (buckets are contiguous seq ranges holding
-   * ≤ 2^16 rows each); the driver prefix-sums a binding priority's
+   * ≤ 2^16 rows each — driver-side size is ≤ n/2^16 rows ≈ 2.4 MB at a
+   * 10^10-row wave, and waves are bounded by waveCap anyway); the driver
+   * prefix-sums a binding priority's
    * buckets to the bucket containing the threshold, resolves the exact
    * value with orderBy+limit+max over that ≤ 2^16-row bucket (compiles to
    * TakeOrderedAndProject — bounded per-partition heaps), and the final

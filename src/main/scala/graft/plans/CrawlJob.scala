@@ -46,7 +46,8 @@ case class CrawlSettings(
     extract: Boolean = true,
     inc: Boolean = true, // O9 incremental queue (job.inc, main.yaml:22)
     incPasses: Int = 0, // O9 automated re-crawl passes once the frontier drains
-    parsers: Seq[ParserRule] = Seq.empty)
+    parsers: Seq[ParserRule] = Seq.empty,
+    bundles: Option[graft.operators.BundleSpec] = None) // F2/F3 labeled bundles
 
 case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
     scheduledTotal: Long, seenTotal: Long, deadTotal: Long)
@@ -172,6 +173,7 @@ class CrawlJob(
       .withColumn("force", lit(false))
       .withColumn("error_times", lit(0))
       .withColumn("discovered_wave", lit(0))
+      .withColumn("bundle", lit(null).cast("string"))
     val deduped = Dedup.firstSeenInBatch(entries, Seq(col("__idx")))
     val withSeq = withDenseSeq(deduped, Seq(col("__idx")), waveBase(0), "seq")._1
       .drop("__idx")
@@ -325,28 +327,70 @@ class CrawlJob(
         col("url_canon").as("parent_canon"), col("seq").as("parent_seq"),
         col("depth").as("parent_depth"),
         posexplode(col("outs")).as(Seq("link_idx", "out_url")))
-      val candidates = enrich(
-          outlinks
-            .filter(ParserDispatch.accepts(col("out_url"), parserRules))
-            .withColumnRenamed("out_url", "url"))
-        .filter(col("url_canon") =!= col("parent_canon"))
+      val acceptedLinks = outlinks.filter(ParserDispatch.accepts(col("out_url"), parserRules))
+      // discovery decoration shared by plain outlinks and bundle members
+      def decorate(df: DataFrame): DataFrame = df
         .withColumn("priority", Politeness.clampPriority(priorityExpr(col("url_canon")), settings.nPriorities))
         .withColumn("depth", col("parent_depth") + 1)
         .withColumn("force", lit(false))
         .withColumn("error_times", lit(0))
         .withColumn("discovered_wave", lit(w))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // ---- F2/F3 bundles: links matching the bundle pattern discover
+      //      LABELS (deduped by label through the same seen set, as
+      //      `bundle://<label>` — the reference dedups on str(obj), a
+      //      mixed url/label domain); fresh labels expand to member urls
+      //      (bundle.urls()) which join the candidate stream tagged with
+      //      their bundle ----
+      var freshLabels: DataFrame = null
+      var nLabels = 0L
+      val candidates = (settings.bundles match {
+        case None =>
+          enrich(acceptedLinks.withColumnRenamed("out_url", "url"))
+            .filter(col("url_canon") =!= col("parent_canon"))
+            .transform(decorate)
+            .withColumn("bundle", lit(null).cast("string"))
+            .withColumn("member_idx", lit(0))
+        case Some(bs) =>
+          val labelCol = regexp_extract(col("out_url"), "(?i)" + bs.pattern, 1)
+          val plain = enrich(acceptedLinks.filter(labelCol === "").withColumnRenamed("out_url", "url"))
+            .filter(col("url_canon") =!= col("parent_canon"))
+            .transform(decorate)
+            .withColumn("bundle", lit(null).cast("string"))
+            .withColumn("member_idx", lit(0))
+          val labels = acceptedLinks
+            .withColumn("label", labelCol)
+            .filter(col("label") =!= "")
+            .withColumn("url_canon", concat(lit("bundle://"), col("label")))
+            .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
+            .select("url_hash", "url_canon", "label", "parent_seq", "link_idx", "parent_depth")
+          freshLabels = Dedup.dedupWave(spark, labels, seen,
+              Seq(col("parent_seq"), col("link_idx")),
+              if (settings.useBloom) Some(blooms) else None, settings.numBuckets)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val memberUdf = udf((label: String) => bs.memberUrls(label))
+          val members = enrich(freshLabels
+              .select(col("label").as("bundle"), col("parent_seq"), col("link_idx"),
+                col("parent_depth"),
+                posexplode(memberUdf(col("label"))).as(Seq("member_idx", "url")))
+              .withColumn("member_idx", col("member_idx") + 1)) // plain rows are 0
+            .transform(decorate)
+            .withColumn("parent_canon", lit(null).cast("string"))
+          plain.unionByName(members.select(plain.columns.map(col).toSeq: _*))
+      }).persist(StorageLevel.MEMORY_AND_DISK)
 
       val nCandidates = candidates.count()
+      if (freshLabels != null) nLabels = freshLabels.count() // cached, cheap
 
       // ---- D1 dedup gate ----
       val fresh = Dedup.dedupWave(spark, candidates, seen,
-          Seq(col("parent_seq"), col("link_idx")),
+          Seq(col("parent_seq"), col("link_idx"), col("member_idx")),
           if (settings.useBloom) Some(blooms) else None, settings.numBuckets)
       // nNew rides the dense-seq count pass; the cache builds at the seen
       // write (the first action over newEntries)
       val (freshSeq, nNew) = withDenseSeq(fresh,
-        Seq(col("parent_seq").asc, col("link_idx").asc), waveBase(w), "seq")
+        Seq(col("parent_seq").asc, col("link_idx").asc, col("member_idx").asc),
+        waveBase(w), "seq")
       val newEntries = freshSeq
         .select(frontierCols: _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -365,8 +409,15 @@ class CrawlJob(
         .unionByName(perPartitionLineage(newEntries, w, "admitted"))
         .unionByName(perPartitionLineage(scheduled, w, "scheduled"))
       ckpt.write(scheduleTable, w, "schedule")
-      if (nNew > 0)
-        ckpt.writeBucketed(newEntries.select(col("url_hash"), col("url_canon")), w, "seen")
+      // seen delta = new frontier urls ∪ fresh bundle labels (both gate
+      // future discoveries; labels must also reach the blooms or the
+      // "definitely new" shortcut would readmit a seen label)
+      val seenDelta =
+        if (nLabels > 0)
+          newEntries.select(col("url_hash"), col("url_canon"))
+            .unionByName(freshLabels.select(col("url_hash"), col("url_canon")))
+        else newEntries.select(col("url_hash"), col("url_canon"))
+      if (nNew + nLabels > 0) ckpt.writeBucketed(seenDelta, w, "seen")
 
       // exact arithmetic, no count job: scheduled ⊆ frontier and the
       // frontier is unique per url_canon, so the leftover anti-join
@@ -405,12 +456,13 @@ class CrawlJob(
         "m.deduped" -> (nCandidates - nNew).toString,
         "m.frontier_size" -> frontierSize.toString, "m.secs" -> secs.toString))
 
-      if (settings.useBloom && nNew > 0)
-        blooms = Dedup.updateBlooms(blooms, newEntries, settings.numBuckets,
+      if (settings.useBloom && nNew + nLabels > 0)
+        blooms = Dedup.updateBlooms(blooms, seenDelta, settings.numBuckets,
           math.max(settings.bloomCapacity / settings.numBuckets, 1024))
 
       scheduled.unpersist(); processed.unpersist()
       candidates.unpersist(); newEntries.unpersist()
+      if (freshLabels != null) freshLabels.unpersist()
       wave = w
     }
     frontier.unpersist()
@@ -440,6 +492,7 @@ class CrawlJob(
       .withColumn("force", lit(true))
       .withColumn("error_times", lit(0))
       .withColumn("discovered_wave", lit(w))
+      .withColumn("bundle", lit(null).cast("string"))
     val passed = Dedup.dedupWave(spark, entries, seen,
       Seq(col("inc_seq")), blooms, settings.numBuckets)
     val (seeded, n) = withDenseSeq(passed,

@@ -18,7 +18,8 @@ case class FrontierEntry(
     seq: Long,
     force: Boolean,
     error_times: Int,
-    discovered_wave: Int)
+    discovered_wave: Int,
+    bundle: String) // F2/F3 label of the bundle that generated this URL; null = plain
 
 /** URL-seen set row (D1/D4 — the exact MapDeduper equivalent). */
 case class SeenEntry(url_hash: Long, url_canon: String, wave: Int)

@@ -53,16 +53,36 @@ object StreamingFrontier {
       .flatMapGroupsWithState[HostGateState, GatedUrl](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (host: String, rows: Iterator[UrlEvent], state: GroupState[HostGateState]) =>
-          val out = Seq.newBuilder[GatedUrl]
-          var st = state.getOption.getOrElse(HostGateState(Long.MinValue, 0))
-          // deterministic processing order within the micro-batch
-          rows.toSeq.sortBy(e => (e.priority, e.ts.getTime, e.url_canon)).foreach { e =>
+          // Bounded single pass: keep only the best ≤ remaining-budget
+          // events PER WINDOW in a max-heap (worst at head, evicted on
+          // overflow) — a mega-host micro-batch is never materialized
+          // (memory = O(windows-in-batch × budget), not O(batch)), and
+          // per-window accounting is exact even when the batch spans
+          // windows. Deterministic: selection and emission order are by
+          // (priority, ts, url_canon) within ascending windows.
+          val st0 = state.getOption.getOrElse(HostGateState(Long.MinValue, 0))
+          val ord = Ordering.by[UrlEvent, (Int, Long, String)](e =>
+            (e.priority, e.ts.getTime, e.url_canon))
+          val perWindow = scala.collection.mutable.SortedMap.empty[Long,
+            scala.collection.mutable.PriorityQueue[UrlEvent]]
+          rows.foreach { e =>
             val w = math.floorDiv(e.ts.getTime, windowMillis)
-            if (w != st.windowStart) st = HostGateState(w, 0)
-            if (st.emitted < hostBudget) {
-              out += GatedUrl(e.url_canon, host, e.priority, e.ts)
-              st = st.copy(emitted = st.emitted + 1)
+            val cap = hostBudget - (if (w == st0.windowStart) st0.emitted else 0)
+            if (cap > 0) {
+              val pq = perWindow.getOrElseUpdate(w,
+                scala.collection.mutable.PriorityQueue.empty(ord))
+              pq += e
+              if (pq.size > cap) pq.dequeue() // evict the worst
             }
+          }
+          var st = st0
+          val out = Seq.newBuilder[GatedUrl]
+          perWindow.foreach { case (w, pq) =>
+            val best = pq.dequeueAll.reverse // ascending (priority, ts, canon)
+            best.foreach(e => out += GatedUrl(e.url_canon, host, e.priority, e.ts))
+            if (w >= st.windowStart)
+              st = HostGateState(w,
+                (if (w == st0.windowStart) st0.emitted else 0) + best.size)
           }
           state.update(st)
           out.result().iterator

@@ -215,6 +215,29 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hosts.exists(_.matches("host[0-9]{2}\\.example\\.com")), s"no leaf host scheduled: $hosts")
   }
 
+  test("F2/F3 bundles: labeled discovery expands member urls, dedups by label (sim-pinned)") {
+    import graft.operators.BundleSpec
+    val v = V
+    // outlinks to pages whose id ends in 0 discover the bundle labeled
+    // with that id; its members are two generated pages (≙ a weibo user
+    // bundle expanding to that user's timeline urls). (Ends-in-0 because
+    // the fixture graph's LCG only produces targets ≡ {0,1,4,9,10} mod 15.)
+    val bs = BundleSpec("/p/([0-9]*0)$", label => {
+      val id = label.toLong
+      Seq(Fixtures.rawUrl((id * 7 + 1) % v), Fixtures.rawUrl((id * 7 + 2) % v))
+    })
+    val settings = base.copy(bundles = Some(bs))
+    val (job, _) = runEngine(settings, tmpDir("bundles"))
+    val sim = runSim(settings)
+    assert(scheduleTuples(job) == simTuples(sim), "bundle schedule diverged")
+    assert(job.seenTable.count() == sim.seen.size.toLong)
+    // the bundle channel actually fired: labels entered the seen set,
+    // members entered the frontier tagged with their bundle
+    assert(job.seenTable.filter(col("url_canon").startsWith("bundle://")).count() > 0)
+    assert(sim.seen.exists(_.startsWith("bundle://")))
+    assert(scheduleTuples(job) != scheduleTuples(fullRun._1))
+  }
+
   test("P4 blank/garbage seeds are dropped (engine ≡ simulator ≡ clean run)") {
     val settings = base.copy(maxWaves = 2)
     val noisy = Seq("", "   ", "\t") ++ Fixtures.seeds(V) ++

@@ -54,6 +54,13 @@ class ColaSimulator(
 
   private def accepts(url: String): Boolean = parserOf(url).isDefined
 
+  // F2/F3: links whose bundle-pattern capture group is non-empty discover
+  // labels (routed to the bundle channel instead of the plain channel)
+  private val bundleRe = settings.bundles.map(bs => ("(?i)" + bs.pattern).r)
+  private def labelOf(url: String): Option[String] =
+    bundleRe.flatMap(re => re.findFirstMatchIn(url).map(_.group(1)))
+      .filter(s => s != null && s.nonEmpty)
+
   private def clamp(p: Int): Int = math.min(math.max(p, 0), settings.nPriorities - 1)
 
   private def quotas(grant: Long): Seq[Long] = {
@@ -108,7 +115,9 @@ class ColaSimulator(
       val scheduledSet = ordered.map(_.canon).toSet
       val leftover = frontier.filterNot(e => scheduledSet.contains(e.canon))
       val retries = mutable.ArrayBuffer.empty[Entry]
-      val candidates = mutable.ArrayBuffer.empty[(Long, Int, String)] // (parentSeq, linkIdx, rawUrl)
+      // (parentSeq, linkIdx, memberIdx, rawUrl) — memberIdx 0 = plain link
+      val candidates = mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+      val labelCands = mutable.ArrayBuffer.empty[(Long, Int, String)] // (parentSeq, linkIdx, label)
 
       ordered.foreach { e =>
         pages.get(e.canon) match {
@@ -125,18 +134,36 @@ class ColaSimulator(
             if (parserOf(e.url).exists(followsLinks)) {
               Extract.extractOutlinks(html, e.canon).zipWithIndex.foreach { case (out, li) =>
                 if (accepts(out)) {
-                  val canon = UrlCanon.canonicalize(out)
-                  if (canon != e.canon) candidates += ((e.seq, li, out))
+                  labelOf(out) match {
+                    case Some(label) => labelCands += ((e.seq, li, label))
+                    case None =>
+                      val canon = UrlCanon.canonicalize(out)
+                      if (canon != e.canon) candidates += ((e.seq, li, 0, out))
+                  }
                 }
               }
             }
         }
       }
 
+      // F2/F3: label-seen gate (bundle://<label> in the same seen set),
+      // then fresh labels expand to member urls joining the candidates
+      settings.bundles.foreach { bs =>
+        labelCands.sortBy(c => (c._1, c._2)).foreach { case (pSeq, li, label) =>
+          val key = s"bundle://$label"
+          if (!seen.contains(key)) {
+            seen += key
+            bs.memberUrls(label).zipWithIndex.foreach { case (m, mi) =>
+              candidates += ((pSeq, li, mi + 1, m))
+            }
+          }
+        }
+      }
+
       // D1: in-batch first-seen then seen-set gate, discovery order
       val fresh = mutable.ArrayBuffer.empty[Entry]
       val parentDepth = ordered.map(e => e.seq -> e.depth).toMap
-      candidates.sortBy(c => (c._1, c._2)).foreach { case (pSeq, _, raw) =>
+      candidates.sortBy(c => (c._1, c._2, c._3)).foreach { case (pSeq, _, _, raw) =>
         val canon = UrlCanon.canonicalize(raw)
         if (!seen.contains(canon)) {
           seen += canon

@@ -83,4 +83,26 @@ class StreamingFrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     // within window 0, host a's best two by (priority, ts): a1 (p0), a4 (p0)
     assert(got == Set("a1", "a4", "b1", "a5"))
   }
+
+  test("politeness gate accounts per window when one micro-batch spans windows") {
+    val sp = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[UrlEvent]
+    val q = StreamingFrontier.politenessGate(input.toDS(), hostBudget = 1)
+      .writeStream.format("memory").queryName("gate_span_out")
+      .outputMode(OutputMode.Append()).start()
+    // ONE batch spanning two windows; sorted-by-priority order would
+    // interleave the windows (x1 w0, y1 w1, x2 w0) — a naive global-order
+    // counter resets on each window flip and over-emits from window 0
+    input.addData(ev("x1", "a", 0, 1), ev("y1", "a", 0, 65), ev("x2", "a", 1, 2))
+    q.processAllAvailable()
+    // budget continues across batches for the newest window
+    input.addData(ev("y2", "a", 0, 70))
+    q.processAllAvailable()
+    val got = spark.table("gate_span_out").select("url_canon")
+      .collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(got == Set("x1", "y1"), s"got $got")
+  }
 }
