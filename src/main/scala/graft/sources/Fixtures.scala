@@ -154,6 +154,18 @@ $paras
 
   def pagesDF(spark: SparkSession, v: Long): DataFrame = pagesDS(spark, v).toDF()
 
+  /** Pages without the pre-extracted `text` column (null) — for scale
+   *  runs where the golden text is not asserted: page generation is then
+   *  O(html) instead of paying a readability extraction per page. */
+  def pagesLiteDF(spark: SparkSession, v: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, v).as[Long].map { id =>
+      Page(canonUrl(id), warcTs(id),
+        htmlFor(id, v).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        null, lang(id))
+    }.toDF()
+  }
+
   /**
    * Large-scale synthetic frontier for the headline bench (no HTML —
    * the metric is URLs scheduled+deduped/sec): n candidate rows with
