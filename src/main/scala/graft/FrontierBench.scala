@@ -73,12 +73,8 @@ object FrontierBench {
     else java.nio.file.Files.createTempDirectory(prefix)
   }
 
-  def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.plans.Checkpoint.deleteRecursively(p)
 
   /** Bench bloom state over the seen set (built with the state, not in the
    *  timed wave — a crawl maintains it incrementally per D2/D3). */
@@ -189,7 +185,8 @@ object FrontierBench {
     val cands = candidates(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.count()
     spark.conf.set("spark.sql.shuffle.partitions", StorageBuckets.toString)
-    val seen = seenStateTable(spark, n, scratchDir("graft-profile-seen").toString)
+    val profileDir = scratchDir("graft-profile-seen")
+    val seen = seenStateTable(spark, n, profileDir.toString)
     val blooms = seenBloomState(seen, n)
     time("firstSeen") { Dedup.firstSeenInBatch(cands, Seq(col("seq"))).count() }
     val fs = Dedup.firstSeenInBatch(cands, Seq(col("seq")))
@@ -206,6 +203,7 @@ object FrontierBench {
     time("hostEligSalted") { Politeness.hostEligibleSalted(dd, 1000, 32).count() }
     time("scheduleFull") { Politeness.schedule(dd, 1000, n, 3, 32).count() }
     spark.stop()
+    deleteRecursively(profileDir)
   }
 
   /** Fork a fresh JVM running childMain with the same classpath/opens. */

@@ -282,11 +282,17 @@ object Extract extends Serializable {
    *  re-encode when confidence > 0.5) — a deterministic chardet-lite:
    *
    *  1. strict UTF-8 validity scan (incl. pure ASCII) → "utf-8";
-   *  2. else GBK: every maximal run of high (≥0x80) bytes must have even
-   *     length (latin-1's accented letters sit ISOLATED inside ASCII
-   *     words — odd runs — while double-byte CJK text comes in pairs),
-   *     the bytes must strictly decode as GBK, and ≥ half of the decoded
-   *     non-ASCII chars must be CJK (the confidence>0.5 gate);
+   *  2. else GBK when the bytes strictly decode as GBK, ≥ half of the
+   *     decoded non-ASCII chars are CJK (the confidence>0.5 gate), and
+   *     EITHER every maximal run of high (≥0x80) bytes has even length
+   *     (latin-1's accented letters sit ISOLATED inside ASCII words —
+   *     odd runs — while GB2312-range CJK text comes in high-byte pairs)
+   *     OR the CJK evidence is overwhelming (≥8 CJK chars at ≥90% of the
+   *     non-ASCII chars — covers GBK characters whose legal trail byte
+   *     is in the ASCII range 0x40-0x7E, which break run parity; a
+   *     latin-1 text can only fake this by having EVERY accented letter
+   *     followed by a trail-range byte AND ≥8 of them, at which point
+   *     strict decode + ratio is the best an oracle-free detector can do);
    *  3. else "windows-1252" (the web's de-facto 8-bit fallback, every
    *     byte valid — covers latin-1).
    *
@@ -298,8 +304,12 @@ object Extract extends Serializable {
   def sniffCharset(bytes: Array[Byte]): String = {
     if (bytes == null) return "utf-8"
     if (isValidUtf8(bytes)) return "utf-8"
-    if (evenHighByteRuns(bytes) && decodesAsCjk(bytes, "GBK")) return "GBK"
-    "windows-1252"
+    decodeCjk(bytes, "GBK") match {
+      case Some((cjk, nonAscii)) if cjk * 2 >= nonAscii &&
+          (evenHighByteRuns(bytes) || (cjk >= 8 && cjk * 10 >= nonAscii * 9)) =>
+        "GBK"
+      case _ => "windows-1252"
+    }
   }
 
   private def isValidUtf8(bytes: Array[Byte]): Boolean = {
@@ -342,15 +352,15 @@ object Extract extends Serializable {
     sawRun
   }
 
-  /** Strict decode + CJK-majority gate (the deterministic stand-in for
-   *  chardet's confidence > 0.5). */
-  private def decodesAsCjk(bytes: Array[Byte], charset: String): Boolean = {
+  /** Strict decode; Some((cjkChars, nonAsciiChars)) on success, None on
+   *  any malformed/unmappable sequence. */
+  private def decodeCjk(bytes: Array[Byte], charset: String): Option[(Int, Int)] = {
     val dec = java.nio.charset.Charset.forName(charset).newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     val decoded =
       try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-      catch { case _: java.nio.charset.CharacterCodingException => return false }
+      catch { case _: java.nio.charset.CharacterCodingException => return None }
     var cjk = 0
     var nonAscii = 0
     var i = 0
@@ -363,7 +373,7 @@ object Extract extends Serializable {
       }
       i += 1
     }
-    nonAscii > 0 && cjk * 2 >= nonAscii
+    if (nonAscii == 0) None else Some((cjk, nonAscii))
   }
 
   /** Decode with the sniffed charset (X3). */

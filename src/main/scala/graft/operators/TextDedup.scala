@@ -97,8 +97,14 @@ object TextDedup {
    *  with a semi-join. Both join keys — the doc id, and the (id, shingle)
    *  pair which is unique per side (shingles are distinct within a doc) —
    *  are blowup-free, so a corpus-wide hot shingle costs nothing here:
-   *  total work is Σ over pairs of |A|, the floor for exact verification. */
-  def jaccardForPairs(cand: DataFrame, sh: DataFrame, minJaccardMilli: Int): DataFrame = {
+   *  total work is Σ over pairs of |A|, the floor for exact verification.
+   *
+   *  `cand` is deduplicated internally: the expansion join would multiply
+   *  the intersection count by a pair's duplication factor, so duplicate
+   *  (a, b) rows (natural before a caller's own .distinct()) must not
+   *  reach it. */
+  def jaccardForPairs(cand0: DataFrame, sh: DataFrame, minJaccardMilli: Int): DataFrame = {
+    val cand = cand0.select(col("a"), col("b")).distinct()
     val candIds = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
     val shc = sh.join(candIds, Seq("id"), "left_semi")
     val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))

@@ -63,6 +63,17 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
   def ensureBucketed(name: String, dataColsDdl: String): Unit = {
     val t = tableName(name)
     Files.createDirectories(Paths.get(dir, name)) // RECOVER needs the location
+    // bucket count is a property of the FILES already on disk (bucket ids
+    // are encoded in file names): re-registering existing data under a
+    // different count would silently misroute the co-partitioned joins
+    // and re-admit seen URLs — refuse instead
+    val marker = Paths.get(dir, name, ".buckets")
+    if (Files.exists(marker)) {
+      val existing = Files.readString(marker).trim.toInt
+      require(existing == numBuckets,
+        s"checkpoint table '$name' at $dir was written with $existing buckets; " +
+        s"resuming with numBuckets=$numBuckets would corrupt its storage-partitioned joins")
+    } else Files.writeString(marker, numBuckets.toString)
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"""CREATE TABLE $t ($dataColsDdl, wave INT)
       USING parquet PARTITIONED BY (wave)
@@ -70,6 +81,10 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
       INTO $numBuckets BUCKETS LOCATION '$dir/$name'""")
     spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
   }
+
+  /** Is the bucketed table registered in this session's catalog? */
+  def bucketedRegistered(name: String): Boolean =
+    spark.catalog.tableExists(tableName(name))
 
   /** Append one wave's rows. The pre-insert repartition uses exactly the
    *  bucket keys and count, so every task holds one bucket's rows and
@@ -157,9 +172,18 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
     bucketedNames.foreach(n => clean(Paths.get(dir, n)))
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+  private def deleteRecursively(p: Path): Unit = Checkpoint.deleteRecursively(p)
+}
+
+object Checkpoint {
+  /** Recursive delete that closes its directory streams (Files.list
+   *  leaks an fd per directory if left to finalization). */
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children = try s.iterator().asScala.toSeq finally s.close()
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -186,13 +186,25 @@ class CrawlJob(
   }
 
   /** Run (or resume) the crawl to completion. */
-  def run(seeds: Seq[String]): CrawlSummary = {
-    ckpt.cleanUncommitted()
+  /** Register the bucketed state tables in this session's catalog —
+   *  called by run(), and lazily by the read accessors so an existing
+   *  checkpoint can be inspected without running a crawl. */
+  private def ensureStateTables(): Unit = {
     // storage-partitioned state tables: seen + frontier are bucketed by
     // (url_hash, url_canon), so every wave's anti-joins read them
     // shuffle-free on the big side (see Checkpoint scaladoc)
     ckpt.ensureBucketed("seen", ddlOf(Schemas.seen, drop = Set("wave")))
     ckpt.ensureBucketed("frontier", ddlOf(Schemas.frontier))
+  }
+
+  private def bucketedReader(name: String): Int = { // returns latest wave
+    if (!ckpt.bucketedRegistered(name)) ensureStateTables()
+    ckpt.latestWave.getOrElse(0)
+  }
+
+  def run(seeds: Seq[String]): CrawlSummary = {
+    ckpt.cleanUncommitted()
+    ensureStateTables()
     val resumedWave = ckpt.latestWave
     if (resumedWave.isEmpty) admitSeeds(seeds)
     var wave = ckpt.latestWave.get
@@ -217,7 +229,10 @@ class CrawlJob(
       else Map.empty
 
     var frontierSize = frontier.count()
-    var incPassesLeft = settings.incPasses
+    // consumed O9 re-crawl passes are committed state: a resume must not
+    // replay a pass an earlier (killed) run already performed
+    var incPassesLeft =
+      settings.incPasses - state.getOrElse("incPassesUsed", "0").toInt
 
     while (frontierSize > 0 && wave < settings.maxWaves &&
            (settings.size < 0 || finished < settings.size)) {
@@ -451,6 +466,8 @@ class CrawlJob(
       ckpt.commit(w, Map(
         "applied" -> applied.toString, "finished" -> finished.toString,
         "scheduledTotal" -> scheduledTotal.toString, "deadTotal" -> deadTotal.toString,
+        "incPassesUsed" -> (settings.incPasses - incPassesLeft).toString,
+        "m.inc_seeded" -> nIncSeeded.toString,
         "m.scheduled" -> nScheduled.toString, "m.fetched" -> nSuccess.toString,
         "m.errors" -> nErrors.toString, "m.new_urls" -> nNew.toString,
         "m.deduped" -> (nCandidates - nNew).toString,
@@ -512,7 +529,7 @@ class CrawlJob(
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "schedule", Schemas.schedule)
 
   def seenTable: DataFrame =
-    ckpt.readBucketed("seen", ckpt.latestWave.getOrElse(0))
+    ckpt.readBucketed("seen", bucketedReader("seen"))
 
   def deadTable: DataFrame =
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "dead", Schemas.dead)

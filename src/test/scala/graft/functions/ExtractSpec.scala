@@ -100,6 +100,18 @@ class ExtractSpec extends AnyFunSuite {
       (1 to 12).map(_ => gbkText).mkString("<p>", "</p><p>", "</p>") + "</div></body></html>"
     assert(Extract.extractText(gbkHtml.getBytes(java.nio.charset.Charset.forName("GBK")), "http://h/x") ==
       Extract.extractText(gbkHtml.getBytes(StandardCharsets.UTF_8), "http://h/x"))
+    // GBK chars with ASCII-range trail bytes (GBK/3 region, trails
+    // 0x40-0x7E) break high-byte-run parity — the strong-CJK branch
+    // (≥8 CJK chars at ≥90%) must still claim them
+    val gbkCs = java.nio.charset.Charset.forName("GBK")
+    val asciiTrail = (0x4E00 to 0x4FFF).map(_.toChar).filter { c =>
+      val b = c.toString.getBytes(gbkCs)
+      b.length == 2 && (b(1) & 0x80) == 0 && b(0) != '?'.toByte
+    }.take(12)
+    assert(asciiTrail.size >= 8, "JDK GBK table should contain ascii-trail hanzi")
+    val tricky = asciiTrail.mkString + " with ascii words"
+    assert(Extract.sniffCharset(tricky.getBytes(gbkCs)) == "GBK")
+    assert(Extract.decodeHtml(tricky.getBytes(gbkCs)) == tricky)
     // a lone valid GBK pair is claimed by GBK (it IS a hanzi in GBK);
     // bytes no supported charset strictly decodes fall back to 1252
     assert(Extract.sniffCharset(Array(0xE4.toByte, 0xB8.toByte)) == "GBK")

@@ -267,6 +267,26 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(job.seenTable.count() == sim.seen.size.toLong)
   }
 
+  test("O9 resume does not replay an already-consumed inc pass") {
+    val settings = base.copy(size = -1, waveCap = 25, hostBudget = 10,
+      maxWaves = 40, incPasses = 1)
+    val fullDir = tmpDir("incfull")
+    val (fullJob, _) = runEngine(settings, fullDir)
+    // locate the wave whose commit consumed the pass (manifest-recorded)
+    val fullCkpt = new Checkpoint(spark, fullDir, base.numBuckets)
+    val reseedWave = fullCkpt.committedWaves.sorted
+      .find(w => fullCkpt.manifest(w).getOrElse("m.inc_seeded", "0").toLong > 0)
+    assert(reseedWave.nonEmpty, "fixture must actually trigger an inc pass")
+    // kill AFTER the pass was consumed, then resume: the manifest's
+    // incPassesUsed must prevent a second reseed
+    val partial = tmpDir("incpartial")
+    runEngine(settings.copy(maxWaves = reseedWave.get + 1), partial)
+    val (resumed, _) = runEngine(settings, partial)
+    assert(scheduleTuples(resumed) == scheduleTuples(fullJob),
+      "resume replayed or lost an inc pass")
+    assert(resumed.seenTable.count() == fullJob.seenTable.count())
+  }
+
   test("resume from checkpoint: killed run continues without re-fetch or reorder") {
     val partial = tmpDir("partial")
     runEngine(base.copy(maxWaves = 2), partial)

@@ -20,8 +20,8 @@ object SeenPathProbe {
     val seenMem = FrontierBench.seenState(spark, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     seenMem.count()
-    val seenTab = FrontierBench.seenStateTable(spark, n,
-      FrontierBench.scratchDir("graft-seenpath").toString)
+    val probeDir = FrontierBench.scratchDir("graft-seenpath")
+    val seenTab = FrontierBench.seenStateTable(spark, n, probeDir.toString)
     val blooms = FrontierBench.seenBloomState(seenMem, n)
 
     def t(tag: String)(f: => Long): Unit = {
@@ -38,5 +38,6 @@ object SeenPathProbe {
     t("antiBloom_mem")(Dedup.antiJoinSeenWithBloom(spark, cands, seenMem, blooms, FrontierBench.BloomBuckets).count())
     t("antiBloom_table")(Dedup.antiJoinSeenWithBloom(spark, cands, seenTab, blooms, FrontierBench.BloomBuckets).count())
     spark.stop()
+    FrontierBench.deleteRecursively(probeDir)
   }
 }
