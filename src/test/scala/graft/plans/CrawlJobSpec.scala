@@ -302,6 +302,21 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resumed.seenTable.count() == fullRun._1.seenTable.count())
   }
 
+  test("crawl order is independent of shuffle partitioning and bucket count") {
+    // the north rule's determinism core: seq is a pure function of
+    // (wave, rank) from tie-free total orders, so neither the session's
+    // shuffle partitioning nor the storage bucket layout may change the
+    // schedule. fullRun ran at 4 shuffle partitions / 8 buckets.
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val (job13, _) = runEngine(base.copy(numBuckets = 5), tmpDir("part13"))
+      assert(scheduleTuples(job13) == scheduleTuples(fullRun._1),
+        "schedule changed with partitioning/bucketing")
+      assert(job13.seenTable.count() == fullRun._1.seenTable.count())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
+
   test("bucketed state tables: anti-joins have no Exchange on the stored side") {
     import graft.operators.Dedup
     val dir = tmpDir("bucketplan")

@@ -32,7 +32,22 @@ object CrawlAtScale {
     println(f"SCALE waves=${summary.wavesRun} scheduled=${summary.scheduledTotal} " +
       f"seen=${summary.seenTotal} dead=${summary.deadTotal} secs=$secs%.1f " +
       f"urls_scheduled_per_sec=${summary.scheduledTotal / secs}%.0f")
+
+    // kill-resume parity at this size: run half the waves, resume, and
+    // compare the full schedule bit-for-bit with the uninterrupted run
+    val dir2 = graft.FrontierBench.scratchDir("graft-scale-resume").toString
+    new CrawlJob(spark, pages, settings.copy(maxWaves = summary.wavesRun / 2), dir2, priorityExpr)
+      .run(Fixtures.seeds(v))
+    val resumed = new CrawlJob(spark, pages, settings, dir2, priorityExpr)
+    val rSummary = resumed.run(Fixtures.seeds(v))
+    val a = job.scheduleTable.orderBy("wave", "rank").collect().map(_.toSeq)
+    val b = resumed.scheduleTable.orderBy("wave", "rank").collect().map(_.toSeq)
+    println(s"SCALE resume parity: schedules equal=${a.sameElements(b)} " +
+      s"(${a.length} rows) seenEqual=${rSummary.seenTotal == summary.seenTotal}")
+    require(a.sameElements(b) && rSummary.seenTotal == summary.seenTotal,
+      "kill-resume diverged at scale")
     spark.stop()
     graft.FrontierBench.deleteRecursively(java.nio.file.Paths.get(dir))
+    graft.FrontierBench.deleteRecursively(java.nio.file.Paths.get(dir2))
   }
 }
