@@ -110,6 +110,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == uncapped)
   }
 
+  test("jaccardForPairs tolerates duplicate candidate pairs (internal dedup)") {
+    val sp = spark
+    import sp.implicits._
+    val sh = TextDedup.shingles(docs, "text", "doc_id", 3)
+    val exact = TextDedup.jaccardPairs(sh, 800).collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty)
+    val cand = exact.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSeq
+    val dup = (cand ++ cand ++ cand).toDF("a", "b") // tripled pair rows
+    val out = TextDedup.jaccardForPairs(dup, sh, 800).collect().map(_.toSeq).toSet
+    assert(out == exact, "duplicate candidates must not inflate intersections")
+  }
+
   test("simhash exact copies collide at distance 0; block trick finds them") {
     val planted = docsWithCopies
     val dups = TextDedup.simhashDuplicates(planted, "text", "doc_id", maxDist = 0)
