@@ -51,15 +51,23 @@ object TextDedup {
    *  |A∩B| / (|A|+|B|−|A∩B|)). Output ids are ordered a < b; jaccard
    *  reported as exact per-mille (integers).
    *
-   *  `maxDf > 0` is the scale knob: the candidate self-join's fan-out is
-   *  Σ df² over shingles, so ONE stop-phrase shingle with df = 10^6 makes
-   *  10^12 candidate pairs. With the cap, shingles with df > maxDf are
-   *  excluded from CANDIDATE GENERATION only; the Jaccard reported for
-   *  each surviving pair is still exact over ALL shingles (hot ones
-   *  included), via [[jaccardForPairs]]. A pair is missed only if every
-   *  single shared shingle has df > maxDf — for a pair above a real
-   *  threshold (hundreds of shared shingles) that requires essentially
-   *  all-boilerplate documents; the planted hot-shingle spec pins that
+   *  `maxDf > 0` is the scale knob: the pair-generating self-join's
+   *  fan-out is Σ df² over shingles, so ONE stop-phrase shingle with
+   *  df = 10^6 makes 10^12 candidate pairs. With the cap, shingles with
+   *  df > maxDf are excluded from PAIR GENERATION only:
+   *
+   *   1. rare-shingle intersections come from a direct groupBy over the
+   *      capped self-join (no per-pair expansion);
+   *   2. each pair's FULL Jaccard is bounded from above using per-doc
+   *      hot-shingle counts (|A∩B| ≤ rareInter + min(hotA, hotB), and
+   *      |A∪B| ≥ |A|+|B| − that bound), so every pair whose true Jaccard
+   *      can reach the threshold survives the prefilter — provably;
+   *   3. only those few survivors pay the exact per-shingle verify
+   *      ([[jaccardForPairs]]), whose reported values include hot
+   *      shingles — the output values are exact.
+   *
+   *  The one provable gap: a pair sharing ZERO rare shingles never forms
+   *  (all-boilerplate near-dups); the planted hot-shingle spec pins that
    *  the cap changes nothing on the fixture. `maxDf <= 0` keeps the
    *  uncapped exact join (small corpora / oracles). */
   def jaccardPairs(sh: DataFrame, minJaccardMilli: Int, maxDf: Int = 0): DataFrame = {
@@ -73,11 +81,25 @@ object TextDedup {
         .filter(col("jaccard_milli") >= minJaccardMilli)
         .select(col("a"), col("b"), col("jaccard_milli"))
     } else {
-      val rare = sh.join(hotShingles(sh, maxDf), Seq("shingle"), "left_anti")
-      val cand = rare.as("x").join(rare.as("y"), col("x.shingle") === col("y.shingle"))
+      val hot = hotShingles(sh, maxDf)
+      val rare = sh.join(hot, Seq("shingle"), "left_anti")
+      val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val hotPerDoc = sh.join(hot, Seq("shingle"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("hotn"))
+      val interRare = rare.as("x").join(rare.as("y"), col("x.shingle") === col("y.shingle"))
         .filter(col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b"))
-        .distinct()
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("ir"))
+      val bounded = interRare
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .join(hotPerDoc.withColumnRenamed("id", "a").withColumnRenamed("hotn", "hota"), Seq("a"), "left")
+        .join(hotPerDoc.withColumnRenamed("id", "b").withColumnRenamed("hotn", "hotb"), Seq("b"), "left")
+        .withColumn("__upper",
+          col("ir") + least(coalesce(col("hota"), lit(0L)), coalesce(col("hotb"), lit(0L))))
+      val cand = bounded.filter(
+          floor(lit(1000) * col("__upper") / (col("sza") + col("szb") - col("__upper"))) >= minJaccardMilli)
+        .select(col("a"), col("b"))
       jaccardForPairs(cand, sh, minJaccardMilli)
     }
   }
