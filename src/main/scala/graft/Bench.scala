@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line, and records the scaling evidence in
   * BENCH/BASELINE.md. */
 object Bench {
+  /** Timed reps per query; the min is recorded (see below). */
+  val queryReps: Int = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -17,18 +20,19 @@ object Bench {
     val spark = FrontierBench.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: shuffle/scan/codegen/JIT paths get exercised once so
-    // the cold-JVM cost doesn't land on whichever query sorts first
-    // (steady-state timing, same rationale as the wave bench's warmups)
-    for (name <- Seq("wave_counts", "politeness_topk", "dedup_anti", "embed_topk"))
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-
+    // min-of-reps per query: every query runs `queryReps` times and the
+    // MIN is recorded, so one-time codegen/scan/JIT costs and the host's
+    // ±20-30% background-load drift drop out uniformly for every query
+    // (r2 single-shot timings drifted 3-6× on the small queries; a
+    // partial warmup list mixed warmed and cold measurements — ADVICE r2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to queryReps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     spark.stop()
 
@@ -102,7 +106,9 @@ object Bench {
          |broadcast cold-pass) and every shuffle's partition count scales
          |with cores; no stage is driver-bound or single-task.
          |
-         |Per-query times (sf=$sfDir): ${results.map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")}
+         |Per-query times (sf=$sfDir; each query run ${Bench.queryReps}×
+         |in one JVM, min recorded — one-time codegen/JIT and host drift
+         |drop out uniformly): ${results.map { case (k, v) => f"$k=$v%.2fs" }.mkString(", ")}
          |""".stripMargin
     Files.writeString(benchDir.resolve("BASELINE.md"), md)
   }

@@ -77,19 +77,36 @@ object FrontierBench {
     graft.plans.Checkpoint.deleteRecursively(p)
 
   /** Bench bloom state over the seen set (built with the state, not in the
-   *  timed wave — a crawl maintains it incrementally per D2/D3). */
+   *  timed wave — a crawl maintains it incrementally per D2/D3). Kept for
+   *  the diagnostic in-memory comparison; the shipped path is the store. */
   def seenBloomState(seen: DataFrame, n: Long, numBuckets: Int = BloomBuckets): Map[Int, Array[Byte]] =
     Dedup.seenBlooms(seen, numBuckets, math.max(n / 5 / numBuckets, 1024))
 
   val BloomBuckets = 64
 
+  /** The SHIPPED bloom state: partition-local per-bucket filter files
+   *  beside the seen table (never driver-collected/broadcast), aligned to
+   *  the storage-bucket layout so the timed wave's probe rides the same
+   *  exchange the anti-join needs (see BloomStore/Dedup scaladoc). */
+  def seenBloomStore(spark: SparkSession, n: Long, dir: String): graft.operators.BloomStore = {
+    val store = new graft.operators.BloomStore(spark, dir, StorageBuckets,
+      math.max(n / 5 / StorageBuckets, 1024))
+    store.rebuild(seenState(spark, n), 0)
+    store
+  }
+
   /** One measured wave; returns (scheduled, seconds). */
   def runWave(spark: SparkSession, n: Long, seen: DataFrame,
       hostBudget: Int = 1000, salts: Int = 32, nPriorities: Int = 3,
-      blooms: Option[Map[Int, Array[Byte]]] = None): (Long, Double) = {
+      blooms: Option[Map[Int, Array[Byte]]] = None,
+      bloomStore: Option[graft.operators.BloomStore] = None): (Long, Double) = {
     val t0 = System.nanoTime()
     val cands = candidates(spark, n)
-    val deduped = Dedup.dedupWave(spark, cands, seen, Seq(col("seq")), blooms, BloomBuckets)
+    // bloomAligned: the in-batch dedup aggregate keys exactly
+    // (url_hash, url_canon) with shuffle.partitions == StorageBuckets, so
+    // its output already sits on the store's bucket layout
+    val deduped = Dedup.dedupWave(spark, cands, seen, Seq(col("seq")), blooms,
+      BloomBuckets, bloomStore = bloomStore, bloomAligned = true)
     // Materialize the dedup output once per wave (timed — a real crawl does
     // the same between its dedup and schedule stages): the politeness step
     // reads it three ways (per-host counts, cold pass, hot top-k) plus the
@@ -150,15 +167,19 @@ object FrontierBench {
           s.count(); s
         } else seenStateTable(spark, n, dir.toString)
       // bloom pre-filter state: maintained with the seen set (D2/D3), so
-      // built in state prep, not in the timed wave
-      val blooms = Some(seenBloomState(seen, n))
+      // built in state prep, not in the timed wave. SPARK_GRAFT_BLOOM=mem
+      // switches to the r2-style driver-broadcast map (diagnostic only).
+      val (blooms, store) =
+        if (sys.env.get("SPARK_GRAFT_BLOOM").contains("mem"))
+          (Some(seenBloomState(seen, n)), None)
+        else (None, Some(seenBloomStore(spark, n, dir.toString)))
       // full-size untimed warmups: JIT, codegen, GC sizing
-      (1 to warmups).foreach(_ => runWave(spark, n, seen, blooms = blooms))
+      (1 to warmups).foreach(_ => runWave(spark, n, seen, blooms = blooms, bloomStore = store))
       val times = (1 to reps).map { _ =>
         // let the ContextCleaner drop previous reps' shuffle files (tmpfs
         // pressure otherwise bleeds into the next measurement)
         System.gc(); Thread.sleep(1500)
-        runWave(spark, n, seen, blooms = blooms)._2
+        runWave(spark, n, seen, blooms = blooms, bloomStore = store)._2
       }
       spark.stop()
       println(f"GRAFT_WAVE_SECS ${times.min}%.4f all=${times.map(t => f"$t%.2f").mkString(",")}")
@@ -195,6 +216,10 @@ object FrontierBench {
     time("antiJoin") { Dedup.antiJoinSeen(fs, seen).count() }
     time("antiJoinBloom") {
       Dedup.antiJoinSeenWithBloom(spark, fs, seen, blooms, BloomBuckets).count()
+    }
+    val store = seenBloomStore(spark, n, profileDir.toString)
+    time("antiJoinBloomStore") {
+      Dedup.antiJoinSeenWithBloomStore(fs, seen, store, alignedInput = true).count()
     }
     val dd = Dedup.antiJoinSeen(fs, seen)
       .withColumn("host", UrlExprs.urlHost(col("url_canon")))

@@ -277,12 +277,34 @@ object SparkEntry {
     // IVF ANN machinery oracle: exhaustive probing (nProbe = nClusters)
     // makes the quantize→probe→re-rank pipeline provably equal exact
     // top-k, so the DuckDB oracle pins ids AND ranks; approximation
-    // quality at nProbe < nClusters is pinned by the recall spec
+    // quality at nProbe < nClusters is pinned by the recall spec and the
+    // `embed_ann_ivf_probe` containment query below
     "embed_ann_ivf" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 3,
         nClusters = 16, nProbe = 16, iters = 2)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // the SHIPPED IVF configuration (nProbe=4 of 16 clusters — each query
+    // scans ~1/4 of the corpus): property oracle like embed_ann_lsh —
+    // exactly k results per query, every one inside the Spark-exact
+    // top-20 (itself the oracled brute-force machinery); measured
+    // headroom on both fixture SFs: all results sit in the exact top-20
+    // at nProbe=4 (and in the top-10 at nProbe=6)
+    "embed_ann_ivf_probe" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val embD = emb.withColumn("embedding", col("embedding").cast("array<double>"))
+      val q = emb.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3,
+        nClusters = 16, nProbe = 4, iters = 2)
+      val exact20 = Similarity.bruteForceTopK(
+          embD.filter(col("vec_id") < 20), embD, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id")).withColumn("__in", lit(1L))
+      ann.join(exact20, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("__in"), lit(0L))).as("n_in_exact_top20"))
     }),
 
     // LSH-bucketed ANN property oracle: every returned neighbor must be
@@ -520,6 +542,13 @@ object SparkEntry {
                  FROM embeddings q, embeddings c
                  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) s) t
          WHERE rank <= 3""",
+
+    // IVF nProbe=4 containment property: 3 results per query, all inside
+    // the exact top-20 (see the query comment)
+    "embed_ann_ivf_probe" ->
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
+                CAST(3 AS BIGINT) AS n_in_exact_top20
+         FROM embeddings WHERE vec_id < 20""",
 
     // ANN containment property: 3 results per query, all inside the
     // exact top-10 (measured headroom on the fixture: max exact rank 4)

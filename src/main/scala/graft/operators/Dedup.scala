@@ -127,6 +127,43 @@ object Dedup {
     definitelyNew.unionByName(antiJoinSeen(needExact, seen))
   }
 
+  /**
+   * Dedup with the PARTITION-LOCAL persistent bloom state ([[BloomStore]])
+   * — the 100 TB path: no bloom bytes on the driver, no per-executor
+   * full-state broadcast. The candidate delta is repartitioned to the
+   * seen table's exact bucket layout, which (a) lets every task probe
+   * only its own bucket's filter (loaded once from the store's file,
+   * cached executor-side) and (b) satisfies the exact anti-join's
+   * required distribution, so the probe costs no exchange the join would
+   * not have paid. Output identical to [[antiJoinSeen]].
+   *
+   * `alignedInput = true` asserts the caller's input already arrives
+   * hash-partitioned by exactly (url_hash, url_canon) into
+   * `store.numBuckets` partitions (e.g. straight off an in-batch dedup
+   * aggregate keyed the same way with matching shuffle partitions) and
+   * skips the repartition. Correctness never depends on it — only probe
+   * locality does (a misaligned input would page multiple buckets per
+   * task).
+   */
+  def antiJoinSeenWithBloomStore(
+      candidates: DataFrame,
+      seen: DataFrame,
+      store: BloomStore,
+      alignedInput: Boolean = false): DataFrame = {
+    val files = store.currentFiles()
+    if (files.isEmpty) return antiJoinSeen(candidates, seen)
+    val aligned =
+      if (alignedInput) candidates
+      else candidates.repartition(store.numBuckets, col("url_hash"), col("url_canon"))
+    val probe = store.probeUdf(files) // nondeterministic: see BloomStore scaladoc
+    val flagged = aligned
+      .withColumn("__b", store.bucketIdCol(col("url_hash"), col("url_canon")))
+      .withColumn("__maybe", probe(col("__b"), col("url_hash")))
+    val definitelyNew = flagged.filter(!col("__maybe")).drop("__b", "__maybe")
+    val needExact = flagged.filter(col("__maybe")).drop("__b", "__maybe")
+    definitelyNew.unionByName(antiJoinSeen(needExact, seen))
+  }
+
   /** Build per-bucket blooms from a seen table (url_hash column).
    *  bucketCapacity = total expected keys / numBuckets (D3). */
   def seenBlooms(seen: DataFrame, numBuckets: Int, bucketCapacity: Long,
@@ -154,21 +191,28 @@ object Dedup {
   }
 
   /** D1 full gate for one wave: split force/non-force, in-batch first-seen,
-   *  anti-join, re-union force rows (which always pass). */
+   *  anti-join, re-union force rows (which always pass). The bloom
+   *  pre-filter comes either from a [[BloomStore]] (the shipped
+   *  partition-local path) or a driver-side bucket map (kept for
+   *  diagnostics/equivalence specs); both are output-identical to no
+   *  bloom at all. */
   def dedupWave(
       spark: SparkSession,
       candidates: DataFrame,
       seen: DataFrame,
       ord: Seq[Column],
       blooms: Option[Map[Int, Array[Byte]]] = None,
-      numBuckets: Int = 32): DataFrame = {
+      numBuckets: Int = 32,
+      bloomStore: Option[BloomStore] = None,
+      bloomAligned: Boolean = false): DataFrame = {
     val hasForce = candidates.columns.contains("force")
     val nonForce = if (hasForce) candidates.filter(!col("force")) else candidates
     val forced = if (hasForce) candidates.filter(col("force")) else candidates.limit(0)
     val inBatch = firstSeenInBatch(nonForce, ord)
-    val fresh = blooms match {
-      case Some(b) => antiJoinSeenWithBloom(spark, inBatch, seen, b, numBuckets)
-      case None    => antiJoinSeen(inBatch, seen)
+    val fresh = (bloomStore, blooms) match {
+      case (Some(st), _)   => antiJoinSeenWithBloomStore(inBatch, seen, st, bloomAligned)
+      case (None, Some(b)) => antiJoinSeenWithBloom(spark, inBatch, seen, b, numBuckets)
+      case _               => antiJoinSeen(inBatch, seen)
     }
     fresh.unionByName(forced)
   }

@@ -222,11 +222,17 @@ class CrawlJob(
     var frontier = ckpt.readBucketedWave("frontier", wave)
       .persist(StorageLevel.MEMORY_AND_DISK)
     def seenUpTo(w: Int): DataFrame = ckpt.readBucketed("seen", w)
-    var blooms: Map[Int, Array[Byte]] =
+    // D2 partition-local bloom state: per-bucket filter files beside the
+    // bucketed seen table, probed task-locally — never collected to or
+    // broadcast from the driver (see BloomStore). A checkpoint without
+    // filter state (first run, or resume onto a bloom-less dir) rebuilds
+    // it from the committed seen table once.
+    val bloomStore: Option[graft.operators.BloomStore] =
       if (settings.useBloom)
-        Dedup.seenBlooms(seenUpTo(wave), settings.numBuckets,
-          math.max(settings.bloomCapacity / settings.numBuckets, 1024))
-      else Map.empty
+        Some(new graft.operators.BloomStore(spark, workDir, settings.numBuckets,
+          math.max(settings.bloomCapacity / settings.numBuckets, 1024)))
+      else None
+    bloomStore.foreach(st => if (st.isEmpty) st.rebuild(seenUpTo(wave), wave))
 
     var frontierSize = frontier.count()
     // consumed O9 re-crawl passes are committed state: a resume must not
@@ -381,7 +387,7 @@ class CrawlJob(
             .select("url_hash", "url_canon", "label", "parent_seq", "link_idx", "parent_depth")
           freshLabels = Dedup.dedupWave(spark, labels, seen,
               Seq(col("parent_seq"), col("link_idx")),
-              if (settings.useBloom) Some(blooms) else None, settings.numBuckets)
+              numBuckets = settings.numBuckets, bloomStore = bloomStore)
             .persist(StorageLevel.MEMORY_AND_DISK)
           val memberUdf = udf((label: String) => bs.memberUrls(label))
           val members = enrich(freshLabels
@@ -400,7 +406,7 @@ class CrawlJob(
       // ---- D1 dedup gate ----
       val fresh = Dedup.dedupWave(spark, candidates, seen,
           Seq(col("parent_seq"), col("link_idx"), col("member_idx")),
-          if (settings.useBloom) Some(blooms) else None, settings.numBuckets)
+          numBuckets = settings.numBuckets, bloomStore = bloomStore)
       // nNew rides the dense-seq count pass; the cache builds at the seen
       // write (the first action over newEntries)
       val (freshSeq, nNew) = withDenseSeq(fresh,
@@ -432,7 +438,14 @@ class CrawlJob(
           newEntries.select(col("url_hash"), col("url_canon"))
             .unionByName(freshLabels.select(col("url_hash"), col("url_canon")))
         else newEntries.select(col("url_hash"), col("url_canon"))
-      if (nNew + nLabels > 0) ckpt.writeBucketed(seenDelta, w, "seen")
+      if (nNew + nLabels > 0) {
+        ckpt.writeBucketed(seenDelta, w, "seen")
+        // fold the delta into the per-bucket bloom files BEFORE the wave
+        // manifest commits: a crash in between leaves a filter that
+        // over-approximates the committed seen set (harmless false
+        // "maybe"), never one missing committed urls (BloomStore rule)
+        bloomStore.foreach(_.writeDelta(seenDelta, w))
+      }
 
       // exact arithmetic, no count job: scheduled ⊆ frontier and the
       // frontier is unique per url_canon, so the leftover anti-join
@@ -446,7 +459,7 @@ class CrawlJob(
       var nIncSeeded = 0L
       if (nextSizeBase == 0 && settings.inc && incPassesLeft > 0 &&
           (settings.size < 0 || settings.size - applied > 0)) {
-        val (reseeded, nSeeded) = incReseed(w, seen, if (settings.useBloom) Some(blooms) else None)
+        val (reseeded, nSeeded) = incReseed(w, seen, bloomStore)
         nIncSeeded = nSeeded
         frontierOut = frontierNext.unionByName(reseeded)
         incPassesLeft -= 1
@@ -473,10 +486,6 @@ class CrawlJob(
         "m.deduped" -> (nCandidates - nNew).toString,
         "m.frontier_size" -> frontierSize.toString, "m.secs" -> secs.toString))
 
-      if (settings.useBloom && nNew + nLabels > 0)
-        blooms = Dedup.updateBlooms(blooms, seenDelta, settings.numBuckets,
-          math.max(settings.bloomCapacity / settings.numBuckets, 1024))
-
       scheduled.unpersist(); processed.unpersist()
       candidates.unpersist(); newEntries.unpersist()
       if (freshLabels != null) freshLabels.unpersist()
@@ -495,7 +504,7 @@ class CrawlJob(
    *  force=true and go through the normal dedup gate, which they pass
    *  despite being seen (D5, store.py:252). */
   private def incReseed(w: Int, seen: DataFrame,
-      blooms: Option[Map[Int, Array[Byte]]]): (DataFrame, Long) = {
+      bloomStore: Option[graft.operators.BloomStore]): (DataFrame, Long) = {
     val incAll = ckpt.readAll(w, "inc", Schemas.inc)
     val firstFin = incAll.groupBy(col("url_canon"))
       .agg(min(struct(col("wave"), col("priority"), col("seq"), col("url"))).as("f"))
@@ -511,7 +520,7 @@ class CrawlJob(
       .withColumn("discovered_wave", lit(w))
       .withColumn("bundle", lit(null).cast("string"))
     val passed = Dedup.dedupWave(spark, entries, seen,
-      Seq(col("inc_seq")), blooms, settings.numBuckets)
+      Seq(col("inc_seq")), numBuckets = settings.numBuckets, bloomStore = bloomStore)
     val (seeded, n) = withDenseSeq(passed,
       Seq(col("inc_wave").asc, col("inc_priority").asc, col("inc_seq").asc),
       waveBase(w), "seq")

@@ -136,6 +136,35 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perHost.values.forall(_ <= 5))
   }
 
+  test("adaptive politeness split path (cold hosts under budget) equals the window") {
+    import graft.operators.Politeness
+    // budget 30: only the mega-host exceeds it (tail hosts carry ~14 rows
+    // at n=1300), so the broadcast split path — not the salted fallback —
+    // is exercised and must still equal the plain window
+    val cands = FrontierBenchLike.skewed(spark, 1300)
+    val plain = Politeness.hostEligible(cands, 30)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    val adaptive = Politeness.hostEligibleAdaptive(cands, 30, 3)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    assert(adaptive == plain)
+  }
+
+  test("adaptive politeness with every host hot falls back to salted — no broadcast") {
+    import graft.operators.Politeness
+    // hostBudget=1 over the skewed frontier: EVERY host exceeds its
+    // budget (the r2 hazard: the hot-host set as an unbounded broadcast
+    // hint); the bounded decision pass must route to the salted path —
+    // same rows as the window, and no broadcast exchange in the plan
+    val cands = FrontierBenchLike.skewed(spark, 4000)
+    val out = Politeness.hostEligibleAdaptive(cands, 1, 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      "every-host-hot input must not broadcast the hot-host set")
+    val plain = Politeness.hostEligible(cands, 1)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    assert(out.select("host", "priority", "seq").collect().map(_.toSeq).toSet == plain)
+  }
+
   test("O7 adaptive throttling: budget decays to min fetched before banned waves") {
     import graft.operators.Politeness
     val sp = spark
