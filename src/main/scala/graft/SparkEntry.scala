@@ -244,13 +244,16 @@ object SparkEntry {
         TextDedup.shingles(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3),
         500, maxDf = 32)),
 
-    // SimHash near-dup via the block trick; the oracle recomputes the
-    // md5-nibble simhash in SQL and takes the EXACT all-pairs Hamming
-    // set — i.e. it proves the pigeonhole block join finds every pair
+    // SimHash near-dup via the Manku block-combination trick (6 blocks →
+    // C(6,3)=20 combos of ~32-bit keys: O(1) expected bucket size at
+    // 10^9+ docs, vs the quadratic 16-bit single-block keys); the oracle
+    // recomputes the md5-nibble simhash in SQL and takes the EXACT
+    // all-pairs Hamming set — i.e. it proves the pigeonhole join finds
+    // every pair
     "dedup_simhash" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val planted = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
-      TextDedup.simhashDuplicates(planted, "text", "doc_id", maxDist = 3)
+      TextDedup.simhashDuplicates(planted, "text", "doc_id", maxDist = 3, nBlocks = 6)
     }),
 
     // brute-force cosine top-k (exact ANN baseline); double precision so

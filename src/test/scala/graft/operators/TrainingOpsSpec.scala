@@ -136,6 +136,53 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3.filter(col("dist") > 3).count() == 0)
   }
 
+  test("simhash wider block split (nBlocks=6) finds the identical pair set") {
+    val d4 = TextDedup.simhashDuplicates(docsWithCopies, "text", "doc_id", maxDist = 3)
+      .collect().map(_.toSeq).toSet
+    val d6 = TextDedup.simhashDuplicates(docsWithCopies, "text", "doc_id",
+      maxDist = 3, nBlocks = 6).collect().map(_.toSeq).toSet
+    assert(d4.nonEmpty)
+    assert(d6 == d4)
+  }
+
+  test("simhash hot-bucket bound: a planted hot 16-bit block floods only the narrow split") {
+    val sp = spark
+    import sp.implicits._
+    // 200 signatures sharing bits 0-15 (one whole block of the 4-split)
+    // but pairwise Hamming ≥ 6 overall (each id bit difference is planted
+    // 6× across the upper 48 bits) — the web-scale hazard: one hot
+    // narrow key. The 4-split must candidate every pair; the 6-split's
+    // ~32-bit combo keys (needing 3 equal blocks) must candidate none.
+    val sigs = (0L until 200L).map { i =>
+      (i, 0xABCDL | (i << 16) | (i << 24) | (i << 32) | (i << 40) | (i << 48) | (i << 56))
+    }.toDF("id", "simhash")
+    val cand4 = TextDedup.simhashCandidates(sigs, maxDist = 3, nBlocks = 4).count()
+    val cand6 = TextDedup.simhashCandidates(sigs, maxDist = 3, nBlocks = 6).count()
+    assert(cand4 == 200L * 199 / 2, "4-split: every pair shares the hot block")
+    assert(cand6 == 0L, "6-split: no pair shares 3 of 6 blocks")
+  }
+
+  test("minhash LSH: a 1000-copy cluster collapses to one rep, expands to all pairs") {
+    val sp = spark
+    import sp.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = ((0L until 1000L).map(i => (i, base)) ++
+      Seq((5000L, "completely different words entirely unrelated text here"),
+          (5001L, "another standalone document with its own distinct body"))).toDF("doc_id", "text")
+    // structural candidate bound: dedup collapses the cluster BEFORE
+    // shingling, so the LSH band buckets see 3 distinct texts, not 1002
+    val (reps, members) = TextDedup.collapseExact(corpus, "text", "doc_id")
+    assert(reps.count() == 3)
+    assert(members.count() == 1002)
+    val out = TextDedup.minhashLshDuplicates(corpus, "text", "doc_id")
+    assert(out.count() == 1000L * 999 / 2, "exactly the within-cluster pairs")
+    assert(out.filter(col("jaccard_milli") =!= 1000).count() == 0)
+    // ids expanded back to members, ordered a < b
+    assert(out.filter(col("a") >= col("b")).count() == 0)
+    assert(out.agg(min("a")).collect()(0).getLong(0) == 0L)
+    assert(out.agg(max("b")).collect()(0).getLong(0) == 999L)
+  }
+
   // ---- Similarity ----
 
   test("brute-force topK is deterministic and self-excluding") {
