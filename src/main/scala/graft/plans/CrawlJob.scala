@@ -16,8 +16,20 @@ import graft.operators.{Dedup, ParserDispatch, ParserRule, Politeness}
  * @param hostBudget  per-host fetches per wave — the deterministic
  *                    politeness knob replacing wall-clock speed control (O6)
  * @param waveCap     max fetches per wave (≙ cluster-wide speed max)
- * @param retries     error retries before dead-letter (server policy,
- *                    main.yaml:29-33)
+ * @param retries     error retries before dead-letter when the pages
+ *                    table carries no error classes (-1 = keep trying)
+ * @param networkRetries per-class policy (O8), active when `pages` has a
+ *                    `fetch_status` column: rows MISSING from the table
+ *                    are network errors (connection failed,
+ *                    cola/conf/main.yaml:26-28; executor.py:229-244
+ *                    selects the policy by error type). -1 = keep trying
+ *                    (the reference default)
+ * @param serverRetries rows PRESENT with fetch_status != 'ok' are server
+ *                    errors (404/500 with a response, main.yaml:30-33);
+ *                    default 5 per the reference
+ * @param networkIgnore / serverIgnore: after retries are exhausted, drop
+ *                    the url instead of dead-lettering (the `ignore`
+ *                    knob, main.yaml:28,33 → executor.py:345-351)
  * @param urlPattern  accept regex (P1, cola/core/urls.py:48-60) —
  *                    case-insensitive like re.IGNORECASE (urls.py:27);
  *                    shorthand for a single `extract` rule when
@@ -37,6 +49,10 @@ case class CrawlSettings(
     hostBudget: Int = 2,
     waveCap: Long = 1000000L,
     retries: Int = 1,
+    networkRetries: Int = -1, // main.yaml:27 (-1 = keep trying)
+    serverRetries: Int = 5, // main.yaml:31
+    networkIgnore: Boolean = false, // main.yaml:28
+    serverIgnore: Boolean = false, // main.yaml:33
     maxWaves: Int = 1000,
     urlPattern: String = ".*",
     salts: Int = 1,
@@ -282,9 +298,25 @@ class CrawlJob(
       //      — raw html must never be cached or traversed twice (at crawl
       //      scale html dominates every other column by orders of
       //      magnitude). nErrors rides along via Observation (no extra job).
-      val fetchedRaw = scheduled.join(
-          pages.select(col("url").as("url_canon"), col("html"), col("lang")),
-          Seq("url_canon"), "left")
+      // O8 error classes: active iff the pages table carries fetch_status.
+      // A scheduled url MISSING from the table is a network error (nothing
+      // answered); a row PRESENT with fetch_status != 'ok' is a server
+      // error (the server responded with an error) — the offline reading
+      // of NetworkError vs ServerError (executor.py:229-244). Without the
+      // column every miss is the single default class (r1/r2 behavior).
+      val hasStatus = pages.columns.contains("fetch_status")
+      val pageCols = Seq(col("url").as("url_canon"), col("html"), col("lang")) ++
+        (if (hasStatus) Seq(col("fetch_status")) else Seq.empty)
+      val fetchedRaw = scheduled.join(pages.select(pageCols: _*), Seq("url_canon"), "left")
+      val okCol =
+        if (hasStatus) col("html").isNotNull && coalesce(col("fetch_status"), lit("ok")) === "ok"
+        else col("html").isNotNull
+      val eclassCol =
+        if (hasStatus)
+          when(col("html").isNull, lit("network"))
+            .when(coalesce(col("fetch_status"), lit("ok")) =!= "ok", col("fetch_status"))
+            .otherwise(lit(null).cast("string"))
+        else when(col("html").isNull, lit("default")).otherwise(lit(null).cast("string"))
       val obs = new org.apache.spark.sql.Observation(s"wave_$w")
       // which parsers extract text / follow links is driver-side plan
       // specialization — constant isin sets over the dispatched column
@@ -292,13 +324,13 @@ class CrawlJob(
         if (ids.isEmpty) lit(false) else col("parser_id").isin(ids.map(x => x: Any): _*)
       val processed = fetchedRaw.select(
           (frontierCols :+ col("parser_id") :+ col("lang") :+
-            col("html").isNotNull.as("ok") :+
+            okCol.as("ok") :+ eclassCol.as("__eclass") :+
             (if (settings.extract && textParserIds.nonEmpty)
-               when(col("html").isNotNull && pidIn(textParserIds),
+               when(okCol && pidIn(textParserIds),
                  extractTextUdf(col("html"), col("url_canon")))
                  .otherwise(lit(null)).as("text")
              else lit(null).cast("string").as("text")) :+
-            when(col("html").isNotNull && pidIn(linkParserIds),
+            when(okCol && pidIn(linkParserIds),
               outlinksUdf(col("html"), col("url_canon")))
               .otherwise(array().cast("array<string>")).as("outs")): _*)
         .observe(obs, count(lit(1)).as("n"),
@@ -311,12 +343,27 @@ class CrawlJob(
       applied -= nErrors // O4 error refund (budget.py:154-158)
 
       // ---- retry / dead-letter (O8) ----
+      // per-class policy (executor.py:335-338: error_times <= retries →
+      // retry; -1 = keep trying; exhausted + ignore → drop silently,
+      // exhausted otherwise → dead letter with the class as the reason)
       val errors = processed.filter(!col("ok"))
       val bumped = errors.withColumn("error_times", col("error_times") + 1)
-      val retry = bumped.filter(col("error_times") <= settings.retries).select(frontierCols: _*)
-      val dead = bumped.filter(col("error_times") > settings.retries)
-        .select(lit(w).as("wave"), col("url_canon"), col("host"),
-          col("error_times"), lit("fetch_miss").as("reason"))
+      val limitCol =
+        if (hasStatus)
+          when(col("__eclass") === "network", lit(settings.networkRetries))
+            .otherwise(lit(settings.serverRetries))
+        else lit(settings.retries)
+      val ignoreCol =
+        if (hasStatus)
+          when(col("__eclass") === "network", lit(settings.networkIgnore))
+            .otherwise(lit(settings.serverIgnore))
+        else lit(false)
+      val keepRetry = limitCol < 0 || col("error_times") <= limitCol
+      val retry = bumped.filter(keepRetry).select(frontierCols: _*)
+      val dead = bumped.filter(!keepRetry && !ignoreCol)
+        .select(lit(w).as("wave"), col("url_canon"), col("host"), col("error_times"),
+          (if (hasStatus) concat(col("__eclass"), lit("_error"))
+           else lit("fetch_miss")).as("reason"))
       // dead letters and the inc queue only get a write job when they
       // have rows (most waves have no errors; empty parquet writes cost
       // a full job each on the driver-latency-bound wave path)

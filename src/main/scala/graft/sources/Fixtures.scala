@@ -154,6 +154,23 @@ $paras
 
   def pagesDF(spark: SparkSession, v: Long): DataFrame = pagesDS(spark, v).toDF()
 
+  /** O8 classed-error corpus: pages with a `fetch_status` column —
+   *  id % 13 == 5 pages EXIST but the server errors on them
+   *  (fetch_status "server" ≙ ServerError: a 404/500 with a response);
+   *  out-of-range link targets stay MISSING from the table ≙ NetworkError.
+   *  [[statusMap]] mirrors the column for the simulator. */
+  def statusOf(id: Long): String = if (id % 13 == 5) "server" else "ok"
+
+  def pagesWithStatusDF(spark: SparkSession, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    pagesDF(spark, v).withColumn("fetch_status",
+      when(regexp_extract(col("url"), "/p/([0-9]+)", 1).cast("long") % 13 === 5,
+        lit("server")).otherwise(lit("ok")))
+  }
+
+  def statusMap(v: Long): Map[String, String] =
+    (0L until v).filter(statusOf(_) == "server").map(id => canonUrl(id) -> "server").toMap
+
   /** Pages without the pre-extracted `text` column (null) — for scale
    *  runs where the golden text is not asserted: page generation is then
    *  O(html) instead of paying a readability extraction per page. */

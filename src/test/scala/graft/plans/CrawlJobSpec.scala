@@ -165,6 +165,44 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("host", "priority", "seq").collect().map(_.toSeq).toSet == plain)
   }
 
+  test("O8 per-error-class retry: mixed network/server errors match the simulator") {
+    // classed mode: pages with fetch_status — id%13==5 pages error
+    // server-side (retries=0 → dead on first failure), missing link
+    // targets error network-side (retries=2 → dead on the third failure);
+    // the unclassed `retries` knob must be ignored entirely
+    val settings = base.copy(retries = 99, networkRetries = 2, serverRetries = 0,
+      size = 200, maxWaves = 15)
+    val job = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+      tmpDir("o8class"))
+    val summary = job.run(Fixtures.seeds(V))
+    val sim = new ColaSimulator(settings, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
+    sim.run(Fixtures.seeds(V))
+    assert(scheduleTuples(job) == simTuples(sim), "classed schedule diverged")
+    assert(job.deadTable.select("url_canon").collect().map(_.getString(0)).toSet
+      == sim.dead.toSet, "classed dead letters diverged")
+    val reasons = job.deadTable.select("reason").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(reasons == Set("network_error", "server_error"),
+      s"both classes must reach the dead letter table, got $reasons")
+    assert(summary.finished == sim.finished && summary.applied == sim.applied)
+  }
+
+  test("O8 ignore: exhausted server errors drop silently, network still dead-letters") {
+    val settings = base.copy(retries = 99, networkRetries = 1, serverRetries = 0,
+      serverIgnore = true, size = 200, maxWaves = 15)
+    val job = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+      tmpDir("o8ignore"))
+    job.run(Fixtures.seeds(V))
+    val sim = new ColaSimulator(settings, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
+    sim.run(Fixtures.seeds(V))
+    assert(scheduleTuples(job) == simTuples(sim))
+    val reasons = job.deadTable.select("reason").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(reasons == Set("network_error"), s"server class must be ignored, got $reasons")
+    assert(job.deadTable.select("url_canon").collect().map(_.getString(0)).toSet
+      == sim.dead.toSet)
+  }
+
   test("O7 adaptive throttling: budget decays to min fetched before banned waves") {
     import graft.operators.Politeness
     val sp = spark

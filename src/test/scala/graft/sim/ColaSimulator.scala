@@ -21,7 +21,11 @@ import graft.plans.CrawlSettings
 class ColaSimulator(
     settings: CrawlSettings,
     pages: Map[String, String], // canon url -> html
-    priorityOf: String => Int = _ => 0) {
+    priorityOf: String => Int = _ => 0,
+    // O8 classed mode (≙ the engine's pages.fetch_status column):
+    // Some(map) where map(canon) = "server" marks present-but-erroring
+    // pages; canons missing from `pages` are then network errors.
+    pageStatus: Option[Map[String, String]] = None) {
 
   case class Entry(url: String, canon: String, host: String, priority: Int,
       depth: Int, seq: Long, var errorTimes: Int)
@@ -120,13 +124,24 @@ class ColaSimulator(
       val labelCands = mutable.ArrayBuffer.empty[(Long, Int, String)] // (parentSeq, linkIdx, label)
 
       ordered.foreach { e =>
-        pages.get(e.canon) match {
-          case None =>
+        // O8: error class of this fetch — classed mode distinguishes
+        // network (no page) from server (page present, erroring status)
+        val status = pageStatus match {
+          case Some(m) =>
+            if (!pages.contains(e.canon)) "network" else m.getOrElse(e.canon, "ok")
+          case None => if (!pages.contains(e.canon)) "default" else "ok"
+        }
+        if (status != "ok") {
             applied -= 1 // error refund
             e.errorTimes += 1
-            if (e.errorTimes <= settings.retries) retries += e
-            else dead += e.canon
-          case Some(html) =>
+            val (limit, ignore) = status match {
+              case "default" => (settings.retries, false)
+              case "network" => (settings.networkRetries, settings.networkIgnore)
+              case _         => (settings.serverRetries, settings.serverIgnore)
+            }
+            if (limit < 0 || e.errorTimes <= limit) retries += e
+            else if (!ignore) dead += e.canon
+        } else pages.get(e.canon).foreach { html =>
             finished += 1
             if (!incQueue.contains(e.canon)) incQueue += e.canon -> e.url
             // P2: only link-following parsers feed the frontier; dispatch
