@@ -282,35 +282,71 @@ object Extract extends Serializable {
    *  re-encode when confidence > 0.5) — a deterministic chardet-lite:
    *
    *  1. strict UTF-8 validity scan (incl. pure ASCII) → "utf-8";
-   *  2. else GBK when the bytes strictly decode as GBK, ≥ half of the
-   *     decoded non-ASCII chars are CJK (the confidence>0.5 gate), and
-   *     EITHER every maximal run of high (≥0x80) bytes has even length
-   *     (latin-1's accented letters sit ISOLATED inside ASCII words —
-   *     odd runs — while GB2312-range CJK text comes in high-byte pairs)
-   *     OR the CJK evidence is overwhelming (≥8 CJK chars at ≥90% of the
-   *     non-ASCII chars — covers GBK characters whose legal trail byte
-   *     is in the ASCII range 0x40-0x7E, which break run parity; a
-   *     latin-1 text can only fake this by having EVERY accented letter
-   *     followed by a trail-range byte AND ≥8 of them, at which point
-   *     strict decode + ratio is the best an oracle-free detector can do);
+   *  2. else score each CJK candidate charset (GBK, Big5, Shift_JIS —
+   *     the same family chardet splits with its frequency models): the
+   *     bytes must strictly decode, ≥ half the decoded non-ASCII chars
+   *     must be CJK-ish (the confidence>0.5 gate), and structural
+   *     evidence must exist —
+   *       - paired shape: every maximal run of high (≥0x80) bytes has
+   *         even length with ≥ 2 such runs AND ≥ 3 decoded CJK chars
+   *         (latin-1 accents sit isolated — odd runs; and one adjacent
+   *         accent pair like 'üß' decoding to a lone hanzi is not
+   *         evidence, it is the windows-1252 prior), or
+   *       - overwhelming: ≥ 8 CJK chars at ≥ 90% of non-ASCII (covers
+   *         GBK/Big5/SJIS chars with ASCII-range trail bytes, which
+   *         break run parity), or
+   *       - (Shift_JIS only) ≥ 3 kana at ≥ 1/3 of the non-ASCII chars —
+   *         real Japanese text is kana-dominant, while the WRONG charset
+   *         decoding random double-byte pairs lands in the kana block
+   *         only occasionally; SJIS's single-byte katakana breaks run
+   *         parity by design, hence its own gate.
+   *     Among the passing candidates the winner has the highest
+   *     frequency score: each decoded CJK-ish char counts 1, plus 3 for
+   *     membership in a ~150-char top-frequency table (common simplified
+   *     hanzi / traditional hanzi / all kana) — a miniaturized version
+   *     of chardet's language models: the WRONG double-byte charset
+   *     still decodes valid code points, but into rare random hanzi
+   *     that miss the common table. Ties keep candidate order
+   *     (GBK first — the dominant zh-web legacy charset).
    *  3. else "windows-1252" (the web's de-facto 8-bit fallback, every
    *     byte valid — covers latin-1).
    *
    *  Pure-Scala, no detector library, no RNG — unlike chardet the result
-   *  is a pure function of the bytes. Big5/Shift-JIS are not separately
-   *  modeled (documented divergence: chardet's frequency models would be
-   *  needed to split them from GBK, which shares their lead/trail byte
-   *  ranges; such pages detect as GBK or fall back to windows-1252). */
+   *  is a pure function of the bytes. Remaining divergence: chardet's
+   *  full per-language byte-distribution models can split pathological
+   *  cases (all-rare-hanzi text in the wrong charset) that this table
+   *  cannot; such pages resolve by candidate order. */
   def sniffCharset(bytes: Array[Byte]): String = {
     if (bytes == null) return "utf-8"
     if (isValidUtf8(bytes)) return "utf-8"
-    decodeCjk(bytes, "GBK") match {
-      case Some((cjk, nonAscii)) if cjk * 2 >= nonAscii &&
-          (evenHighByteRuns(bytes) || (cjk >= 8 && cjk * 10 >= nonAscii * 9)) =>
-        "GBK"
-      case _ => "windows-1252"
+    val (allEven, runCount) = highByteRuns(bytes)
+    val scored = Seq("GBK", "Big5", "Shift_JIS").flatMap { cs =>
+      decodeCjkStats(bytes, cs).collect {
+        case st if st.cjkish * 2 >= st.nonAscii && (
+            (st.cjkish >= 8 && st.cjkish * 10 >= st.nonAscii * 9) ||
+            (allEven && runCount >= 2 && st.cjkish >= 3) ||
+            (cs == "Shift_JIS" && st.kana >= 3 && st.kana * 3 >= st.nonAscii)) =>
+          // kana are "common" only when kana-DOMINANT (real Japanese):
+          // a wrong double-byte decode scatters a few chars into the
+          // kana block, and they must not outvote a plain-hanzi rival
+          val kanaCommon = if (st.kana * 3 >= st.nonAscii) st.kana else 0
+          cs -> (st.cjkish + 3 * (st.common + kanaCommon))
+      }
     }
+    if (scored.isEmpty) "windows-1252"
+    else scored.maxBy(_._2)._1 // maxBy keeps the FIRST max → candidate-order ties
   }
+
+  /** Top-frequency CJK table (chardet-language-model-lite): common
+   *  simplified hanzi, common traditional hanzi (incl. the distinct
+   *  forms 們/這/國/... that split zh-CN from zh-TW), and kana handled
+   *  as a block in [[decodeCjkStats]]. */
+  private val CommonHanzi: Set[Char] =
+    ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之" +
+     "过家学对可她里后小么心多天而能好都然没日于起还发成事只作当想看文无开手用主行方又如前所" +
+     "数据网络系统分析调度队列爬虫" +
+     "們這國說時對會學來長發當經動問開關門見實體與點樣現內無後頭應該裡為個" +
+     "網路爬蟲調度佇列資料係統傳統繁體").toSet
 
   private def isValidUtf8(bytes: Array[Byte]): Boolean = {
     var i = 0
@@ -334,46 +370,59 @@ object Extract extends Serializable {
     true
   }
 
-  /** True when every maximal run of bytes ≥ 0x80 has even length AND at
-   *  least one such run exists (a double-byte-charset shape). */
-  private def evenHighByteRuns(bytes: Array[Byte]): Boolean = {
+  /** (every maximal run of bytes ≥ 0x80 has even length, run count).
+   *  Even paired runs are the double-byte-charset shape. */
+  private def highByteRuns(bytes: Array[Byte]): (Boolean, Int) = {
     var i = 0
     val n = bytes.length
-    var sawRun = false
+    var runs = 0
+    var allEven = true
     while (i < n) {
       if ((bytes(i) & 0x80) != 0) {
         var j = i
         while (j < n && (bytes(j) & 0x80) != 0) j += 1
-        if (((j - i) & 1) != 0) return false
-        sawRun = true
+        if (((j - i) & 1) != 0) allEven = false
+        runs += 1
         i = j
       } else i += 1
     }
-    sawRun
+    (allEven && runs > 0, runs)
   }
 
-  /** Strict decode; Some((cjkChars, nonAsciiChars)) on success, None on
-   *  any malformed/unmappable sequence. */
-  private def decodeCjk(bytes: Array[Byte], charset: String): Option[(Int, Int)] = {
+  private case class CjkStats(cjkish: Int, kana: Int, common: Int, nonAscii: Int)
+
+  /** Strict decode + classification; None on any malformed/unmappable
+   *  sequence or when nothing non-ASCII was decoded. cjkish counts
+   *  ideographs, kana, CJK punctuation and fullwidth forms; `common`
+   *  counts hits in the hanzi top-frequency table; kana are tallied
+   *  separately (they count as common only when kana-dominant — see
+   *  [[sniffCharset]]). */
+  private def decodeCjkStats(bytes: Array[Byte], charset: String): Option[CjkStats] = {
     val dec = java.nio.charset.Charset.forName(charset).newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     val decoded =
       try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
       catch { case _: java.nio.charset.CharacterCodingException => return None }
-    var cjk = 0
+    var cjkish = 0
+    var kana = 0
+    var common = 0
     var nonAscii = 0
     var i = 0
     while (i < decoded.length) {
       val c = decoded.charAt(i)
       if (c >= 0x80) {
         nonAscii += 1
-        if ((c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3000 && c <= 0x303f) ||
-            (c >= 0xff00 && c <= 0xffef)) cjk += 1
+        val isKana = c >= 0x3040 && c <= 0x30ff
+        val isCjk = (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3000 && c <= 0x303f) ||
+          (c >= 0xff00 && c <= 0xffef) || isKana
+        if (isCjk) cjkish += 1
+        if (isKana) kana += 1
+        if (!isKana && CommonHanzi.contains(c)) common += 1
       }
       i += 1
     }
-    if (nonAscii == 0) None else Some((cjk, nonAscii))
+    if (nonAscii == 0) None else Some(CjkStats(cjkish, kana, common, nonAscii))
   }
 
   /** Decode with the sniffed charset (X3). */

@@ -9,16 +9,41 @@ import scala.collection.mutable
  * tree operations the reference performs with BeautifulSoup
  * (`cola/core/extractor/preprocess.py`, `readability.py`): find_all,
  * extract (detach), contents, parent links, tag rename, text collection,
- * and re-serialization. The corpus this engine extracts from is
- * deterministic well-formed HTML (FIXTURES.md A.1), so the parser handles
- * well-formed markup plus the common leniencies (void elements, raw-text
- * script/style, stray close tags) — not arbitrary tag soup.
+ * and re-serialization. Not a full HTML5 tree builder, but handles the
+ * dominant real-web tag-soup shapes the way BeautifulSoup repairs them
+ * (MalformedHtmlSpec freezes the behavior): void elements, raw-text
+ * script/style, stray close tags, stray '<', unquoted/valueless/duplicate
+ * attributes, implicit closing (`<p>a<p>b` → sibling paragraphs, `<li>`,
+ * `<td>`/`<tr>`, `<dt>`/`<dd>`, `<option>`, block elements closing an
+ * open paragraph), misnested close tags (pop to the nearest open match),
+ * and unclosed elements at EOF. Remaining divergence from a browser:
+ * no adoption agency for misnested INLINE formatting (`<b>a<i>b</b>c</i>`
+ * keeps `c` outside the `<i>`), no entity decoding, no implied
+ * html/head/body synthesis.
  */
 object Html {
 
   private val VoidElements: Set[String] = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr")
+
+  /** Tag-soup leniency: a start tag implicitly closes these still-open
+   *  elements (nearest-first, stopping at the first non-match) — the
+   *  BeautifulSoup NESTABLE/RESET_NESTING_TAGS behavior the reference's
+   *  extractor relies on for real-web HTML (`<p>a<p>b` is two sibling
+   *  paragraphs, `<li>`/`<td>` rows self-terminate, a block element
+   *  closes an open paragraph). */
+  private val ParagraphClosers: Set[String] = Set(
+    "p", "div", "ul", "ol", "dl", "h1", "h2", "h3", "h4", "h5", "h6",
+    "blockquote", "pre", "table", "form", "hr", "section", "article",
+    "aside", "header", "footer", "fieldset", "address")
+  private val ImplicitClosers: Map[String, Set[String]] =
+    ParagraphClosers.map(t => t -> Set("p")).toMap ++ Map(
+      "li" -> Set("li"),
+      "dt" -> Set("dt", "dd"), "dd" -> Set("dt", "dd"),
+      "tr" -> Set("tr", "td", "th"),
+      "td" -> Set("td", "th"), "th" -> Set("td", "th"),
+      "option" -> Set("option"))
 
   private val RawTextElements: Set[String] = Set("script", "style")
 
@@ -149,8 +174,14 @@ object Html {
             val selfClose = inner.endsWith("/")
             val body = if (selfClose) inner.dropRight(1) else inner
             val (tag, attrs) = parseTag(body)
+            // implicit closes (tag soup): pop still-open elements this
+            // start tag terminates, nearest-first
+            ImplicitClosers.get(tag).foreach { closes =>
+              while (cur.parent != null && closes.contains(cur.name)) cur = cur.parent
+            }
             val e = new Elem(tag)
-            attrs.foreach { case (k, v) => e.attrs(k) = v }
+            // duplicate attributes: first occurrence wins (browser/BS rule)
+            attrs.foreach { case (k, v) => if (!e.attrs.contains(k)) e.attrs(k) = v }
             e.parent = cur; cur.children += e
             i = end + 1
             if (!selfClose && RawTextElements.contains(tag)) {

@@ -112,13 +112,44 @@ class ExtractSpec extends AnyFunSuite {
     val tricky = asciiTrail.mkString + " with ascii words"
     assert(Extract.sniffCharset(tricky.getBytes(gbkCs)) == "GBK")
     assert(Extract.decodeHtml(tricky.getBytes(gbkCs)) == tricky)
-    // a lone valid GBK pair is claimed by GBK (it IS a hanzi in GBK);
-    // bytes no supported charset strictly decodes fall back to 1252
-    assert(Extract.sniffCharset(Array(0xE4.toByte, 0xB8.toByte)) == "GBK")
+    // a lone valid double-byte pair is NOT evidence (one even run, one
+    // hanzi): the windows-1252 prior wins — a latin-1 snippet whose only
+    // non-ASCII bytes are one adjacent accent pair ('üß') must not
+    // decode as a hanzi (ADVICE r2)
+    assert(Extract.sniffCharset(Array(0xE4.toByte, 0xB8.toByte)) == "windows-1252")
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    assert(Extract.sniffCharset("Grüße".getBytes(cp1252)) == "windows-1252")
+    assert(Extract.sniffCharset("Größenwahn außen heiß".getBytes(cp1252)) == "windows-1252")
     assert(Extract.sniffCharset(Array(0x81.toByte, 0x3f.toByte, 0xFF.toByte, 0xFF.toByte)) == "windows-1252")
     assert(Extract.sniffCharset(Array[Byte]()) == "utf-8")
     // decode of valid utf-8 round-trips
     assert(Extract.decodeHtml("中文 test".getBytes(StandardCharsets.UTF_8)) == "中文 test")
+  }
+
+  test("charset sniffing (X3): Big5 and Shift-JIS pages split from GBK by the frequency table") {
+    // traditional Chinese (Big5): the same bytes often strictly decode as
+    // GBK too, into rare random hanzi — the common-character score must
+    // pick Big5
+    val big5Text = "這是一個網路爬蟲的調度佇列。資料分析系統，傳統繁體測試。"
+    val big5 = big5Text.getBytes(java.nio.charset.Charset.forName("Big5"))
+    assert(Extract.sniffCharset(big5) == "Big5")
+    assert(Extract.decodeHtml(big5) == big5Text)
+    // Japanese (Shift_JIS): kana everywhere — including after mixing in
+    // ASCII (odd-run shapes the paired gate alone would reject)
+    val sjisText = "ウェブクローラーのスケジュールです。データ分析システム、テストします。"
+    val sjis = sjisText.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    assert(Extract.sniffCharset(sjis) == "Shift_JIS")
+    assert(Extract.decodeHtml(sjis) == sjisText)
+    val sjisMixed = s"crawler: $sjisText ok".getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    assert(Extract.sniffCharset(sjisMixed) == "Shift_JIS")
+    // simplified Chinese stays GBK (not claimed by Big5/SJIS)
+    val gbkText2 = "网络爬虫的调度队列，数据分析系统。我们这是中文测试。"
+    assert(Extract.sniffCharset(gbkText2.getBytes(java.nio.charset.Charset.forName("GBK"))) == "GBK")
+    // an end-to-end Big5 page extracts identically to its UTF-8 twin
+    val html = "<html><head><title>T</title></head><body><div id='c'>" +
+      (1 to 12).map(_ => big5Text).mkString("<p>", "</p><p>", "</p>") + "</div></body></html>"
+    assert(Extract.extractText(html.getBytes(java.nio.charset.Charset.forName("Big5")), "http://h/x") ==
+      Extract.extractText(html.getBytes(StandardCharsets.UTF_8), "http://h/x"))
   }
 
   test("extraction is deterministic (same input → same bytes)") {
