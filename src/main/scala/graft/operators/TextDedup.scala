@@ -47,6 +47,21 @@ object TextDedup {
     sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select(col("shingle"))
 
+  /** Observability for the jaccard df-cap's one blind spot: documents
+   *  whose shingles are ALL above `maxDf` never generate candidate pairs
+   *  (an all-boilerplate near-dup pair sharing zero rare shingles cannot
+   *  form). Report this count next to a capped [[jaccardPairs]] run — a
+   *  non-trivial value on a corpus means the cap is eating recall there
+   *  and maxDf should rise (ADVICE r2: the silent-recall-loss mode must
+   *  be visible, not just documented). */
+  def hotOnlyDocCount(sh: DataFrame, maxDf: Int): Long = {
+    val docsWithRare = sh.join(hotShingles(sh, maxDf), Seq("shingle"), "left_anti")
+      .select(col("id")).distinct()
+    sh.select(col("id")).distinct()
+      .join(docsWithRare, Seq("id"), "left_anti")
+      .count()
+  }
+
   /** Exact Jaccard for every pair sharing ≥1 shingle (classic
    *  |A∩B| / (|A|+|B|−|A∩B|)). Output ids are ordered a < b; jaccard
    *  reported as exact per-mille (integers).

@@ -47,20 +47,25 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
   /** Bucketed-table names synced by [[cleanUncommitted]]. */
   val bucketedNames: Seq[String] = Seq("seen", "frontier")
 
-  /** Catalog-safe table name, unique per checkpoint location and stable
+  /** Catalog-safe table name, unique per checkpoint LOCATION (normalized
+   *  absolute path — trailing-slash/relative aliases of one dir must not
+   *  register distinct catalog tables over the same files) and stable
    *  across sessions (resume re-derives it). */
   private def tableName(name: String): String = {
+    val canonical = Paths.get(dir).toAbsolutePath.normalize.toString
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest(canonical.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     s"graft_${name}_$md"
   }
 
   /** (Re-)register the bucketed wave-partitioned table `<dir>/<name>` and
-   *  sync partitions with the files on disk. DROP + CREATE (not IF NOT
-   *  EXISTS) so a resume never sees stale partition registrations for
-   *  waves [[cleanUncommitted]] just removed. Idempotent; data columns
-   *  must lead with (url_hash, url_canon) join keys present. */
-  def ensureBucketed(name: String, dataColsDdl: String): Unit = {
+   *  sync partitions with the files on disk. `reset = true` (the run
+   *  path, after cleanUncommitted) DROPs first so a resume never sees
+   *  stale partition registrations for removed waves; `reset = false`
+   *  (read accessors inspecting a checkpoint) uses CREATE IF NOT EXISTS,
+   *  so looking at a live job's tables never re-executes DDL under it.
+   *  Idempotent; data columns must lead with (url_hash, url_canon). */
+  def ensureBucketed(name: String, dataColsDdl: String, reset: Boolean = true): Unit = {
     val t = tableName(name)
     Files.createDirectories(Paths.get(dir, name)) // RECOVER needs the location
     // bucket count is a property of the FILES already on disk (bucket ids
@@ -73,12 +78,15 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
       require(existing == numBuckets,
         s"checkpoint table '$name' at $dir was written with $existing buckets; " +
         s"resuming with numBuckets=$numBuckets would corrupt its storage-partitioned joins")
-    } else Files.writeString(marker, numBuckets.toString)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql(s"""CREATE TABLE $t ($dataColsDdl, wave INT)
+    }
+    if (reset) spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $t ($dataColsDdl, wave INT)
       USING parquet PARTITIONED BY (wave)
       CLUSTERED BY (url_hash, url_canon) SORTED BY (url_hash, url_canon)
       INTO $numBuckets BUCKETS LOCATION '$dir/$name'""")
+    // the marker lands only after CREATE succeeded: a failed registration
+    // must not leave a bucket-count claim behind
+    if (!Files.exists(marker)) Files.writeString(marker, numBuckets.toString)
     spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
   }
 

@@ -78,6 +78,12 @@ case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
  * structural reason the design scales N→4N (vs the reference's per-fetch
  * XML-RPC budget/speed round trips, cola/functions/budget.py:137-146).
  */
+/**
+ * CONSTRUCTOR CONTRACT: `pages` must be UNIQUE per `url` — the wave's
+ * fetch is a left join on it, and the loop's exact frontier arithmetic
+ * (nextSizeBase) counts one fetch per scheduled url. The invariant is
+ * asserted every wave at zero cost via the wave Observation (see run()).
+ */
 class CrawlJob(
     spark: SparkSession,
     pages: DataFrame,
@@ -201,22 +207,25 @@ class CrawlJob(
     ckpt.commit(0, Map("applied" -> "0", "finished" -> "0", "scheduledTotal" -> "0", "deadTotal" -> "0"))
   }
 
-  /** Run (or resume) the crawl to completion. */
   /** Register the bucketed state tables in this session's catalog —
-   *  called by run(), and lazily by the read accessors so an existing
-   *  checkpoint can be inspected without running a crawl. */
-  private def ensureStateTables(): Unit = {
+   *  called by run() (reset = true: stale partition registrations for
+   *  cleaned waves must go), and lazily by the read accessors with
+   *  reset = false (inspecting a checkpoint — possibly while another job
+   *  over the same dir is live — must not re-execute DROP DDL under it). */
+  private def ensureStateTables(reset: Boolean = true): Unit = {
     // storage-partitioned state tables: seen + frontier are bucketed by
     // (url_hash, url_canon), so every wave's anti-joins read them
     // shuffle-free on the big side (see Checkpoint scaladoc)
-    ckpt.ensureBucketed("seen", ddlOf(Schemas.seen, drop = Set("wave")))
-    ckpt.ensureBucketed("frontier", ddlOf(Schemas.frontier))
+    ckpt.ensureBucketed("seen", ddlOf(Schemas.seen, drop = Set("wave")), reset)
+    ckpt.ensureBucketed("frontier", ddlOf(Schemas.frontier), reset)
   }
 
   private def bucketedReader(name: String): Int = { // returns latest wave
-    if (!ckpt.bucketedRegistered(name)) ensureStateTables()
+    if (!ckpt.bucketedRegistered(name)) ensureStateTables(reset = false)
     ckpt.latestWave.getOrElse(0)
   }
+
+  /** Run (or resume) the crawl to completion. */
 
   def run(seeds: Seq[String]): CrawlSummary = {
     ckpt.cleanUncommitted()
@@ -337,6 +346,14 @@ class CrawlJob(
           sum(when(col("ok"), 0L).otherwise(1L)).as("errors"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       processed.count() // materialize: html traversed exactly once
+      // pages-unique contract check, free via the wave Observation: the
+      // left join returns exactly one row per scheduled url iff `pages`
+      // is unique per url — duplicate page rows would silently multiply
+      // rows here and corrupt nSuccess/frontier-size/loop accounting
+      val nProcessed = obs.get("n").asInstanceOf[Long]
+      require(nProcessed == nScheduled,
+        s"pages table must be unique per url (CrawlJob contract): wave $w joined " +
+        s"$nProcessed rows for $nScheduled scheduled urls")
       val nErrors = obs.get("errors").asInstanceOf[Long]
       val nSuccess = nScheduled - nErrors
       finished += nSuccess

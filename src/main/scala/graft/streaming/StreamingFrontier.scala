@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** A discovered-URL event on the streaming frontier. */
 case class UrlEvent(url_canon: String, host: String, priority: Int, ts: Timestamp)
@@ -87,5 +87,62 @@ object StreamingFrontier {
           state.update(st)
           out.result().iterator
       }
+  }
+
+  /**
+   * O9-continuous, runnable: discovered-URL events → streaming dedup
+   * (watermark-bounded state) → per-host politeness gate → per-micro-batch
+   * admission into the SAME durable bucketed seen table the batch engine
+   * reads and writes ([[graft.plans.Checkpoint]] layout). The streaming
+   * dedup state is only the bounded fast path; the table is the source
+   * of truth, so every batch's gated urls are anti-joined against the
+   * committed seen set (the exact D1 gate) and only the survivors append
+   * (wave = micro-batch id). That also makes a replayed micro-batch
+   * idempotent at the admission level: its urls are already seen, so the
+   * replay appends nothing (the standard foreachBatch at-least-once
+   * caveat applies to a crash INSIDE an append).
+   *
+   * `onBatch(admitted, batchId)` fires after each batch's admission with
+   * the admitted rows (url_canon, host, priority, ts) — the downstream
+   * fetch/schedule hook (and the spec's capture point).
+   */
+  def runContinuous(
+      events: Dataset[UrlEvent],
+      stateDir: String,
+      streamCkptDir: String,
+      hostBudget: Int,
+      windowMillis: Long = 60000L,
+      numBuckets: Int = 8,
+      watermark: String = "10 minutes",
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val spark = events.sparkSession
+    val ckpt = new graft.plans.Checkpoint(spark, stateDir, numBuckets)
+    ckpt.ensureBucketed("seen", "url_hash BIGINT, url_canon STRING", reset = false)
+    val gated = politenessGate(dedupStream(events, watermark), hostBudget, windowMillis)
+    gated.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", streamCkptDir)
+      .foreachBatch { (batch: Dataset[GatedUrl], batchId: Long) =>
+        val withHash = batch.toDF()
+          .withColumn("url_hash", xxhash64(col("url_canon")))
+        val seen = ckpt.readBucketed("seen", Int.MaxValue)
+        val admitted = withHash.join(seen.select("url_hash", "url_canon"),
+          Seq("url_hash", "url_canon"), "left_anti")
+        // land the admitted set as the batch's durable output FIRST (the
+        // continuous analog of the per-wave schedule table), then append
+        // the re-read stable copy to the seen table: appending to a table
+        // a plan reads invalidates/recomputes that plan, and a lazily
+        // re-evaluated `admitted` would anti-join against its own append
+        // and vanish
+        val outPath = s"$stateDir/stream/batch=$batchId/admitted"
+        admitted.write.mode("overwrite").parquet(outPath)
+        val stable = spark.read.parquet(outPath)
+        if (!stable.isEmpty)
+          ckpt.writeBucketed(stable.select(col("url_hash"), col("url_canon")),
+            batchId.toInt, "seen")
+        onBatch(stable.select("url_canon", "host", "priority", "ts"), batchId)
+        ()
+      }
+      .start()
   }
 }

@@ -108,6 +108,15 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val capped = TextDedup.jaccardPairs(sh, 500, maxDf = 32).collect().map(_.toSeq).toSet
     assert(uncapped.nonEmpty, "corpus should contain planted near-dups")
     assert(capped == uncapped)
+    // the cap's blind-spot meter: no fixture doc is ALL-hot shingles here
+    assert(TextDedup.hotOnlyDocCount(sh, 32) == 0L)
+    // but an all-boilerplate doc (only the planted hot phrase) registers
+    val sp2 = spark
+    import sp2.implicits._
+    val withAllHot = planted.select(col("doc_id"), col("text")).unionByName(
+      Seq((999999L, "copyright footer boilerplate")).toDF("doc_id", "text"))
+    val sh2 = TextDedup.shingles(withAllHot, "text", "doc_id", 3)
+    assert(TextDedup.hotOnlyDocCount(sh2, 32) == 1L)
   }
 
   test("jaccardForPairs tolerates duplicate candidate pairs (internal dedup)") {

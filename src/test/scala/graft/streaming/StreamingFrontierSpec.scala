@@ -105,4 +105,54 @@ class StreamingFrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(got == Set("x1", "y1"), s"got $got")
   }
+
+  test("O9-continuous end-to-end: dedup + gate + durable seen admission match the batch semantics") {
+    val sp = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-stream-state").toString
+    val streamCkpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    // pre-seed the durable seen table (wave 0) the way a prior BATCH crawl
+    // leaves it — the continuous mode must extend, not fork, that state
+    val ckpt = new graft.plans.Checkpoint(spark, stateDir, 8)
+    ckpt.ensureBucketed("seen", "url_hash BIGINT, url_canon STRING")
+    ckpt.writeBucketed(
+      Seq("pre1", "pre2").toDF("url_canon")
+        .withColumn("url_hash", xxhash64(col("url_canon")))
+        .select("url_hash", "url_canon"),
+      0, "seen")
+
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[UrlEvent]
+    val q = StreamingFrontier.runContinuous(input.toDS(), stateDir, streamCkpt,
+      hostBudget = 2, onBatch = (df, bid) =>
+        admitted ++= df.select("url_canon").collect().map(r => (bid, r.getString(0))))
+
+    // batch 1: host a has 3 candidates in one window (budget 2), one of
+    // which is already seen; an in-batch duplicate of a2; host b has 1
+    input.addData(
+      ev("pre1", "a", 0, 1), ev("a2", "a", 1, 2), ev("a2", "a", 1, 2),
+      ev("a3", "a", 2, 3), ev("b1", "b", 0, 4))
+    q.processAllAvailable()
+    // batch 2: a new window reopens host a's budget; a cross-batch
+    // duplicate (a2) must be dropped by the streaming dedup state
+    input.addData(ev("a2", "a", 1, 62), ev("a9", "a", 0, 65), ev("pre2", "b", 0, 66))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch-engine expectation on the same events: dedup first, then the
+    // per-(host, window) top-hostBudget by (priority, ts, canon), then
+    // the durable-seen anti-join at admission
+    // window 0 host a: pre1(p0), a2(p1), a3(p2) → gate keeps pre1, a2;
+    //   pre1 is already seen → admitted: a2. host b: b1 → admitted.
+    // window 1 host a: a9 (a2 is a cross-batch dup, dropped) → admitted;
+    //   host b: pre2 gated but already seen → not admitted.
+    assert(admitted.map(_._2).toSet == Set("a2", "b1", "a9"),
+      s"admitted ${admitted.toSeq}")
+    // the durable seen table extended by exactly the admitted urls
+    val seenNow = ckpt.readBucketed("seen", Int.MaxValue)
+      .select("url_canon").collect().map(_.getString(0)).toSet
+    assert(seenNow == Set("pre1", "pre2", "a2", "b1", "a9"))
+  }
 }
