@@ -226,6 +226,11 @@ object FrontierBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dd.count()
     time("hostEligSalted") { Politeness.hostEligibleSalted(dd, 1000, 32).count() }
+    time("hostEligAdaptive") { Politeness.hostEligibleAdaptive(dd, 1000, 32).count() }
+    time("applyQuotas") {
+      Politeness.applyQuotas(
+        dd.withColumn("priority", Politeness.clampPriority(col("priority"), 3)), n, 3).count()
+    }
     time("scheduleFull") { Politeness.schedule(dd, 1000, n, 3, 32).count() }
     spark.stop()
     deleteRecursively(profileDir)

@@ -126,10 +126,19 @@ object Politeness {
     val hotSeq = hostCounts.filter(col("__hn") > hostBudget)
       .select(col("host")).as[String].collect().toSeq
     val hotDf = broadcast(hotSeq.toDF("host"))
-    val boundary =
-      if (candidates.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        candidates.repartition(col("host"))
-      else candidates
+    // detect caching through DERIVED frames (df.storageLevel only sees
+    // this exact frame): a cached ancestor shows up as an
+    // InMemoryRelation in the optimized plan. Cached input → both join
+    // branches re-read the cache, no boundary needed. Uncached input →
+    // repartition ONCE so the branches share a single exchange via
+    // ReuseExchange instead of recomputing the input subtree per branch.
+    // The boundary key must be skew-free: seq is unique by contract
+    // (repartitioning by host would funnel a mega-host — the exact J5
+    // skew this operator exists to absorb — into one straggler task).
+    val inputCached = candidates.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.isDefined
+    val boundary = if (inputCached) candidates else candidates.repartition(col("seq"))
     val cold = boundary.join(hotDf, Seq("host"), "left_anti")
     val hot = boundary.join(hotDf, Seq("host"), "left_semi")
     cold.unionByName(hostEligibleSalted(hot, hostBudget, salts))
