@@ -235,6 +235,16 @@ object SparkEntry {
       TextDedup.minhashLshDuplicates(
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id")),
 
+    // duplicate-cluster collapse: connected components over the near-dup
+    // pair set (distributed min-label propagation); the oracle computes
+    // the min reachable id per node with a recursive closure over the
+    // exact pair set — proving both the pairs and the clustering
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = TextDedup.minhashLshDuplicates(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id")
+      TextDedup.duplicateClusters(pairs.select(col("a"), col("b")))
+    }),
+
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
@@ -511,6 +521,8 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> jaccardOracle(800),
 
+    "dedup_clusters" -> clustersOracle(800),
+
     "dedup_ngram_jaccard" -> jaccardOracle(500),
 
     "dedup_simhash" -> simhashOracle,
@@ -656,9 +668,9 @@ object SparkEntry {
         WHERE dist <= 3"""
   }
 
-  /** Exact shingle-Jaccard pair oracle (what LSH+verify must equal). */
-  private def jaccardOracle(minMilli: Int): String =
-    s"""WITH sh AS (
+  /** Shared CTE block computing the exact shingle-Jaccard pair set. */
+  private def jaccardCtes(minMilli: Int): String =
+    s"""sh AS (
           SELECT DISTINCT doc_id,
                  unnest([array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]) AS shingle
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents) ws
@@ -666,8 +678,25 @@ object SparkEntry {
         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
                   FROM sh x JOIN sh y USING (shingle)
-                  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
-        SELECT a, b, CAST(floor(1000.0 * i / (sa.sz + sb.sz - i)) AS BIGINT) AS jaccard_milli
-        FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-        WHERE CAST(floor(1000.0 * i / (sa.sz + sb.sz - i)) AS BIGINT) >= $minMilli"""
+                  WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        jpairs AS (
+          SELECT a, b, CAST(floor(1000.0 * i / (sa.sz + sb.sz - i)) AS BIGINT) AS jaccard_milli
+          FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+          WHERE CAST(floor(1000.0 * i / (sa.sz + sb.sz - i)) AS BIGINT) >= $minMilli)"""
+
+  /** Exact shingle-Jaccard pair oracle (what LSH+verify must equal). */
+  private def jaccardOracle(minMilli: Int): String =
+    s"WITH ${jaccardCtes(minMilli)} SELECT a, b, jaccard_milli FROM jpairs"
+
+  /** Connected components over the exact near-dup pair set: min reachable
+    * id per node via a recursive closure (what the distributed min-label
+    * propagation must equal). */
+  private def clustersOracle(minMilli: Int): String =
+    s"""WITH RECURSIVE ${jaccardCtes(minMilli)},
+        edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
+        reach(id, comp) AS (
+          SELECT a AS id, a AS comp FROM edges
+          UNION
+          SELECT e.a AS id, r.comp FROM edges e JOIN reach r ON r.id = e.b)
+        SELECT id, min(comp) AS comp FROM reach GROUP BY id"""
 }

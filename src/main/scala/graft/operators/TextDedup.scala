@@ -239,6 +239,53 @@ object TextDedup {
     cross.unionByName(within)
   }
 
+  /**
+   * Duplicate-cluster collapse: connected components over a near-dup
+   * PAIR set — the step a training pipeline runs after pair detection
+   * (keep one representative per duplicate cluster, drop the rest).
+   * Returns (id, comp) where comp = the smallest id reachable through
+   * the pair graph (the canonical representative).
+   *
+   * Deterministic distributed min-label propagation: every node starts
+   * labeled with itself; each round pulls the min neighbor label along
+   * the (symmetrized) edges and keeps the smaller — converges in
+   * graph-diameter rounds, each round two hash-shuffles (edges by dst,
+   * then a co-grouped min), no driver state beyond the O(1) convergence
+   * counter. Near-dup clusters have tiny diameters (they are
+   * quasi-cliques around shared content), so rounds ≈ 2-4 in practice;
+   * `maxIters` bounds adversarial chains (a path graph needs diameter
+   * rounds — switch to large-star/small-star (Kiveris et al., MR
+   * Connected Components) if such inputs ever matter).
+   */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val pulled = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("__nc")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("__nc")).as("__minN"))
+      val next = labels.join(pulled, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__minN"), col("comp"))).as("comp"))
+        .persist()
+      changed = next.join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
+        .filter(col("comp") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash (sign-sum per bit). The word hash is the first 16 hex
    *  nibbles of md5(word) — not xxhash64 — deliberately: md5 is the one
    *  64-bit-capable hash both Spark and DuckDB evaluate identically, so
