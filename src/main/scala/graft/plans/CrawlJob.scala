@@ -23,7 +23,8 @@ import graft.operators.{Dedup, ParserDispatch, ParserRule, Politeness}
  *                    are network errors (connection failed,
  *                    cola/conf/main.yaml:26-28; executor.py:229-244
  *                    selects the policy by error type). -1 = keep trying
- *                    (the reference default)
+ *                    (the reference default; the `retries < 0 or
+ *                    error_times <= retries` form at executor.py:484)
  * @param serverRetries rows PRESENT with fetch_status != 'ok' are server
  *                    errors (404/500 with a response, main.yaml:30-33);
  *                    default 5 per the reference
