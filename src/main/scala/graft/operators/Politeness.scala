@@ -109,23 +109,35 @@ object Politeness {
    */
   def hostEligibleAdaptive(candidates: DataFrame, hostBudget: Int, salts: Int,
       maxHotHosts: Int = 1000000, hotRowFraction: Double = 0.5): DataFrame = {
+    // the per-host counts are tiny (|hosts| rows) but cost a full input
+    // pass to build — persist them so the decision scalars and the
+    // hot-host list share ONE input aggregation instead of two
     val hostCounts = candidates.groupBy(col("host")).agg(count(lit(1)).as("__hn"))
-    val stats = hostCounts.agg(
-        sum(when(col("__hn") > hostBudget, 1L).otherwise(0L)).as("nHot"),
-        sum(when(col("__hn") > hostBudget, col("__hn")).otherwise(0L)).as("hotRows"),
-        sum(col("__hn")).as("total"))
-      .collect()(0)
-    val nHot = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
-    val hotRows = Option(stats.get(1)).fold(0L)(_.asInstanceOf[Long])
-    val total = Option(stats.get(2)).fold(0L)(_.asInstanceOf[Long])
-    if (nHot == 0) return candidates // every host fits its budget
-    if (nHot > maxHotHosts || hotRows > total * hotRowFraction)
-      return hostEligibleSalted(candidates, hostBudget, salts)
-    val spark = candidates.sparkSession
-    import spark.implicits._
-    val hotSeq = hostCounts.filter(col("__hn") > hostBudget)
-      .select(col("host")).as[String].collect().toSeq
-    val hotDf = broadcast(hotSeq.toDF("host"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = hostCounts.agg(
+          sum(when(col("__hn") > hostBudget, 1L).otherwise(0L)).as("nHot"),
+          sum(when(col("__hn") > hostBudget, col("__hn")).otherwise(0L)).as("hotRows"),
+          sum(col("__hn")).as("total"))
+        .collect()(0)
+      val nHot = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
+      val hotRows = Option(stats.get(1)).fold(0L)(_.asInstanceOf[Long])
+      val total = Option(stats.get(2)).fold(0L)(_.asInstanceOf[Long])
+      if (nHot == 0) return candidates // every host fits its budget
+      if (nHot > maxHotHosts || hotRows > total * hotRowFraction)
+        return hostEligibleSalted(candidates, hostBudget, salts)
+      val spark = candidates.sparkSession
+      import spark.implicits._
+      val hotSeq = hostCounts.filter(col("__hn") > hostBudget)
+        .select(col("host")).as[String].collect().toSeq
+      hotEligiblePlan(candidates, hostBudget, salts, broadcast(hotSeq.toDF("host")))
+    } finally hostCounts.unpersist()
+  }
+
+  /** The split plan of [[hostEligibleAdaptive]] once the hot-host list is
+   *  a collected local relation. */
+  private def hotEligiblePlan(candidates: DataFrame, hostBudget: Int,
+      salts: Int, hotDf: DataFrame): DataFrame = {
     // detect caching through DERIVED frames (df.storageLevel only sees
     // this exact frame): a cached ancestor shows up as an
     // InMemoryRelation in the optimized plan. Cached input → both join
