@@ -17,14 +17,26 @@ package graft.operators
  * `memberUrls(label)` in the same wave, and the members enter the
  * frontier as ordinary rows tagged with their bundle label.
  *
- * Documented divergences from the reference's thread model (both pinned
+ * Bundle ERROR state is carried too (executor.py:474-546): a member
+ * whose non-ignored retries exhaust raises the reference's
+ * UnitRetryFailed, failing the whole bundle with its remaining
+ * `current_urls` withheld — the wave reading poisons the bundle: its
+ * surviving frontier rows leave as `bundle_blocked` dead rows (the
+ * reference never fetches them either; it re-queues the failed bundle
+ * whose front url deterministically re-fails forever). Ignored
+ * exhausted members continue the bundle, matching `error_urls` append.
+ *
+ * Documented divergences from the reference's thread model (all pinned
  * by the simulator, which implements this same contract independently):
  * label expansion happens at discovery (the reference expands when the
  * bundle is popped; expansion is metadata work, not a fetch, so the
- * budget — which accounts fetches — is unaffected), and member URLs
+ * budget — which accounts fetches — is unaffected); member URLs
  * also pass the global URL-seen gate (the reference scopes member dedup
  * to the bundle; generated members are label-unique in practice, e.g.
- * per-user timeline pages, so the stronger gate changes nothing there).
+ * per-user timeline pages, so the stronger gate changes nothing there);
+ * and `error_urls` of a surviving bundle are not re-tried at later
+ * executions (deterministic offline fetches would just re-fail them —
+ * the retry budget already modeled those attempts).
  *
  * @param pattern    regex over the raw outlink; capture group 1 = label
  * @param memberUrls pure deterministic label → member URL list (runs

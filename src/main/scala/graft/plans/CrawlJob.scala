@@ -327,6 +327,21 @@ class CrawlJob(
             .when(coalesce(col("fetch_status"), lit("ok")) =!= "ok", col("fetch_status"))
             .otherwise(lit(null).cast("string"))
         else when(col("html").isNull, lit("default")).otherwise(lit(null).cast("string"))
+      // O8 per-class limits/ignore flags — defined up front so the wave
+      // Observation can count retriable errors in the same pass (the
+      // retry split below sees error_times already bumped; here the
+      // pre-bump value +1 is the same predicate)
+      val limitCol =
+        if (hasStatus)
+          when(col("__eclass") === "network", lit(settings.networkRetries))
+            .otherwise(lit(settings.serverRetries))
+        else lit(settings.retries)
+      val ignoreCol =
+        if (hasStatus)
+          when(col("__eclass") === "network", lit(settings.networkIgnore))
+            .otherwise(lit(settings.serverIgnore))
+        else lit(false)
+      val retriableCol = !col("ok") && (limitCol < 0 || (col("error_times") + 1) <= limitCol)
       val obs = new org.apache.spark.sql.Observation(s"wave_$w")
       // which parsers extract text / follow links is driver-side plan
       // specialization — constant isin sets over the dispatched column
@@ -344,7 +359,8 @@ class CrawlJob(
               outlinksUdf(col("html"), col("url_canon")))
               .otherwise(array().cast("array<string>")).as("outs")): _*)
         .observe(obs, count(lit(1)).as("n"),
-          sum(when(col("ok"), 0L).otherwise(1L)).as("errors"))
+          sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
+          sum(when(retriableCol, 1L).otherwise(0L)).as("retries"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       processed.count() // materialize: html traversed exactly once
       // pages-unique contract check, free via the wave Observation: the
@@ -361,37 +377,37 @@ class CrawlJob(
       applied -= nErrors // O4 error refund (budget.py:154-158)
 
       // ---- retry / dead-letter (O8) ----
-      // per-class policy (executor.py:335-338: error_times <= retries →
-      // retry; -1 = keep trying; exhausted + ignore → drop silently,
-      // exhausted otherwise → dead letter with the class as the reason)
+      // per-class policy (executor.py:335-352: error_times <= retries →
+      // retry; -1 = keep trying). Exhaustion follows the reference's
+      // pack/ignore matrix exactly (_handle_error, executor.py:474-506):
+      //  - server/default classes are PACKED (the error record ≙ a dead
+      //    row) whether ignored or not — `if pack: _pack_error` runs
+      //    before the ignore branch; an ignored row is marked
+      //    "<class>_error_ignored" and the crawl continues;
+      //  - the network class never packs (pack=False at :382/:542); a
+      //    non-ignored network exhaustion still writes a terminal
+      //    "network_error" row here — the engine's record of what is,
+      //    in the reference, an unbounded retry livelock (the failed
+      //    url re-enters the worklist front forever);
+      //  - a non-ignored exhaustion inside a BUNDLE fails the whole
+      //    bundle (UnitRetryFailed → execute returns the bundle with
+      //    its remaining current_urls withheld, :503-506,568): the
+      //    bundle's surviving frontier rows are removed below and
+      //    recorded as "bundle_blocked".
       val errors = processed.filter(!col("ok"))
       val bumped = errors.withColumn("error_times", col("error_times") + 1)
-      val limitCol =
-        if (hasStatus)
-          when(col("__eclass") === "network", lit(settings.networkRetries))
-            .otherwise(lit(settings.serverRetries))
-        else lit(settings.retries)
-      val ignoreCol =
-        if (hasStatus)
-          when(col("__eclass") === "network", lit(settings.networkIgnore))
-            .otherwise(lit(settings.serverIgnore))
-        else lit(false)
       val keepRetry = limitCol < 0 || col("error_times") <= limitCol
       val retry = bumped.filter(keepRetry).select(frontierCols: _*)
-      val dead = bumped.filter(!keepRetry && !ignoreCol)
+      val exhausted = bumped.filter(!keepRetry)
+      val packedCol = if (hasStatus) col("__eclass") =!= "network" else lit(true)
+      val reasonCol =
+        if (hasStatus)
+          concat(col("__eclass"), lit("_error"),
+            when(ignoreCol, lit("_ignored")).otherwise(lit("")))
+        else lit("fetch_miss")
+      val dead = exhausted.filter(packedCol || !ignoreCol)
         .select(lit(w).as("wave"), col("url_canon"), col("host"), col("error_times"),
-          (if (hasStatus) concat(col("__eclass"), lit("_error"))
-           else lit("fetch_miss")).as("reason"))
-      // dead letters and the inc queue only get a write job when they
-      // have rows (most waves have no errors; empty parquet writes cost
-      // a full job each on the driver-latency-bound wave path)
-      var nDead = 0L
-      if (nErrors > 0) {
-        val deadObs = new org.apache.spark.sql.Observation(s"dead_$w")
-        ckpt.write(dead.observe(deadObs, count(lit(1)).as("n")), w, "dead")
-        nDead = deadObs.get("n").asInstanceOf[Long]
-      }
-      deadTotal += nDead
+          reasonCol.as("reason"))
 
       val success = processed.filter(col("ok"))
       if (settings.inc && nSuccess > 0) // O9: finished units feed the inc queue
@@ -488,7 +504,49 @@ class CrawlJob(
       val leftover = frontier.join(scheduled.select("url_hash", "url_canon"),
           Seq("url_hash", "url_canon"), "left_anti")
         .select(frontierCols: _*)
-      val frontierNext = leftover.unionByName(retry).unionByName(newEntries)
+      val frontierCandidates = leftover.unionByName(retry).unionByName(newEntries)
+
+      // ---- F2/F3 bundle failure (executor.py:503-506): a non-ignored
+      //      exhaustion poisons its bundle — every surviving row of that
+      //      bundle leaves the frontier and is recorded "bundle_blocked".
+      //      One-wave removal is complete: the label is in the seen set,
+      //      so no member of a poisoned bundle can ever be re-admitted.
+      //      The poisoned set is recomputed from the persisted wave frame
+      //      (a tiny filter over `processed`), never collected; the
+      //      broadcast hint is bounded like the politeness hot-host set.
+      var frontierNext = frontierCandidates
+      var deadOut = dead
+      var nBlocked = 0L
+      val nRetry = obs.get("retries").asInstanceOf[Long] // rode the wave pass
+      var nDead = 0L
+      if (nErrors > 0) {
+        if (settings.bundles.nonEmpty) {
+          val poisoned = exhausted.filter(!ignoreCol && col("bundle").isNotNull)
+            .select(col("bundle")).distinct()
+          val nPoisoned = poisoned.count()
+          if (nPoisoned > 0) {
+            val pdf = if (nPoisoned < 1000000L) broadcast(poisoned) else poisoned
+            val blocked = frontierCandidates.join(pdf, Seq("bundle"), "left_semi")
+            deadOut = dead.unionByName(blocked.select(lit(w).as("wave"),
+              col("url_canon"), col("host"), col("error_times"),
+              lit("bundle_blocked").as("reason")))
+            // re-project: a using-column join moves `bundle` first, and
+            // the bucketed insert writes by position
+            frontierNext = frontierCandidates.join(pdf, Seq("bundle"), "left_anti")
+              .select(frontierCols: _*)
+          }
+        }
+        // dead letters only get a write job on waves with errors (most
+        // waves have none; empty parquet writes cost a full job each on
+        // the driver-latency-bound wave path)
+        val deadObs = new org.apache.spark.sql.Observation(s"dead_$w")
+        ckpt.write(deadOut.observe(deadObs, count(lit(1)).as("n"),
+          coalesce(sum(when(col("reason") === "bundle_blocked", 1L).otherwise(0L)),
+            lit(0L)).as("blocked")), w, "dead")
+        nDead = deadObs.get("n").asInstanceOf[Long]
+        nBlocked = deadObs.get("blocked").asInstanceOf[Long]
+      }
+      deadTotal += nDead
 
       // ---- per-wave outputs + atomic commit (S6) ----
       val lineage = perPartitionLineage(candidates, w, "candidates")
@@ -512,10 +570,13 @@ class CrawlJob(
         bloomStore.foreach(_.writeDelta(seenDelta, w))
       }
 
-      // exact arithmetic, no count job: scheduled ⊆ frontier and the
-      // frontier is unique per url_canon, so the leftover anti-join
-      // removes exactly nScheduled rows; retries and new entries re-enter
-      val nextSizeBase = frontierSize - nScheduled + (nErrors - nDead) + nNew
+      // exact arithmetic: scheduled ⊆ frontier and the frontier is unique
+      // per url_canon, so the leftover anti-join removes exactly
+      // nScheduled rows; retries and new entries re-enter, poisoned-
+      // bundle rows leave. (nRetry — not nErrors − nDead — is the exact
+      // retry count: exhausted-but-silently-dropped rows, e.g. ignored
+      // network errors, are in neither set.)
+      val nextSizeBase = frontierSize - nScheduled + nRetry + nNew - nBlocked
 
       // ---- O9 automated re-crawl: frontier drained with budget left →
       //      re-seed one pass from the inc queue (task.py:135-139: the inc

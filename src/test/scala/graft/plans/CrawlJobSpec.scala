@@ -65,6 +65,10 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def simTuples(sim: ColaSimulator): Seq[(Int, Long, String)] =
     sim.schedule.map(s => (s.wave, s.rank, s.canon)).toSeq
 
+  private def deadPairs(job: CrawlJob): Set[(String, String)] =
+    job.deadTable.select("url_canon", "reason")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
   // ---- shared runs ----
   private lazy val fullRun: (CrawlJob, CrawlSummary) = runEngine(base, tmpDir("full"))
   private lazy val fullSim: ColaSimulator = runSim(base)
@@ -76,8 +80,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("URL-seen set and dead letters match the simulator") {
     val engineSeen = fullRun._1.seenTable.select("url_canon").collect().map(_.getString(0)).toSet
     assert(engineSeen == fullSim.seen.toSet, "seen set diverged")
-    val engineDead = fullRun._1.deadTable.select("url_canon").collect().map(_.getString(0)).toSet
-    assert(engineDead == fullSim.dead.toSet, "dead letters diverged")
+    assert(deadPairs(fullRun._1) == fullSim.dead.toSet, "dead letters diverged")
   }
 
   test("budget accounting (O4): applied/finished match; finished ≤ size") {
@@ -178,16 +181,19 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sim = new ColaSimulator(settings, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
     sim.run(Fixtures.seeds(V))
     assert(scheduleTuples(job) == simTuples(sim), "classed schedule diverged")
-    assert(job.deadTable.select("url_canon").collect().map(_.getString(0)).toSet
-      == sim.dead.toSet, "classed dead letters diverged")
-    val reasons = job.deadTable.select("reason").distinct()
-      .collect().map(_.getString(0)).toSet
+    assert(deadPairs(job) == sim.dead.toSet, "classed dead letters diverged")
+    val reasons = deadPairs(job).map(_._2)
     assert(reasons == Set("network_error", "server_error"),
       s"both classes must reach the dead letter table, got $reasons")
     assert(summary.finished == sim.finished && summary.applied == sim.applied)
   }
 
-  test("O8 ignore: exhausted server errors drop silently, network still dead-letters") {
+  test("O8 ignore: exhausted server errors are packed but ignored; ignored network drops silently") {
+    // the reference packs server/default exhaustions BEFORE the ignore
+    // branch (executor.py:494-502) — an ignored server error still leaves
+    // a dead row, marked _ignored; network errors never pack (pack=False),
+    // so an IGNORED network exhaustion leaves nothing, while a non-ignored
+    // one gets the engine's terminal network_error record
     val settings = base.copy(retries = 99, networkRetries = 1, serverRetries = 0,
       serverIgnore = true, size = 200, maxWaves = 15)
     val job = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
@@ -196,11 +202,20 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sim = new ColaSimulator(settings, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
     sim.run(Fixtures.seeds(V))
     assert(scheduleTuples(job) == simTuples(sim))
-    val reasons = job.deadTable.select("reason").distinct()
-      .collect().map(_.getString(0)).toSet
-    assert(reasons == Set("network_error"), s"server class must be ignored, got $reasons")
-    assert(job.deadTable.select("url_canon").collect().map(_.getString(0)).toSet
-      == sim.dead.toSet)
+    val reasons = deadPairs(job).map(_._2)
+    assert(reasons == Set("network_error", "server_error_ignored"),
+      s"ignored server errors must be packed with the _ignored mark, got $reasons")
+    assert(deadPairs(job) == sim.dead.toSet)
+    // ignored-network variant: those exhaustions leave no record at all
+    val settings2 = settings.copy(networkIgnore = true)
+    val job2 = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings2,
+      tmpDir("o8ignore2"))
+    job2.run(Fixtures.seeds(V))
+    val sim2 = new ColaSimulator(settings2, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
+    sim2.run(Fixtures.seeds(V))
+    assert(scheduleTuples(job2) == simTuples(sim2))
+    assert(deadPairs(job2).map(_._2) == Set("server_error_ignored"))
+    assert(deadPairs(job2) == sim2.dead.toSet)
   }
 
   test("O7 adaptive throttling: budget decays to min fetched before banned waves") {
@@ -303,6 +318,37 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(job.seenTable.filter(col("url_canon").startsWith("bundle://")).count() > 0)
     assert(sim.seen.exists(_.startsWith("bundle://")))
     assert(scheduleTuples(job) != scheduleTuples(fullRun._1))
+  }
+
+  test("F2/F3 bundle failure: a non-ignored exhausted member poisons its bundle (sim-pinned)") {
+    import graft.operators.BundleSpec
+    val v = V
+    // one member url (mid-bundle) is missing from the pages table: with
+    // retries=0 it exhausts in its schedule wave, which fails the WHOLE
+    // bundle (UnitRetryFailed, executor.py:503-506) — members still
+    // queued (12 members per bundle vs waveCap 16, so member runs span
+    // wave boundaries) must be withheld and recorded as bundle_blocked,
+    // identically in engine and simulator
+    val bs = BundleSpec("/p/([0-9]*0)$", label => {
+      val id = label.toLong
+      (1 to 11).map(k => if (k == 6) Fixtures.rawUrl(2 * v + id)
+        else Fixtures.rawUrl((id * 7 + k) % v))
+    })
+    val settings = base.copy(bundles = Some(bs), retries = 0, hostBudget = 10,
+      waveCap = 16, size = 200)
+    val (job, _) = runEngine(settings, tmpDir("bundlefail"))
+    val sim = runSim(settings)
+    assert(scheduleTuples(job) == simTuples(sim), "poisoned-bundle schedule diverged")
+    assert(deadPairs(job) == sim.dead.toSet, "poisoned-bundle dead letters diverged")
+    val blocked = deadPairs(job).filter(_._2 == "bundle_blocked")
+    assert(blocked.nonEmpty, "fixture must actually block bundle members")
+    // a blocked member never appears in the schedule after its block wave
+    val blockWave = job.deadTable.filter(col("reason") === "bundle_blocked")
+      .select("url_canon", "wave").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val lateSched = job.scheduleTable.select("url_canon", "wave").collect()
+      .filter(r => blockWave.get(r.getString(0)).exists(bw => r.getInt(1) > bw))
+    assert(lateSched.isEmpty, "blocked members were scheduled after the bundle failed")
   }
 
   test("P4 blank/garbage seeds are dropped (engine ≡ simulator ≡ clean run)") {

@@ -28,14 +28,18 @@ class ColaSimulator(
     pageStatus: Option[Map[String, String]] = None) {
 
   case class Entry(url: String, canon: String, host: String, priority: Int,
-      depth: Int, seq: Long, var errorTimes: Int)
+      depth: Int, seq: Long, var errorTimes: Int, bundle: Option[String] = None)
 
   case class Scheduled(wave: Int, rank: Long, priority: Int, seq: Long,
       host: String, canon: String, depth: Int)
 
   val schedule = mutable.ArrayBuffer.empty[Scheduled]
   val seen = mutable.LinkedHashSet.empty[String]
-  val dead = mutable.ArrayBuffer.empty[String]
+  /** (canon, reason) — one row per reference error pack (_pack_error:
+   *  server/default classes, ignored or not; network never packs) plus
+   *  the engine-terminating records: non-ignored network exhaustion
+   *  ("network_error") and poisoned-bundle survivors ("bundle_blocked"). */
+  val dead = mutable.ArrayBuffer.empty[(String, String)]
   var applied = 0L
   var finished = 0L
   // O9 inc store: finished units in first-finish FIFO order (canon -> raw)
@@ -119,8 +123,12 @@ class ColaSimulator(
       val scheduledSet = ordered.map(_.canon).toSet
       val leftover = frontier.filterNot(e => scheduledSet.contains(e.canon))
       val retries = mutable.ArrayBuffer.empty[Entry]
-      // (parentSeq, linkIdx, memberIdx, rawUrl) — memberIdx 0 = plain link
-      val candidates = mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+      // bundles that had a non-ignored exhaustion this wave — the whole
+      // bundle fails (UnitRetryFailed, executor.py:503-506): its
+      // surviving rows leave the frontier at wave end
+      val poisoned = mutable.Set.empty[String]
+      // (parentSeq, linkIdx, memberIdx, rawUrl, bundle) — memberIdx 0 = plain link
+      val candidates = mutable.ArrayBuffer.empty[(Long, Int, Int, String, Option[String])]
       val labelCands = mutable.ArrayBuffer.empty[(Long, Int, String)] // (parentSeq, linkIdx, label)
 
       ordered.foreach { e =>
@@ -140,7 +148,18 @@ class ColaSimulator(
               case _         => (settings.serverRetries, settings.serverIgnore)
             }
             if (limit < 0 || e.errorTimes <= limit) retries += e
-            else if (!ignore) dead += e.canon
+            else {
+              // exhausted: server/default pack an error record whether
+              // ignored or not (_pack_error precedes the ignore branch,
+              // executor.py:494-502); network never packs (pack=False)
+              // but a non-ignored network exhaustion gets a terminal row
+              val reason = status match {
+                case "default" => "fetch_miss"
+                case s         => s + "_error" + (if (ignore) "_ignored" else "")
+              }
+              if (status != "network" || !ignore) dead += ((e.canon, reason))
+              if (!ignore) e.bundle.foreach(poisoned += _)
+            }
         } else pages.get(e.canon).foreach { html =>
             finished += 1
             if (!incQueue.contains(e.canon)) incQueue += e.canon -> e.url
@@ -153,7 +172,7 @@ class ColaSimulator(
                     case Some(label) => labelCands += ((e.seq, li, label))
                     case None =>
                       val canon = UrlCanon.canonicalize(out)
-                      if (canon != e.canon) candidates += ((e.seq, li, 0, out))
+                      if (canon != e.canon) candidates += ((e.seq, li, 0, out, None))
                   }
                 }
               }
@@ -169,7 +188,7 @@ class ColaSimulator(
           if (!seen.contains(key)) {
             seen += key
             bs.memberUrls(label).zipWithIndex.foreach { case (m, mi) =>
-              candidates += ((pSeq, li, mi + 1, m))
+              candidates += ((pSeq, li, mi + 1, m, Some(label)))
             }
           }
         }
@@ -178,15 +197,21 @@ class ColaSimulator(
       // D1: in-batch first-seen then seen-set gate, discovery order
       val fresh = mutable.ArrayBuffer.empty[Entry]
       val parentDepth = ordered.map(e => e.seq -> e.depth).toMap
-      candidates.sortBy(c => (c._1, c._2, c._3)).foreach { case (pSeq, _, _, raw) =>
+      candidates.sortBy(c => (c._1, c._2, c._3)).foreach { case (pSeq, _, _, raw, label) =>
         val canon = UrlCanon.canonicalize(raw)
         if (!seen.contains(canon)) {
           seen += canon
           fresh += Entry(raw, canon, UrlCanon.host(canon), clamp(priorityOf(canon)),
-            parentDepth(pSeq) + 1, waveBase(w) + fresh.length, 0)
+            parentDepth(pSeq) + 1, waveBase(w) + fresh.length, 0, label)
         }
       }
-      frontier = leftover ++ retries ++ fresh
+      // poisoned bundles: surviving rows leave the frontier, recorded as
+      // blocked. One-wave removal is complete — the label is seen, so no
+      // member of a failed bundle can be re-admitted later.
+      val (blocked, surviving) = (leftover ++ retries ++ fresh)
+        .partition(e => e.bundle.exists(poisoned))
+      blocked.foreach(e => dead += ((e.canon, "bundle_blocked")))
+      frontier = surviving
       // O9 automated re-crawl: frontier drained with budget left → one
       // pass over the inc store (first-finish FIFO), lowest priority,
       // bypassing the seen gate (put_inc force=True, node.py:181-184)
