@@ -246,22 +246,74 @@ object TextDedup {
    * Returns (id, comp) where comp = the smallest id reachable through
    * the pair graph (the canonical representative).
    *
-   * Deterministic distributed min-label propagation: every node starts
-   * labeled with itself; each round pulls the min neighbor label along
-   * the (symmetrized) edges and keeps the smaller — converges in
-   * graph-diameter rounds, each round two hash-shuffles (edges by dst,
-   * then a co-grouped min), no driver state beyond the O(1) convergence
-   * counter. Near-dup clusters have tiny diameters (they are
-   * quasi-cliques around shared content), so rounds ≈ 2-4 in practice;
-   * `maxIters` bounds adversarial chains (a path graph needs diameter
-   * rounds — switch to large-star/small-star (Kiveris et al., MR
-   * Connected Components) if such inputs ever matter).
+   * Two regimes, one contract (ids are 64-bit):
+   *
+   *  - **small graphs** (symmetrized edge count ≤ `localEdgeThreshold`,
+   *    default 2M ≈ 1M pairs, bounded ~32 MB of longs + transient Row
+   *    overhead): driver union-find with path compression, always
+   *    attaching the larger root under the smaller so the root IS the
+   *    min id. An iterative Spark loop on a 100-row graph pays several
+   *    driver-latency-bound jobs per round for nothing; near-dup pair
+   *    sets are tiny relative to the corpus (duplication rate × docs),
+   *    so this is the common case even at large SF.
+   *
+   *  - **large graphs**: deterministic distributed min-label
+   *    propagation — every node starts labeled with itself; each round
+   *    pulls the min neighbor label along the (symmetrized) edges and
+   *    keeps the smaller. Converges in graph-diameter rounds, one
+   *    materializing job per round (the changed-count rides an
+   *    Observation, no separate count job), no driver state beyond the
+   *    O(1) convergence counter. Near-dup clusters have tiny diameters
+   *    (quasi-cliques around shared content), so rounds ≈ 2-4;
+   *    `maxIters` bounds adversarial chains (a path graph needs
+   *    diameter rounds — switch to large-star/small-star (Kiveris et
+   *    al., MR Connected Components) if such inputs ever matter).
    */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
+    // symmetrize in ONE pass over the (possibly expensive) pair plan —
+    // a two-branch union would evaluate the upstream pair detection twice
+    val edges = pairs.select(explode(array(
+        struct(col("a").cast("long").as("a"), col("b").cast("long").as("b")),
+        struct(col("b").cast("long").as("a"), col("a").cast("long").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist()
+    val nEdges = edges.count()
+    val out =
+      if (nEdges <= localEdgeThreshold) localComponents(edges)
+      else propagateComponents(edges, maxIters)
+    edges.unpersist()
+    out
+  }
+
+  /** Driver union-find over a bounded edge list (see duplicateClusters). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    // size bounded by localEdgeThreshold (caller contract)
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(id => rows += ((id, find(id))))
+    rows.toSeq.toDF("id", "comp")
+  }
+
+  /** Distributed min-label propagation (see duplicateClusters). */
+  private def propagateComponents(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
@@ -272,17 +324,19 @@ object TextDedup {
         .join(labels.select(col("id").as("b"), col("comp").as("__nc")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("__nc")).as("__minN"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_$it")
       val next = labels.join(pulled, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("__minN"), col("comp"))).as("comp"))
+        .observe(obs, sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("comp"))
         .persist()
-      changed = next.join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
-        .filter(col("comp") =!= col("__old")).count()
+      next.count() // materialize; fires the changed-count observation
+      changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = next
       it += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -171,17 +171,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cand6 == 0L, "6-split: no pair shares 3 of 6 blocks")
   }
 
-  test("duplicateClusters: min-label propagation equals reachability components") {
+  test("duplicateClusters: both regimes equal reachability components") {
     val sp = spark
     import sp.implicits._
     // a 4-chain (needs > 1 propagation round), a triangle, an isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L),
       (20L, 21L)).toDF("a", "b")
-    val comps = TextDedup.duplicateClusters(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // small-graph regime: driver union-find (the default path here)
+    val local = TextDedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(local == expected)
+    // large-graph regime forced: distributed min-label propagation
+    val dist = TextDedup.duplicateClusters(pairs, localEdgeThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("minhash LSH: a 1000-copy cluster collapses to one rep, expands to all pairs") {

@@ -351,6 +351,53 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lateSched.isEmpty, "blocked members were scheduled after the bundle failed")
   }
 
+  test("all features combined ≡ simulator (priorities × dispatch × bundles × classed errors × ignore × salts × bloom × inc)") {
+    import graft.operators.{BundleSpec, ParserRule}
+    val v = V
+    // every engine feature at once — interactions, not just the pairwise
+    // paths the focused tests pin: 3 priorities from the url id, two
+    // parser rules (single-digit hosts extract, the rest are hub pages),
+    // 7-member bundles with a mid-bundle network-failing member
+    // (networkRetries=1, non-ignored → poisons the bundle two waves in),
+    // server errors ignored-after-pack, salted politeness, bloom
+    // pre-filter, and one automated inc re-crawl pass
+    val bs = BundleSpec("/p/([0-9]*0)$", label => {
+      val id = label.toLong
+      (1 to 7).map(k => if (k == 4) Fixtures.rawUrl(2 * v + id)
+        else Fixtures.rawUrl((id * 7 + k) % v))
+    })
+    val settings = base.copy(
+      size = -1, waveCap = 24, hostBudget = 4, maxWaves = 40,
+      nPriorities = 3,
+      retries = 99, networkRetries = 1, serverRetries = 0, serverIgnore = true,
+      salts = 3, useBloom = true, bloomCapacity = 4096,
+      incPasses = 1,
+      parsers = Seq(
+        ParserRule("^http://host[0-9]\\.example\\.com/p/[0-9]+.*$", "extract"),
+        ParserRule(Fixtures.UrlPattern, "links")),
+      bundles = Some(bs))
+    val pExprEngine = (c: Column) =>
+      coalesce(pmod(regexp_extract(c, "/p/([0-9]+)", 1).cast("long"), lit(3)), lit(0)).cast("int")
+    val pOfSim = (canon: String) =>
+      "/p/([0-9]+)".r.findFirstMatchIn(canon).map(_.group(1).toLong % 3).getOrElse(0L).toInt
+    val job = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+      tmpDir("combined"), pExprEngine)
+    val summary = job.run(Fixtures.seeds(V))
+    val sim = new ColaSimulator(settings, pagesMap, pOfSim, Some(Fixtures.statusMap(V)))
+    sim.run(Fixtures.seeds(V))
+    assert(scheduleTuples(job) == simTuples(sim), "combined-config schedule diverged")
+    assert(deadPairs(job) == sim.dead.toSet, "combined-config dead letters diverged")
+    assert(job.seenTable.count() == sim.seen.size.toLong)
+    assert(summary.finished == sim.finished && summary.applied == sim.applied)
+    // the fixture exercises what it claims to: every priority scheduled,
+    // bundles fired and at least one was poisoned, both ignore paths hit
+    val ps = job.scheduleTable.select("priority").distinct().collect().map(_.getInt(0)).toSet
+    assert(ps == Set(0, 1, 2))
+    val reasons = deadPairs(job).map(_._2)
+    assert(reasons.contains("bundle_blocked") && reasons.contains("server_error_ignored")
+      && reasons.contains("network_error"), s"missing an error path: $reasons")
+  }
+
   test("P4 blank/garbage seeds are dropped (engine ≡ simulator ≡ clean run)") {
     val settings = base.copy(maxWaves = 2)
     val noisy = Seq("", "   ", "\t") ++ Fixtures.seeds(V) ++
