@@ -245,6 +245,18 @@ object SparkEntry {
       TextDedup.duplicateClusters(pairs.select(col("a"), col("b")))
     }),
 
+    // the step the pipeline actually ships: drop every non-representative
+    // cluster member (comp != id), keep everything else — an anti-join of
+    // the corpus against the (small) duplicate-member set
+    "dedup_survivors" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val pairs = TextDedup.minhashLshDuplicates(docs, "text", "doc_id")
+      val comps = TextDedup.duplicateClusters(pairs.select(col("a"), col("b")))
+      docs.join(comps.filter(col("comp") =!= col("id"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
@@ -522,6 +534,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> jaccardOracle(800),
 
     "dedup_clusters" -> clustersOracle(800),
+    "dedup_survivors" -> survivorsOracle(800),
 
     "dedup_ngram_jaccard" -> jaccardOracle(500),
 
@@ -699,4 +712,17 @@ object SparkEntry {
           UNION
           SELECT e.a AS id, r.comp FROM edges e JOIN reach r ON r.id = e.b)
         SELECT id, min(comp) AS comp FROM reach GROUP BY id"""
+
+  /** Cluster-collapse survivors: the corpus minus non-representative
+    * duplicate-cluster members. */
+  private def survivorsOracle(minMilli: Int): String =
+    s"""WITH RECURSIVE ${jaccardCtes(minMilli)},
+        edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
+        reach(id, comp) AS (
+          SELECT a AS id, a AS comp FROM edges
+          UNION
+          SELECT e.a AS id, r.comp FROM edges e JOIN reach r ON r.id = e.b),
+        comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)"""
 }
