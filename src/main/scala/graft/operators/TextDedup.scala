@@ -312,11 +312,20 @@ object TextDedup {
     rows.toSeq.toDF("id", "comp")
   }
 
-  /** Distributed min-label propagation (see duplicateClusters). */
+  /** Distributed min-label propagation (see duplicateClusters).
+   *
+   *  Each round ends in an EAGER localCheckpoint: labels appears twice in
+   *  the next round's plan (the pull join and the keep-min join), so
+   *  without lineage truncation the logical plan doubles per round —
+   *  exponential plan strings OOM the driver before the data is ever
+   *  large (measured on a 600-edge graph). Local (executor-cached)
+   *  checkpoints are right for the ≤ diameter ≈ 2-4 rounds this runs;
+   *  swap for reliable `checkpoint()` against the job's checkpoint dir
+   *  if executor loss mid-collapse must be survivable. */
   private def propagateComponents(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -330,10 +339,8 @@ object TextDedup {
           least(col("comp"), coalesce(col("__minN"), col("comp"))).as("comp"))
         .observe(obs, sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
         .select(col("id"), col("comp"))
-        .persist()
-      next.count() // materialize; fires the changed-count observation
+        .localCheckpoint(true) // eager: materializes, fires the observation
       changed = obs.get("changed").asInstanceOf[Long]
-      labels.unpersist()
       labels = next
       it += 1
     }

@@ -190,6 +190,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == expected)
   }
 
+  test("duplicateClusters: regimes agree on a 600-edge LCG graph (property)") {
+    val sp = spark
+    import sp.implicits._
+    // deterministic pseudo-random sparse graph over 400 nodes: mixed
+    // component shapes (chains, merged blobs, isolates) — no structure
+    // either implementation could special-case
+    val es = (0 until 600).map { i =>
+      val a = (i * 6364136223846793005L + 1442695040888963407L) >>> 33
+      val b = (a * 6364136223846793005L + 1442695040888963407L) >>> 33
+      (math.floorMod(a, 400L), math.floorMod(b, 400L))
+    }.filter { case (a, b) => a != b }
+    val pairs = es.toDF("a", "b")
+    val local = TextDedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = TextDedup.duplicateClusters(pairs, localEdgeThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "union-find and min-label propagation diverged")
+    // component labels are canonical: every comp is its own representative
+    assert(local.forall { case (_, c) => local(c) == c })
+  }
+
   test("minhash LSH: a 1000-copy cluster collapses to one rep, expands to all pairs") {
     val sp = spark
     import sp.implicits._
