@@ -357,7 +357,13 @@ class CrawlJob(
              else lit(null).cast("string").as("text")) :+
             when(okCol && pidIn(linkParserIds),
               outlinksUdf(col("html"), col("url_canon")))
-              .otherwise(array().cast("array<string>")).as("outs")): _*)
+              .otherwise(array().cast("array<string>")).as("outs") :+
+            // error response body, carried only on error rows (bounded by
+            // the wave's error count): the reference's error-pack content
+            // (executor.py:204-227, e.read() of a ServerError); a missing
+            // page (network/default class) has no response to carry
+            when(!okCol, col("html")).otherwise(lit(null).cast("binary"))
+              .as("__ehtml")): _*)
         .observe(obs, count(lit(1)).as("n"),
           sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
           sum(when(retriableCol, 1L).otherwise(0L)).as("retries"))
@@ -407,7 +413,7 @@ class CrawlJob(
         else lit("fetch_miss")
       val dead = exhausted.filter(packedCol || !ignoreCol)
         .select(lit(w).as("wave"), col("url_canon"), col("host"), col("error_times"),
-          reasonCol.as("reason"))
+          reasonCol.as("reason"), col("__ehtml").as("content"))
 
       val success = processed.filter(col("ok"))
       if (settings.inc && nSuccess > 0) // O9: finished units feed the inc queue
@@ -529,7 +535,8 @@ class CrawlJob(
             val blocked = frontierCandidates.join(pdf, Seq("bundle"), "left_semi")
             deadOut = dead.unionByName(blocked.select(lit(w).as("wave"),
               col("url_canon"), col("host"), col("error_times"),
-              lit("bundle_blocked").as("reason")))
+              lit("bundle_blocked").as("reason"),
+              lit(null).cast("binary").as("content")))
             // re-project: a using-column join moves `bundle` first, and
             // the bucketed insert writes by position
             frontierNext = frontierCandidates.join(pdf, Seq("bundle"), "left_anti")

@@ -29,9 +29,13 @@ case class SeenEntry(url_hash: Long, url_canon: String, wave: Int)
 case class ScheduleEntry(wave: Int, rank: Long, priority: Int, seq: Long,
     host: String, url_canon: String, depth: Int)
 
-/** Dead letter (S5, cola/job/executor.py:204-227). */
+/** Dead letter (S5, cola/job/executor.py:204-227). `content` carries the
+ *  error response body for packed server-class errors (the reference's
+ *  error-pack content file: `e.read()` of the ServerError); network
+ *  errors have nothing to pack (no response) and blocked bundle members
+ *  were never fetched — both null. */
 case class DeadLetter(wave: Int, url_canon: String, host: String,
-    error_times: Int, reason: String)
+    error_times: Int, reason: String, content: Array[Byte])
 
 /** Per-partition lineage row (north rule: resumable with per-partition
  *  lineage); stage ∈ {candidates, admitted, scheduled}. */

@@ -186,6 +186,20 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reasons == Set("network_error", "server_error"),
       s"both classes must reach the dead letter table, got $reasons")
     assert(summary.finished == sim.finished && summary.applied == sim.applied)
+    // S5 error packs: a server-class dead row carries the error response
+    // body (the reference packs e.read() of the ServerError); a network
+    // error has no response to pack
+    val packs = job.deadTable.alias("dl")
+      .join(Fixtures.pagesWithStatusDF(spark, V).alias("p"),
+        col("dl.url_canon") === col("p.url"), "left")
+      .select(col("dl.reason"), col("dl.content"), col("p.html")).collect()
+    assert(packs.nonEmpty)
+    packs.foreach { r =>
+      if (r.getString(0) == "server_error")
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)),
+          "server-class dead row must carry the error response body")
+      else assert(r.get(1) == null, "network-class dead row must carry no content")
+    }
   }
 
   test("O8 ignore: exhausted server errors are packed but ignored; ignored network drops silently") {
