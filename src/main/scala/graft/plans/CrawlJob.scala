@@ -31,6 +31,13 @@ import graft.operators.{Dedup, ParserDispatch, ParserRule, Politeness}
  * @param networkIgnore / serverIgnore: after retries are exhausted, drop
  *                    the url instead of dead-lettering (the `ignore`
  *                    knob, main.yaml:28,33 → executor.py:345-351)
+ * @param retrySpanWaves / networkSpanWaves / serverSpanWaves: waves a
+ *                    failed url sits out before its retry is schedulable
+ *                    — the deterministic reading of the per-class error
+ *                    `span` sleep (network 20 s vs server 10 s,
+ *                    main.yaml:27,31; executor.py:336-337 waits span
+ *                    before re-queueing). 1 (default) = eligible next
+ *                    wave, the pre-span behavior
  * @param urlPattern  accept regex (P1, cola/core/urls.py:48-60) —
  *                    case-insensitive like re.IGNORECASE (urls.py:27);
  *                    shorthand for a single `extract` rule when
@@ -54,6 +61,9 @@ case class CrawlSettings(
     serverRetries: Int = 5, // main.yaml:31
     networkIgnore: Boolean = false, // main.yaml:28
     serverIgnore: Boolean = false, // main.yaml:33
+    retrySpanWaves: Int = 1, // span ≙ wave-delay; 1 = next wave
+    networkSpanWaves: Int = 1, // main.yaml:27 (span: 20)
+    serverSpanWaves: Int = 1, // main.yaml:31 (span: 10)
     maxWaves: Int = 1000,
     urlPattern: String = ".*",
     salts: Int = 1,
@@ -197,6 +207,7 @@ class CrawlJob(
       .withColumn("error_times", lit(0))
       .withColumn("discovered_wave", lit(0))
       .withColumn("bundle", lit(null).cast("string"))
+      .withColumn("eligible_wave", lit(0))
     val deduped = Dedup.firstSeenInBatch(entries, Seq(col("__idx")))
     val withSeq = withDenseSeq(deduped, Seq(col("__idx")), waveBase(0), "seq")._1
       .drop("__idx")
@@ -282,8 +293,11 @@ class CrawlJob(
 
       // ---- schedule (O1/O3/O4/O6) ----
       // P2 dispatch on the raw url (executor.py:415 parses the produced
-      // url string), computed once into the persisted wave frame
-      val scheduled = Politeness.schedule(frontier, settings.hostBudget, grant,
+      // url string), computed once into the persisted wave frame.
+      // O8 span: rows inside their per-class retry delay are withheld
+      // from scheduling this wave (cheap filter over the cached frontier)
+      val scheduled = Politeness.schedule(
+        frontier.filter(col("eligible_wave") <= w), settings.hostBudget, grant,
         settings.nPriorities, settings.salts)
         .withColumn("parser_id", ParserDispatch.parserId(col("url"), parserRules))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -291,337 +305,356 @@ class CrawlJob(
       val (ranked, nScheduled) = withDenseSeq(
         scheduled.select(col("priority"), col("seq"), col("host"), col("url_canon"), col("depth")),
         Seq(col("priority").asc, col("seq").asc), 0L, "rank")
-      if (nScheduled == 0) { // frontier non-empty but nothing eligible: done
-        scheduled.unpersist(); frontier.unpersist()
-        return summary(wave, applied, finished, scheduledTotal, deadTotal)
-      }
-      applied += nScheduled
-      scheduledTotal += nScheduled
-
-      val scheduleTable = ranked
-        .select(lit(w).as("wave"), col("rank"), col("priority"), col("seq"),
-          col("host"), col("url_canon"), col("depth"))
-
-      // ---- "fetch" = join pages (J6/S2: html column IS the fetch result),
-      //      then ONE pass over html computes extraction + outlinks + the
-      //      fetch status together. Only that slim projection is persisted
-      //      — raw html must never be cached or traversed twice (at crawl
-      //      scale html dominates every other column by orders of
-      //      magnitude). nErrors rides along via Observation (no extra job).
-      // O8 error classes: active iff the pages table carries fetch_status.
-      // A scheduled url MISSING from the table is a network error (nothing
-      // answered); a row PRESENT with fetch_status != 'ok' is a server
-      // error (the server responded with an error) — the offline reading
-      // of NetworkError vs ServerError (executor.py:229-244). Without the
-      // column every miss is the single default class (r1/r2 behavior).
-      val hasStatus = pages.columns.contains("fetch_status")
-      val pageCols = Seq(col("url").as("url_canon"), col("html"), col("lang")) ++
-        (if (hasStatus) Seq(col("fetch_status")) else Seq.empty)
-      val fetchedRaw = scheduled.join(pages.select(pageCols: _*), Seq("url_canon"), "left")
-      val okCol =
-        if (hasStatus) col("html").isNotNull && coalesce(col("fetch_status"), lit("ok")) === "ok"
-        else col("html").isNotNull
-      val eclassCol =
-        if (hasStatus)
-          when(col("html").isNull, lit("network"))
-            .when(coalesce(col("fetch_status"), lit("ok")) =!= "ok", col("fetch_status"))
-            .otherwise(lit(null).cast("string"))
-        else when(col("html").isNull, lit("default")).otherwise(lit(null).cast("string"))
-      // O8 per-class limits/ignore flags — defined up front so the wave
-      // Observation can count retriable errors in the same pass (the
-      // retry split below sees error_times already bumped; here the
-      // pre-bump value +1 is the same predicate)
-      val limitCol =
-        if (hasStatus)
-          when(col("__eclass") === "network", lit(settings.networkRetries))
-            .otherwise(lit(settings.serverRetries))
-        else lit(settings.retries)
-      val ignoreCol =
-        if (hasStatus)
-          when(col("__eclass") === "network", lit(settings.networkIgnore))
-            .otherwise(lit(settings.serverIgnore))
-        else lit(false)
-      val retriableCol = !col("ok") && (limitCol < 0 || (col("error_times") + 1) <= limitCol)
-      val obs = new org.apache.spark.sql.Observation(s"wave_$w")
-      // which parsers extract text / follow links is driver-side plan
-      // specialization — constant isin sets over the dispatched column
-      def pidIn(ids: Seq[String]): Column =
-        if (ids.isEmpty) lit(false) else col("parser_id").isin(ids.map(x => x: Any): _*)
-      val processed = fetchedRaw.select(
-          (frontierCols :+ col("parser_id") :+ col("lang") :+
-            okCol.as("ok") :+ eclassCol.as("__eclass") :+
-            (if (settings.extract && textParserIds.nonEmpty)
-               when(okCol && pidIn(textParserIds),
-                 extractTextUdf(col("html"), col("url_canon")))
-                 .otherwise(lit(null)).as("text")
-             else lit(null).cast("string").as("text")) :+
-            when(okCol && pidIn(linkParserIds),
-              outlinksUdf(col("html"), col("url_canon")))
-              .otherwise(array().cast("array<string>")).as("outs") :+
-            // error response body, carried only on error rows (bounded by
-            // the wave's error count): the reference's error-pack content
-            // (executor.py:204-227, e.read() of a ServerError); a missing
-            // page (network/default class) has no response to carry
-            when(!okCol, col("html")).otherwise(lit(null).cast("binary"))
-              .as("__ehtml")): _*)
-        .observe(obs, count(lit(1)).as("n"),
-          sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
-          sum(when(retriableCol, 1L).otherwise(0L)).as("retries"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      processed.count() // materialize: html traversed exactly once
-      // pages-unique contract check, free via the wave Observation: the
-      // left join returns exactly one row per scheduled url iff `pages`
-      // is unique per url — duplicate page rows would silently multiply
-      // rows here and corrupt nSuccess/frontier-size/loop accounting
-      val nProcessed = obs.get("n").asInstanceOf[Long]
-      require(nProcessed == nScheduled,
-        s"pages table must be unique per url (CrawlJob contract): wave $w joined " +
-        s"$nProcessed rows for $nScheduled scheduled urls")
-      val nErrors = obs.get("errors").asInstanceOf[Long]
-      val nSuccess = nScheduled - nErrors
-      finished += nSuccess
-      applied -= nErrors // O4 error refund (budget.py:154-158)
-
-      // ---- retry / dead-letter (O8) ----
-      // per-class policy (executor.py:335-352: error_times <= retries →
-      // retry; -1 = keep trying). Exhaustion follows the reference's
-      // pack/ignore matrix exactly (_handle_error, executor.py:474-506):
-      //  - server/default classes are PACKED (the error record ≙ a dead
-      //    row) whether ignored or not — `if pack: _pack_error` runs
-      //    before the ignore branch; an ignored row is marked
-      //    "<class>_error_ignored" and the crawl continues;
-      //  - the network class never packs (pack=False at :382/:542); a
-      //    non-ignored network exhaustion still writes a terminal
-      //    "network_error" row here — the engine's record of what is,
-      //    in the reference, an unbounded retry livelock (the failed
-      //    url re-enters the worklist front forever);
-      //  - a non-ignored exhaustion inside a BUNDLE fails the whole
-      //    bundle (UnitRetryFailed → execute returns the bundle with
-      //    its remaining current_urls withheld, :503-506,568): the
-      //    bundle's surviving frontier rows are removed below and
-      //    recorded as "bundle_blocked".
-      val errors = processed.filter(!col("ok"))
-      val bumped = errors.withColumn("error_times", col("error_times") + 1)
-      val keepRetry = limitCol < 0 || col("error_times") <= limitCol
-      val retry = bumped.filter(keepRetry).select(frontierCols: _*)
-      val exhausted = bumped.filter(!keepRetry)
-      val packedCol = if (hasStatus) col("__eclass") =!= "network" else lit(true)
-      val reasonCol =
-        if (hasStatus)
-          concat(col("__eclass"), lit("_error"),
-            when(ignoreCol, lit("_ignored")).otherwise(lit("")))
-        else lit("fetch_miss")
-      val dead = exhausted.filter(packedCol || !ignoreCol)
-        .select(lit(w).as("wave"), col("url_canon"), col("host"), col("error_times"),
-          reasonCol.as("reason"), col("__ehtml").as("content"))
-
-      val success = processed.filter(col("ok"))
-      if (settings.inc && nSuccess > 0) // O9: finished units feed the inc queue
-        ckpt.write(success.select(col("url"), col("url_canon"),
-          lit(w).as("wave"), col("priority"), col("seq")), w, "inc")
-      counters.add("budget", "applied", nScheduled)
-      counters.add("budget", "finishes", nSuccess)
-      counters.add("budget", "errors", nErrors)
-
-      if (settings.extract) {
-        val results = success.select(lit(w).as("wave"), col("url_canon"),
-          col("parser_id"), col("lang"), col("text"), size(col("outs")).as("n_outlinks"))
-        ckpt.write(results, w, "results")
-      }
-
-      // ---- outlinks (F1) → new candidates: P1/P2 rule filter, P6 resolve
-      //      (inside extractOutlinks), P7 self-drop, P8 canonicalize ----
-      val outlinks = success.select(
-        col("url_canon").as("parent_canon"), col("seq").as("parent_seq"),
-        col("depth").as("parent_depth"),
-        posexplode(col("outs")).as(Seq("link_idx", "out_url")))
-      val acceptedLinks = outlinks.filter(ParserDispatch.accepts(col("out_url"), parserRules))
-      // discovery decoration shared by plain outlinks and bundle members
-      def decorate(df: DataFrame): DataFrame = df
-        .withColumn("priority", Politeness.clampPriority(priorityExpr(col("url_canon")), settings.nPriorities))
-        .withColumn("depth", col("parent_depth") + 1)
-        .withColumn("force", lit(false))
-        .withColumn("error_times", lit(0))
-        .withColumn("discovered_wave", lit(w))
-
-      // ---- F2/F3 bundles: links matching the bundle pattern discover
-      //      LABELS (deduped by label through the same seen set, as
-      //      `bundle://<label>` — the reference dedups on str(obj), a
-      //      mixed url/label domain); fresh labels expand to member urls
-      //      (bundle.urls()) which join the candidate stream tagged with
-      //      their bundle ----
-      var freshLabels: DataFrame = null
-      var nLabels = 0L
-      val candidates = (settings.bundles match {
-        case None =>
-          enrich(acceptedLinks.withColumnRenamed("out_url", "url"))
-            .filter(col("url_canon") =!= col("parent_canon"))
-            .transform(decorate)
-            .withColumn("bundle", lit(null).cast("string"))
-            .withColumn("member_idx", lit(0))
-        case Some(bs) =>
-          val labelCol = regexp_extract(col("out_url"), "(?i)" + bs.pattern, 1)
-          val plain = enrich(acceptedLinks.filter(labelCol === "").withColumnRenamed("out_url", "url"))
-            .filter(col("url_canon") =!= col("parent_canon"))
-            .transform(decorate)
-            .withColumn("bundle", lit(null).cast("string"))
-            .withColumn("member_idx", lit(0))
-          val labels = acceptedLinks
-            .withColumn("label", labelCol)
-            .filter(col("label") =!= "")
-            .withColumn("url_canon", concat(lit("bundle://"), col("label")))
-            .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
-            .select("url_hash", "url_canon", "label", "parent_seq", "link_idx", "parent_depth")
-          freshLabels = Dedup.dedupWave(spark, labels, seen,
-              Seq(col("parent_seq"), col("link_idx")),
-              numBuckets = settings.numBuckets, bloomStore = bloomStore)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val memberUdf = udf((label: String) => bs.memberUrls(label))
-          val members = enrich(freshLabels
-              .select(col("label").as("bundle"), col("parent_seq"), col("link_idx"),
-                col("parent_depth"),
-                posexplode(memberUdf(col("label"))).as(Seq("member_idx", "url")))
-              .withColumn("member_idx", col("member_idx") + 1)) // plain rows are 0
-            .transform(decorate)
-            .withColumn("parent_canon", lit(null).cast("string"))
-          plain.unionByName(members.select(plain.columns.map(col).toSeq: _*))
-      }).persist(StorageLevel.MEMORY_AND_DISK)
-
-      val nCandidates = candidates.count()
-      if (freshLabels != null) nLabels = freshLabels.count() // cached, cheap
-
-      // ---- D1 dedup gate ----
-      val fresh = Dedup.dedupWave(spark, candidates, seen,
-          Seq(col("parent_seq"), col("link_idx"), col("member_idx")),
-          numBuckets = settings.numBuckets, bloomStore = bloomStore)
-      // nNew rides the dense-seq count pass; the cache builds at the seen
-      // write (the first action over newEntries)
-      val (freshSeq, nNew) = withDenseSeq(fresh,
-        Seq(col("parent_seq").asc, col("link_idx").asc, col("member_idx").asc),
-        waveBase(w), "seq")
-      val newEntries = freshSeq
-        .select(frontierCols: _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-      // ---- next frontier ----
-      // keyed (url_hash, url_canon): the frontier side is a bucketed scan
-      // on exactly those keys → no Exchange and no wide-string-only key;
-      // only the wave's scheduled rows (≤ waveCap) shuffle
-      val leftover = frontier.join(scheduled.select("url_hash", "url_canon"),
-          Seq("url_hash", "url_canon"), "left_anti")
-        .select(frontierCols: _*)
-      val frontierCandidates = leftover.unionByName(retry).unionByName(newEntries)
-
-      // ---- F2/F3 bundle failure (executor.py:503-506): a non-ignored
-      //      exhaustion poisons its bundle — every surviving row of that
-      //      bundle leaves the frontier and is recorded "bundle_blocked".
-      //      One-wave removal is complete: the label is in the seen set,
-      //      so no member of a poisoned bundle can ever be re-admitted.
-      //      The poisoned set is recomputed from the persisted wave frame
-      //      (a tiny filter over `processed`), never collected; the
-      //      broadcast hint is bounded like the politeness hot-host set.
-      var frontierNext = frontierCandidates
-      var deadOut = dead
-      var nBlocked = 0L
-      val nRetry = obs.get("retries").asInstanceOf[Long] // rode the wave pass
-      var nDead = 0L
-      if (nErrors > 0) {
-        if (settings.bundles.nonEmpty) {
-          val poisoned = exhausted.filter(!ignoreCol && col("bundle").isNotNull)
-            .select(col("bundle")).distinct()
-          val nPoisoned = poisoned.count()
-          if (nPoisoned > 0) {
-            val pdf = if (nPoisoned < 1000000L) broadcast(poisoned) else poisoned
-            val blocked = frontierCandidates.join(pdf, Seq("bundle"), "left_semi")
-            deadOut = dead.unionByName(blocked.select(lit(w).as("wave"),
-              col("url_canon"), col("host"), col("error_times"),
-              lit("bundle_blocked").as("reason"),
-              lit(null).cast("binary").as("content")))
-            // re-project: a using-column join moves `bundle` first, and
-            // the bucketed insert writes by position
-            frontierNext = frontierCandidates.join(pdf, Seq("bundle"), "left_anti")
-              .select(frontierCols: _*)
-          }
+      if (nScheduled == 0) {
+        scheduled.unpersist()
+        if (frontier.filter(col("eligible_wave") > w).limit(1).count() == 0) {
+          // frontier non-empty but nothing will ever be eligible: done
+          frontier.unpersist()
+          return summary(wave, applied, finished, scheduledTotal, deadTotal)
         }
-        // dead letters only get a write job on waves with errors (most
-        // waves have none; empty parquet writes cost a full job each on
-        // the driver-latency-bound wave path)
-        val deadObs = new org.apache.spark.sql.Observation(s"dead_$w")
-        ckpt.write(deadOut.observe(deadObs, count(lit(1)).as("n"),
-          coalesce(sum(when(col("reason") === "bundle_blocked", 1L).otherwise(0L)),
-            lit(0L)).as("blocked")), w, "dead")
-        nDead = deadObs.get("n").asInstanceOf[Long]
-        nBlocked = deadObs.get("blocked").asInstanceOf[Long]
+        // idle wave: every schedulable row is sitting out its retry
+        // delay — advance the clock only (no budget, no writes, no
+        // commit; a resume deterministically replays idle waves; the
+        // finite eligible_wave horizon bounds consecutive idle waves)
+      } else {
+        applied += nScheduled
+        scheduledTotal += nScheduled
+
+        val scheduleTable = ranked
+          .select(lit(w).as("wave"), col("rank"), col("priority"), col("seq"),
+            col("host"), col("url_canon"), col("depth"))
+
+        // ---- "fetch" = join pages (J6/S2: html column IS the fetch result),
+        //      then ONE pass over html computes extraction + outlinks + the
+        //      fetch status together. Only that slim projection is persisted
+        //      — raw html must never be cached or traversed twice (at crawl
+        //      scale html dominates every other column by orders of
+        //      magnitude). nErrors rides along via Observation (no extra job).
+        // O8 error classes: active iff the pages table carries fetch_status.
+        // A scheduled url MISSING from the table is a network error (nothing
+        // answered); a row PRESENT with fetch_status != 'ok' is a server
+        // error (the server responded with an error) — the offline reading
+        // of NetworkError vs ServerError (executor.py:229-244). Without the
+        // column every miss is the single default class (r1/r2 behavior).
+        val hasStatus = pages.columns.contains("fetch_status")
+        val pageCols = Seq(col("url").as("url_canon"), col("html"), col("lang")) ++
+          (if (hasStatus) Seq(col("fetch_status")) else Seq.empty)
+        val fetchedRaw = scheduled.join(pages.select(pageCols: _*), Seq("url_canon"), "left")
+        val okCol =
+          if (hasStatus) col("html").isNotNull && coalesce(col("fetch_status"), lit("ok")) === "ok"
+          else col("html").isNotNull
+        val eclassCol =
+          if (hasStatus)
+            when(col("html").isNull, lit("network"))
+              .when(coalesce(col("fetch_status"), lit("ok")) =!= "ok", col("fetch_status"))
+              .otherwise(lit(null).cast("string"))
+          else when(col("html").isNull, lit("default")).otherwise(lit(null).cast("string"))
+        // O8 per-class limits/ignore flags — defined up front so the wave
+        // Observation can count retriable errors in the same pass (the
+        // retry split below sees error_times already bumped; here the
+        // pre-bump value +1 is the same predicate)
+        val limitCol =
+          if (hasStatus)
+            when(col("__eclass") === "network", lit(settings.networkRetries))
+              .otherwise(lit(settings.serverRetries))
+          else lit(settings.retries)
+        val ignoreCol =
+          if (hasStatus)
+            when(col("__eclass") === "network", lit(settings.networkIgnore))
+              .otherwise(lit(settings.serverIgnore))
+          else lit(false)
+        val retriableCol = !col("ok") && (limitCol < 0 || (col("error_times") + 1) <= limitCol)
+        val obs = new org.apache.spark.sql.Observation(s"wave_$w")
+        // which parsers extract text / follow links is driver-side plan
+        // specialization — constant isin sets over the dispatched column
+        def pidIn(ids: Seq[String]): Column =
+          if (ids.isEmpty) lit(false) else col("parser_id").isin(ids.map(x => x: Any): _*)
+        val processed = fetchedRaw.select(
+            (frontierCols :+ col("parser_id") :+ col("lang") :+
+              okCol.as("ok") :+ eclassCol.as("__eclass") :+
+              (if (settings.extract && textParserIds.nonEmpty)
+                 when(okCol && pidIn(textParserIds),
+                   extractTextUdf(col("html"), col("url_canon")))
+                   .otherwise(lit(null)).as("text")
+               else lit(null).cast("string").as("text")) :+
+              when(okCol && pidIn(linkParserIds),
+                outlinksUdf(col("html"), col("url_canon")))
+                .otherwise(array().cast("array<string>")).as("outs") :+
+              // error response body, carried only on error rows (bounded by
+              // the wave's error count): the reference's error-pack content
+              // (executor.py:204-227, e.read() of a ServerError); a missing
+              // page (network/default class) has no response to carry
+              when(!okCol, col("html")).otherwise(lit(null).cast("binary"))
+                .as("__ehtml")): _*)
+          .observe(obs, count(lit(1)).as("n"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
+            sum(when(retriableCol, 1L).otherwise(0L)).as("retries"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        processed.count() // materialize: html traversed exactly once
+        // pages-unique contract check, free via the wave Observation: the
+        // left join returns exactly one row per scheduled url iff `pages`
+        // is unique per url — duplicate page rows would silently multiply
+        // rows here and corrupt nSuccess/frontier-size/loop accounting
+        val nProcessed = obs.get("n").asInstanceOf[Long]
+        require(nProcessed == nScheduled,
+          s"pages table must be unique per url (CrawlJob contract): wave $w joined " +
+          s"$nProcessed rows for $nScheduled scheduled urls")
+        val nErrors = obs.get("errors").asInstanceOf[Long]
+        val nSuccess = nScheduled - nErrors
+        finished += nSuccess
+        applied -= nErrors // O4 error refund (budget.py:154-158)
+
+        // ---- retry / dead-letter (O8) ----
+        // per-class policy (executor.py:335-352: error_times <= retries →
+        // retry; -1 = keep trying). Exhaustion follows the reference's
+        // pack/ignore matrix exactly (_handle_error, executor.py:474-506):
+        //  - server/default classes are PACKED (the error record ≙ a dead
+        //    row) whether ignored or not — `if pack: _pack_error` runs
+        //    before the ignore branch; an ignored row is marked
+        //    "<class>_error_ignored" and the crawl continues;
+        //  - the network class never packs (pack=False at :382/:542); a
+        //    non-ignored network exhaustion still writes a terminal
+        //    "network_error" row here — the engine's record of what is,
+        //    in the reference, an unbounded retry livelock (the failed
+        //    url re-enters the worklist front forever);
+        //  - a non-ignored exhaustion inside a BUNDLE fails the whole
+        //    bundle (UnitRetryFailed → execute returns the bundle with
+        //    its remaining current_urls withheld, :503-506,568): the
+        //    bundle's surviving frontier rows are removed below and
+        //    recorded as "bundle_blocked".
+        val errors = processed.filter(!col("ok"))
+        val bumped = errors.withColumn("error_times", col("error_times") + 1)
+        val keepRetry = limitCol < 0 || col("error_times") <= limitCol
+        // O8 span ≙ wave-delay: the retry sits out spanWaves before it is
+        // schedulable again (executor.py:336-337 sleeps span between tries)
+        val spanCol =
+          if (hasStatus)
+            when(col("__eclass") === "network", lit(settings.networkSpanWaves))
+              .otherwise(lit(settings.serverSpanWaves))
+          else lit(settings.retrySpanWaves)
+        val retry = bumped.filter(keepRetry)
+          .withColumn("eligible_wave", lit(w) + spanCol)
+          .select(frontierCols: _*)
+        val exhausted = bumped.filter(!keepRetry)
+        val packedCol = if (hasStatus) col("__eclass") =!= "network" else lit(true)
+        val reasonCol =
+          if (hasStatus)
+            concat(col("__eclass"), lit("_error"),
+              when(ignoreCol, lit("_ignored")).otherwise(lit("")))
+          else lit("fetch_miss")
+        val dead = exhausted.filter(packedCol || !ignoreCol)
+          .select(lit(w).as("wave"), col("url_canon"), col("host"), col("error_times"),
+            reasonCol.as("reason"), col("__ehtml").as("content"))
+
+        val success = processed.filter(col("ok"))
+        if (settings.inc && nSuccess > 0) // O9: finished units feed the inc queue
+          ckpt.write(success.select(col("url"), col("url_canon"),
+            lit(w).as("wave"), col("priority"), col("seq")), w, "inc")
+        counters.add("budget", "applied", nScheduled)
+        counters.add("budget", "finishes", nSuccess)
+        counters.add("budget", "errors", nErrors)
+
+        if (settings.extract) {
+          val results = success.select(lit(w).as("wave"), col("url_canon"),
+            col("parser_id"), col("lang"), col("text"), size(col("outs")).as("n_outlinks"))
+          ckpt.write(results, w, "results")
+        }
+
+        // ---- outlinks (F1) → new candidates: P1/P2 rule filter, P6 resolve
+        //      (inside extractOutlinks), P7 self-drop, P8 canonicalize ----
+        val outlinks = success.select(
+          col("url_canon").as("parent_canon"), col("seq").as("parent_seq"),
+          col("depth").as("parent_depth"),
+          posexplode(col("outs")).as(Seq("link_idx", "out_url")))
+        val acceptedLinks = outlinks.filter(ParserDispatch.accepts(col("out_url"), parserRules))
+        // discovery decoration shared by plain outlinks and bundle members
+        def decorate(df: DataFrame): DataFrame = df
+          .withColumn("priority", Politeness.clampPriority(priorityExpr(col("url_canon")), settings.nPriorities))
+          .withColumn("depth", col("parent_depth") + 1)
+          .withColumn("force", lit(false))
+          .withColumn("error_times", lit(0))
+          .withColumn("discovered_wave", lit(w))
+          .withColumn("eligible_wave", lit(0))
+
+        // ---- F2/F3 bundles: links matching the bundle pattern discover
+        //      LABELS (deduped by label through the same seen set, as
+        //      `bundle://<label>` — the reference dedups on str(obj), a
+        //      mixed url/label domain); fresh labels expand to member urls
+        //      (bundle.urls()) which join the candidate stream tagged with
+        //      their bundle ----
+        var freshLabels: DataFrame = null
+        var nLabels = 0L
+        val candidates = (settings.bundles match {
+          case None =>
+            enrich(acceptedLinks.withColumnRenamed("out_url", "url"))
+              .filter(col("url_canon") =!= col("parent_canon"))
+              .transform(decorate)
+              .withColumn("bundle", lit(null).cast("string"))
+              .withColumn("member_idx", lit(0))
+          case Some(bs) =>
+            val labelCol = regexp_extract(col("out_url"), "(?i)" + bs.pattern, 1)
+            val plain = enrich(acceptedLinks.filter(labelCol === "").withColumnRenamed("out_url", "url"))
+              .filter(col("url_canon") =!= col("parent_canon"))
+              .transform(decorate)
+              .withColumn("bundle", lit(null).cast("string"))
+              .withColumn("member_idx", lit(0))
+            val labels = acceptedLinks
+              .withColumn("label", labelCol)
+              .filter(col("label") =!= "")
+              .withColumn("url_canon", concat(lit("bundle://"), col("label")))
+              .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
+              .select("url_hash", "url_canon", "label", "parent_seq", "link_idx", "parent_depth")
+            freshLabels = Dedup.dedupWave(spark, labels, seen,
+                Seq(col("parent_seq"), col("link_idx")),
+                numBuckets = settings.numBuckets, bloomStore = bloomStore)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val memberUdf = udf((label: String) => bs.memberUrls(label))
+            val members = enrich(freshLabels
+                .select(col("label").as("bundle"), col("parent_seq"), col("link_idx"),
+                  col("parent_depth"),
+                  posexplode(memberUdf(col("label"))).as(Seq("member_idx", "url")))
+                .withColumn("member_idx", col("member_idx") + 1)) // plain rows are 0
+              .transform(decorate)
+              .withColumn("parent_canon", lit(null).cast("string"))
+            plain.unionByName(members.select(plain.columns.map(col).toSeq: _*))
+        }).persist(StorageLevel.MEMORY_AND_DISK)
+
+        val nCandidates = candidates.count()
+        if (freshLabels != null) nLabels = freshLabels.count() // cached, cheap
+
+        // ---- D1 dedup gate ----
+        val fresh = Dedup.dedupWave(spark, candidates, seen,
+            Seq(col("parent_seq"), col("link_idx"), col("member_idx")),
+            numBuckets = settings.numBuckets, bloomStore = bloomStore)
+        // nNew rides the dense-seq count pass; the cache builds at the seen
+        // write (the first action over newEntries)
+        val (freshSeq, nNew) = withDenseSeq(fresh,
+          Seq(col("parent_seq").asc, col("link_idx").asc, col("member_idx").asc),
+          waveBase(w), "seq")
+        val newEntries = freshSeq
+          .select(frontierCols: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+
+        // ---- next frontier ----
+        // keyed (url_hash, url_canon): the frontier side is a bucketed scan
+        // on exactly those keys → no Exchange and no wide-string-only key;
+        // only the wave's scheduled rows (≤ waveCap) shuffle
+        val leftover = frontier.join(scheduled.select("url_hash", "url_canon"),
+            Seq("url_hash", "url_canon"), "left_anti")
+          .select(frontierCols: _*)
+        val frontierCandidates = leftover.unionByName(retry).unionByName(newEntries)
+
+        // ---- F2/F3 bundle failure (executor.py:503-506): a non-ignored
+        //      exhaustion poisons its bundle — every surviving row of that
+        //      bundle leaves the frontier and is recorded "bundle_blocked".
+        //      One-wave removal is complete: the label is in the seen set,
+        //      so no member of a poisoned bundle can ever be re-admitted.
+        //      The poisoned set is recomputed from the persisted wave frame
+        //      (a tiny filter over `processed`), never collected; the
+        //      broadcast hint is bounded like the politeness hot-host set.
+        var frontierNext = frontierCandidates
+        var deadOut = dead
+        var nBlocked = 0L
+        val nRetry = obs.get("retries").asInstanceOf[Long] // rode the wave pass
+        var nDead = 0L
+        if (nErrors > 0) {
+          if (settings.bundles.nonEmpty) {
+            val poisoned = exhausted.filter(!ignoreCol && col("bundle").isNotNull)
+              .select(col("bundle")).distinct()
+            val nPoisoned = poisoned.count()
+            if (nPoisoned > 0) {
+              val pdf = if (nPoisoned < 1000000L) broadcast(poisoned) else poisoned
+              val blocked = frontierCandidates.join(pdf, Seq("bundle"), "left_semi")
+              deadOut = dead.unionByName(blocked.select(lit(w).as("wave"),
+                col("url_canon"), col("host"), col("error_times"),
+                lit("bundle_blocked").as("reason"),
+                lit(null).cast("binary").as("content")))
+              // re-project: a using-column join moves `bundle` first, and
+              // the bucketed insert writes by position
+              frontierNext = frontierCandidates.join(pdf, Seq("bundle"), "left_anti")
+                .select(frontierCols: _*)
+            }
+          }
+          // dead letters only get a write job on waves with errors (most
+          // waves have none; empty parquet writes cost a full job each on
+          // the driver-latency-bound wave path)
+          val deadObs = new org.apache.spark.sql.Observation(s"dead_$w")
+          ckpt.write(deadOut.observe(deadObs, count(lit(1)).as("n"),
+            coalesce(sum(when(col("reason") === "bundle_blocked", 1L).otherwise(0L)),
+              lit(0L)).as("blocked")), w, "dead")
+          nDead = deadObs.get("n").asInstanceOf[Long]
+          nBlocked = deadObs.get("blocked").asInstanceOf[Long]
+        }
+        deadTotal += nDead
+
+        // ---- per-wave outputs + atomic commit (S6) ----
+        val lineage = perPartitionLineage(candidates, w, "candidates")
+          .unionByName(perPartitionLineage(newEntries, w, "admitted"))
+          .unionByName(perPartitionLineage(scheduled, w, "scheduled"))
+        ckpt.write(scheduleTable, w, "schedule")
+        // seen delta = new frontier urls ∪ fresh bundle labels (both gate
+        // future discoveries; labels must also reach the blooms or the
+        // "definitely new" shortcut would readmit a seen label)
+        val seenDelta =
+          if (nLabels > 0)
+            newEntries.select(col("url_hash"), col("url_canon"))
+              .unionByName(freshLabels.select(col("url_hash"), col("url_canon")))
+          else newEntries.select(col("url_hash"), col("url_canon"))
+        if (nNew + nLabels > 0) {
+          ckpt.writeBucketed(seenDelta, w, "seen")
+          // fold the delta into the per-bucket bloom files BEFORE the wave
+          // manifest commits: a crash in between leaves a filter that
+          // over-approximates the committed seen set (harmless false
+          // "maybe"), never one missing committed urls (BloomStore rule)
+          bloomStore.foreach(_.writeDelta(seenDelta, w))
+        }
+
+        // exact arithmetic: scheduled ⊆ frontier and the frontier is unique
+        // per url_canon, so the leftover anti-join removes exactly
+        // nScheduled rows; retries and new entries re-enter, poisoned-
+        // bundle rows leave. (nRetry — not nErrors − nDead — is the exact
+        // retry count: exhausted-but-silently-dropped rows, e.g. ignored
+        // network errors, are in neither set.)
+        val nextSizeBase = frontierSize - nScheduled + nRetry + nNew - nBlocked
+
+        // ---- O9 automated re-crawl: frontier drained with budget left →
+        //      re-seed one pass from the inc queue (task.py:135-139: the inc
+        //      slice runs when the priority slices have nothing) ----
+        var frontierOut = frontierNext
+        var nIncSeeded = 0L
+        if (nextSizeBase == 0 && settings.inc && incPassesLeft > 0 &&
+            (settings.size < 0 || settings.size - applied > 0)) {
+          val (reseeded, nSeeded) = incReseed(w, seen, bloomStore)
+          nIncSeeded = nSeeded
+          frontierOut = frontierNext.unionByName(reseeded)
+          incPassesLeft -= 1
+          counters.add("inc", "reseeded", nIncSeeded)
+        }
+
+        ckpt.writeBucketed(frontierOut, w, "frontier")
+        ckpt.write(lineage, w, "lineage")
+
+        frontier.unpersist()
+        frontier = ckpt.readBucketedWave("frontier", w)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        frontierSize = nextSizeBase + nIncSeeded
+        val secs = (System.nanoTime() - t0) / 1e9
+        // A7 wave metrics are driver-known scalars — they ride the manifest
+        // (no parquet job); metricsTable reconstructs them from manifests
+        ckpt.commit(w, Map(
+          "applied" -> applied.toString, "finished" -> finished.toString,
+          "scheduledTotal" -> scheduledTotal.toString, "deadTotal" -> deadTotal.toString,
+          "incPassesUsed" -> (settings.incPasses - incPassesLeft).toString,
+          "m.inc_seeded" -> nIncSeeded.toString,
+          "m.scheduled" -> nScheduled.toString, "m.fetched" -> nSuccess.toString,
+          "m.errors" -> nErrors.toString, "m.new_urls" -> nNew.toString,
+          "m.deduped" -> (nCandidates - nNew).toString,
+          "m.frontier_size" -> frontierSize.toString, "m.secs" -> secs.toString))
+
+        scheduled.unpersist(); processed.unpersist()
+        candidates.unpersist(); newEntries.unpersist()
+        if (freshLabels != null) freshLabels.unpersist()
       }
-      deadTotal += nDead
-
-      // ---- per-wave outputs + atomic commit (S6) ----
-      val lineage = perPartitionLineage(candidates, w, "candidates")
-        .unionByName(perPartitionLineage(newEntries, w, "admitted"))
-        .unionByName(perPartitionLineage(scheduled, w, "scheduled"))
-      ckpt.write(scheduleTable, w, "schedule")
-      // seen delta = new frontier urls ∪ fresh bundle labels (both gate
-      // future discoveries; labels must also reach the blooms or the
-      // "definitely new" shortcut would readmit a seen label)
-      val seenDelta =
-        if (nLabels > 0)
-          newEntries.select(col("url_hash"), col("url_canon"))
-            .unionByName(freshLabels.select(col("url_hash"), col("url_canon")))
-        else newEntries.select(col("url_hash"), col("url_canon"))
-      if (nNew + nLabels > 0) {
-        ckpt.writeBucketed(seenDelta, w, "seen")
-        // fold the delta into the per-bucket bloom files BEFORE the wave
-        // manifest commits: a crash in between leaves a filter that
-        // over-approximates the committed seen set (harmless false
-        // "maybe"), never one missing committed urls (BloomStore rule)
-        bloomStore.foreach(_.writeDelta(seenDelta, w))
-      }
-
-      // exact arithmetic: scheduled ⊆ frontier and the frontier is unique
-      // per url_canon, so the leftover anti-join removes exactly
-      // nScheduled rows; retries and new entries re-enter, poisoned-
-      // bundle rows leave. (nRetry — not nErrors − nDead — is the exact
-      // retry count: exhausted-but-silently-dropped rows, e.g. ignored
-      // network errors, are in neither set.)
-      val nextSizeBase = frontierSize - nScheduled + nRetry + nNew - nBlocked
-
-      // ---- O9 automated re-crawl: frontier drained with budget left →
-      //      re-seed one pass from the inc queue (task.py:135-139: the inc
-      //      slice runs when the priority slices have nothing) ----
-      var frontierOut = frontierNext
-      var nIncSeeded = 0L
-      if (nextSizeBase == 0 && settings.inc && incPassesLeft > 0 &&
-          (settings.size < 0 || settings.size - applied > 0)) {
-        val (reseeded, nSeeded) = incReseed(w, seen, bloomStore)
-        nIncSeeded = nSeeded
-        frontierOut = frontierNext.unionByName(reseeded)
-        incPassesLeft -= 1
-        counters.add("inc", "reseeded", nIncSeeded)
-      }
-
-      ckpt.writeBucketed(frontierOut, w, "frontier")
-      ckpt.write(lineage, w, "lineage")
-
-      frontier.unpersist()
-      frontier = ckpt.readBucketedWave("frontier", w)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      frontierSize = nextSizeBase + nIncSeeded
-      val secs = (System.nanoTime() - t0) / 1e9
-      // A7 wave metrics are driver-known scalars — they ride the manifest
-      // (no parquet job); metricsTable reconstructs them from manifests
-      ckpt.commit(w, Map(
-        "applied" -> applied.toString, "finished" -> finished.toString,
-        "scheduledTotal" -> scheduledTotal.toString, "deadTotal" -> deadTotal.toString,
-        "incPassesUsed" -> (settings.incPasses - incPassesLeft).toString,
-        "m.inc_seeded" -> nIncSeeded.toString,
-        "m.scheduled" -> nScheduled.toString, "m.fetched" -> nSuccess.toString,
-        "m.errors" -> nErrors.toString, "m.new_urls" -> nNew.toString,
-        "m.deduped" -> (nCandidates - nNew).toString,
-        "m.frontier_size" -> frontierSize.toString, "m.secs" -> secs.toString))
-
-      scheduled.unpersist(); processed.unpersist()
-      candidates.unpersist(); newEntries.unpersist()
-      if (freshLabels != null) freshLabels.unpersist()
       wave = w
     }
     frontier.unpersist()
@@ -652,6 +685,7 @@ class CrawlJob(
       .withColumn("error_times", lit(0))
       .withColumn("discovered_wave", lit(w))
       .withColumn("bundle", lit(null).cast("string"))
+      .withColumn("eligible_wave", lit(0))
     val passed = Dedup.dedupWave(spark, entries, seen,
       Seq(col("inc_seq")), numBuckets = settings.numBuckets, bloomStore = bloomStore)
     val (seeded, n) = withDenseSeq(passed,

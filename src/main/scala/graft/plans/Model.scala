@@ -19,7 +19,8 @@ case class FrontierEntry(
     force: Boolean,
     error_times: Int,
     discovered_wave: Int,
-    bundle: String) // F2/F3 label of the bundle that generated this URL; null = plain
+    bundle: String, // F2/F3 label of the bundle that generated this URL; null = plain
+    eligible_wave: Int) // O8 span: not schedulable before this wave (retry delay)
 
 /** URL-seen set row (D1/D4 — the exact MapDeduper equivalent). */
 case class SeenEntry(url_hash: Long, url_canon: String, wave: Int)

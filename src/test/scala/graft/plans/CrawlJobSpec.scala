@@ -232,6 +232,37 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deadPairs(job2) == sim2.dead.toSet)
   }
 
+  test("O8 span: per-class retry delays (span ≙ waves) match the simulator") {
+    // network span 3 / server span 2: a failed url sits out its class's
+    // delay before the retry is schedulable (executor.py:336-337 sleeps
+    // span between tries); waves where everything is inside a delay are
+    // idle clock ticks in both engine and simulator
+    val settings = base.copy(retries = 99, networkRetries = 2, serverRetries = 1,
+      networkSpanWaves = 3, serverSpanWaves = 2, size = 250, maxWaves = 30)
+    val job = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+      tmpDir("o8span"))
+    job.run(Fixtures.seeds(V))
+    val sim = new ColaSimulator(settings, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
+    sim.run(Fixtures.seeds(V))
+    assert(scheduleTuples(job) == simTuples(sim), "span schedule diverged")
+    assert(deadPairs(job) == sim.dead.toSet)
+    // a canon scheduled more than once is a retry: every gap respects its
+    // class's span, and both classes actually retried in the fixture
+    val byCanon = job.scheduleTable.select("url_canon", "wave").collect()
+      .map(r => (r.getString(0), r.getInt(1))).groupBy(_._1)
+      .collect { case (c, ws) if ws.length > 1 => (c, ws.map(_._2).sorted.toSeq) }
+    assert(byCanon.nonEmpty, "fixture must actually retry")
+    val serverSet = Fixtures.statusMap(V).keySet
+    val gaps = byCanon.map { case (c, ws) =>
+      (serverSet.contains(c), ws.sliding(2).map(p => p(1) - p(0)).min)
+    }
+    gaps.foreach { case (isServer, g) =>
+      assert(g >= (if (isServer) 2 else 3),
+        s"retry came back before its span: server=$isServer gap=$g")
+    }
+    assert(gaps.exists(_._1) && gaps.exists(!_._1), "both classes must retry")
+  }
+
   test("O7 adaptive throttling: budget decays to min fetched before banned waves") {
     import graft.operators.Politeness
     val sp = spark

@@ -28,7 +28,8 @@ class ColaSimulator(
     pageStatus: Option[Map[String, String]] = None) {
 
   case class Entry(url: String, canon: String, host: String, priority: Int,
-      depth: Int, seq: Long, var errorTimes: Int, bundle: Option[String] = None)
+      depth: Int, seq: Long, var errorTimes: Int, bundle: Option[String] = None,
+      var eligibleWave: Int = 0) // O8 span: not schedulable before this wave
 
   case class Scheduled(wave: Int, rank: Long, priority: Int, seq: Long,
       host: String, canon: String, depth: Int)
@@ -99,8 +100,10 @@ class ColaSimulator(
         else math.min(settings.waveCap, settings.size - applied)
       if (grant <= 0) return
 
-      // step 1: host-eligible — rank within host by (priority, seq)
-      val byOrder = frontier.sortBy(e => (e.priority, e.seq))
+      // step 1: host-eligible — rank within host by (priority, seq);
+      // rows inside their per-class retry delay (span ≙ waves) never
+      // enter the ranking this wave
+      val byOrder = frontier.filter(_.eligibleWave <= w).sortBy(e => (e.priority, e.seq))
       val hostCount = mutable.Map.empty[String, Int].withDefaultValue(0)
       val eligible = byOrder.filter { e =>
         hostCount(e.host) += 1
@@ -112,118 +115,127 @@ class ColaSimulator(
         eligible.filter(_.priority == p).sortBy(_.seq).take(
           math.min(qs(p), Int.MaxValue).toInt)
       }
-      if (scheduledEntries.isEmpty) return
-      applied += scheduledEntries.length
+      if (scheduledEntries.isEmpty) {
+        if (!frontier.exists(_.eligibleWave > w)) return
+        wave = w // idle wave: delayed retries tick down (engine ≡)
+      } else {
+        applied += scheduledEntries.length
 
-      val ordered = scheduledEntries.sortBy(e => (e.priority, e.seq))
-      ordered.zipWithIndex.foreach { case (e, r) =>
-        schedule += Scheduled(w, r.toLong, e.priority, e.seq, e.host, e.canon, e.depth)
-      }
-
-      val scheduledSet = ordered.map(_.canon).toSet
-      val leftover = frontier.filterNot(e => scheduledSet.contains(e.canon))
-      val retries = mutable.ArrayBuffer.empty[Entry]
-      // bundles that had a non-ignored exhaustion this wave — the whole
-      // bundle fails (UnitRetryFailed, executor.py:503-506): its
-      // surviving rows leave the frontier at wave end
-      val poisoned = mutable.Set.empty[String]
-      // (parentSeq, linkIdx, memberIdx, rawUrl, bundle) — memberIdx 0 = plain link
-      val candidates = mutable.ArrayBuffer.empty[(Long, Int, Int, String, Option[String])]
-      val labelCands = mutable.ArrayBuffer.empty[(Long, Int, String)] // (parentSeq, linkIdx, label)
-
-      ordered.foreach { e =>
-        // O8: error class of this fetch — classed mode distinguishes
-        // network (no page) from server (page present, erroring status)
-        val status = pageStatus match {
-          case Some(m) =>
-            if (!pages.contains(e.canon)) "network" else m.getOrElse(e.canon, "ok")
-          case None => if (!pages.contains(e.canon)) "default" else "ok"
+        val ordered = scheduledEntries.sortBy(e => (e.priority, e.seq))
+        ordered.zipWithIndex.foreach { case (e, r) =>
+          schedule += Scheduled(w, r.toLong, e.priority, e.seq, e.host, e.canon, e.depth)
         }
-        if (status != "ok") {
-            applied -= 1 // error refund
-            e.errorTimes += 1
-            val (limit, ignore) = status match {
-              case "default" => (settings.retries, false)
-              case "network" => (settings.networkRetries, settings.networkIgnore)
-              case _         => (settings.serverRetries, settings.serverIgnore)
-            }
-            if (limit < 0 || e.errorTimes <= limit) retries += e
-            else {
-              // exhausted: server/default pack an error record whether
-              // ignored or not (_pack_error precedes the ignore branch,
-              // executor.py:494-502); network never packs (pack=False)
-              // but a non-ignored network exhaustion gets a terminal row
-              val reason = status match {
-                case "default" => "fetch_miss"
-                case s         => s + "_error" + (if (ignore) "_ignored" else "")
+
+        val scheduledSet = ordered.map(_.canon).toSet
+        val leftover = frontier.filterNot(e => scheduledSet.contains(e.canon))
+        val retries = mutable.ArrayBuffer.empty[Entry]
+        // bundles that had a non-ignored exhaustion this wave — the whole
+        // bundle fails (UnitRetryFailed, executor.py:503-506): its
+        // surviving rows leave the frontier at wave end
+        val poisoned = mutable.Set.empty[String]
+        // (parentSeq, linkIdx, memberIdx, rawUrl, bundle) — memberIdx 0 = plain link
+        val candidates = mutable.ArrayBuffer.empty[(Long, Int, Int, String, Option[String])]
+        val labelCands = mutable.ArrayBuffer.empty[(Long, Int, String)] // (parentSeq, linkIdx, label)
+
+        ordered.foreach { e =>
+          // O8: error class of this fetch — classed mode distinguishes
+          // network (no page) from server (page present, erroring status)
+          val status = pageStatus match {
+            case Some(m) =>
+              if (!pages.contains(e.canon)) "network" else m.getOrElse(e.canon, "ok")
+            case None => if (!pages.contains(e.canon)) "default" else "ok"
+          }
+          if (status != "ok") {
+              applied -= 1 // error refund
+              e.errorTimes += 1
+              val (limit, ignore, span) = status match {
+                case "default" => (settings.retries, false, settings.retrySpanWaves)
+                case "network" => (settings.networkRetries, settings.networkIgnore,
+                  settings.networkSpanWaves)
+                case _         => (settings.serverRetries, settings.serverIgnore,
+                  settings.serverSpanWaves)
               }
-              if (status != "network" || !ignore) dead += ((e.canon, reason))
-              if (!ignore) e.bundle.foreach(poisoned += _)
-            }
-        } else pages.get(e.canon).foreach { html =>
-            finished += 1
-            if (!incQueue.contains(e.canon)) incQueue += e.canon -> e.url
-            // P2: only link-following parsers feed the frontier; dispatch
-            // on the raw url like the engine (executor.py:415)
-            if (parserOf(e.url).exists(followsLinks)) {
-              Extract.extractOutlinks(html, e.canon).zipWithIndex.foreach { case (out, li) =>
-                if (accepts(out)) {
-                  labelOf(out) match {
-                    case Some(label) => labelCands += ((e.seq, li, label))
-                    case None =>
-                      val canon = UrlCanon.canonicalize(out)
-                      if (canon != e.canon) candidates += ((e.seq, li, 0, out, None))
+              if (limit < 0 || e.errorTimes <= limit) {
+                e.eligibleWave = w + span // O8 span ≙ wave-delay
+                retries += e
+              }
+              else {
+                // exhausted: server/default pack an error record whether
+                // ignored or not (_pack_error precedes the ignore branch,
+                // executor.py:494-502); network never packs (pack=False)
+                // but a non-ignored network exhaustion gets a terminal row
+                val reason = status match {
+                  case "default" => "fetch_miss"
+                  case s         => s + "_error" + (if (ignore) "_ignored" else "")
+                }
+                if (status != "network" || !ignore) dead += ((e.canon, reason))
+                if (!ignore) e.bundle.foreach(poisoned += _)
+              }
+          } else pages.get(e.canon).foreach { html =>
+              finished += 1
+              if (!incQueue.contains(e.canon)) incQueue += e.canon -> e.url
+              // P2: only link-following parsers feed the frontier; dispatch
+              // on the raw url like the engine (executor.py:415)
+              if (parserOf(e.url).exists(followsLinks)) {
+                Extract.extractOutlinks(html, e.canon).zipWithIndex.foreach { case (out, li) =>
+                  if (accepts(out)) {
+                    labelOf(out) match {
+                      case Some(label) => labelCands += ((e.seq, li, label))
+                      case None =>
+                        val canon = UrlCanon.canonicalize(out)
+                        if (canon != e.canon) candidates += ((e.seq, li, 0, out, None))
+                    }
                   }
                 }
               }
-            }
+          }
         }
-      }
 
-      // F2/F3: label-seen gate (bundle://<label> in the same seen set),
-      // then fresh labels expand to member urls joining the candidates
-      settings.bundles.foreach { bs =>
-        labelCands.sortBy(c => (c._1, c._2)).foreach { case (pSeq, li, label) =>
-          val key = s"bundle://$label"
-          if (!seen.contains(key)) {
-            seen += key
-            bs.memberUrls(label).zipWithIndex.foreach { case (m, mi) =>
-              candidates += ((pSeq, li, mi + 1, m, Some(label)))
+        // F2/F3: label-seen gate (bundle://<label> in the same seen set),
+        // then fresh labels expand to member urls joining the candidates
+        settings.bundles.foreach { bs =>
+          labelCands.sortBy(c => (c._1, c._2)).foreach { case (pSeq, li, label) =>
+            val key = s"bundle://$label"
+            if (!seen.contains(key)) {
+              seen += key
+              bs.memberUrls(label).zipWithIndex.foreach { case (m, mi) =>
+                candidates += ((pSeq, li, mi + 1, m, Some(label)))
+              }
             }
           }
         }
-      }
 
-      // D1: in-batch first-seen then seen-set gate, discovery order
-      val fresh = mutable.ArrayBuffer.empty[Entry]
-      val parentDepth = ordered.map(e => e.seq -> e.depth).toMap
-      candidates.sortBy(c => (c._1, c._2, c._3)).foreach { case (pSeq, _, _, raw, label) =>
-        val canon = UrlCanon.canonicalize(raw)
-        if (!seen.contains(canon)) {
-          seen += canon
-          fresh += Entry(raw, canon, UrlCanon.host(canon), clamp(priorityOf(canon)),
-            parentDepth(pSeq) + 1, waveBase(w) + fresh.length, 0, label)
+        // D1: in-batch first-seen then seen-set gate, discovery order
+        val fresh = mutable.ArrayBuffer.empty[Entry]
+        val parentDepth = ordered.map(e => e.seq -> e.depth).toMap
+        candidates.sortBy(c => (c._1, c._2, c._3)).foreach { case (pSeq, _, _, raw, label) =>
+          val canon = UrlCanon.canonicalize(raw)
+          if (!seen.contains(canon)) {
+            seen += canon
+            fresh += Entry(raw, canon, UrlCanon.host(canon), clamp(priorityOf(canon)),
+              parentDepth(pSeq) + 1, waveBase(w) + fresh.length, 0, label)
+          }
         }
-      }
-      // poisoned bundles: surviving rows leave the frontier, recorded as
-      // blocked. One-wave removal is complete — the label is seen, so no
-      // member of a failed bundle can be re-admitted later.
-      val (blocked, surviving) = (leftover ++ retries ++ fresh)
-        .partition(e => e.bundle.exists(poisoned))
-      blocked.foreach(e => dead += ((e.canon, "bundle_blocked")))
-      frontier = surviving
-      // O9 automated re-crawl: frontier drained with budget left → one
-      // pass over the inc store (first-finish FIFO), lowest priority,
-      // bypassing the seen gate (put_inc force=True, node.py:181-184)
-      if (frontier.isEmpty && settings.inc && incPassesLeft > 0 &&
-          (settings.size < 0 || settings.size - applied > 0)) {
-        incQueue.zipWithIndex.foreach { case ((canon, raw), i) =>
-          frontier += Entry(raw, canon, UrlCanon.host(canon),
-            settings.nPriorities - 1, 0, waveBase(w) + i, 0)
+        // poisoned bundles: surviving rows leave the frontier, recorded as
+        // blocked. One-wave removal is complete — the label is seen, so no
+        // member of a failed bundle can be re-admitted later.
+        val (blocked, surviving) = (leftover ++ retries ++ fresh)
+          .partition(e => e.bundle.exists(poisoned))
+        blocked.foreach(e => dead += ((e.canon, "bundle_blocked")))
+        frontier = surviving
+        // O9 automated re-crawl: frontier drained with budget left → one
+        // pass over the inc store (first-finish FIFO), lowest priority,
+        // bypassing the seen gate (put_inc force=True, node.py:181-184)
+        if (frontier.isEmpty && settings.inc && incPassesLeft > 0 &&
+            (settings.size < 0 || settings.size - applied > 0)) {
+          incQueue.zipWithIndex.foreach { case ((canon, raw), i) =>
+            frontier += Entry(raw, canon, UrlCanon.host(canon),
+              settings.nPriorities - 1, 0, waveBase(w) + i, 0)
+          }
+          incPassesLeft -= 1
         }
-        incPassesLeft -= 1
-      }
-      wave = w
+        wave = w
+      } // else (non-idle wave)
     }
   }
 }
