@@ -261,6 +261,17 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"retry came back before its span: server=$isServer gap=$g")
     }
     assert(gaps.exists(_._1) && gaps.exists(!_._1), "both classes must retry")
+    // kill mid-delay and resume: eligible_wave is frontier state, so the
+    // resumed run must replay the remaining delays (and any uncommitted
+    // idle waves) deterministically
+    val partial = tmpDir("o8spanpartial")
+    new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V),
+      settings.copy(maxWaves = 4), partial).run(Fixtures.seeds(V))
+    val resumed = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V),
+      settings, partial)
+    resumed.run(Fixtures.seeds(V))
+    assert(scheduleTuples(resumed) == scheduleTuples(job),
+      "resume through a retry delay diverged")
   }
 
   test("O7 adaptive throttling: budget decays to min fetched before banned waves") {
