@@ -261,18 +261,28 @@ object Politeness {
     eligible.filter(keep)
   }
 
-  /** One wave's schedule: the full O1/O3/O4/O6 pipeline. */
+  /** One wave's schedule: the full O1/O3/O4/O6 pipeline.
+   *
+   *  `inputUpperBound`: any driver-known bound on `candidates`' row count
+   *  (e.g. the frontier size the wave loop already tracks). When even the
+   *  SMALLEST per-priority quota covers that many rows, no quota can bind
+   *  — the histogram pass of [[applyQuotas]] (one aggregate + driver
+   *  collect per wave) is skipped with provably identical output. The
+   *  common regime at scale: an effectively unbudgeted crawl where the
+   *  wave cap exceeds the frontier. */
   def schedule(
       candidates: DataFrame,
       hostBudget: Int,
       grant: Long,
       nPriorities: Int,
-      salts: Int = 1): DataFrame = {
+      salts: Int = 1,
+      inputUpperBound: Long = Long.MaxValue): DataFrame = {
     if (grant <= 0) return candidates.limit(0)
     val clamped = candidates.withColumn("priority", clampPriority(col("priority"), nPriorities))
     val eligible =
       if (salts <= 1) hostEligible(clamped, hostBudget)
       else hostEligibleAdaptive(clamped, hostBudget, salts)
-    applyQuotas(eligible, grant, nPriorities)
+    if (priorityQuotas(grant, nPriorities).min >= inputUpperBound) eligible
+    else applyQuotas(eligible, grant, nPriorities)
   }
 }

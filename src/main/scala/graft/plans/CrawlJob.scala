@@ -296,9 +296,11 @@ class CrawlJob(
       // url string), computed once into the persisted wave frame.
       // O8 span: rows inside their per-class retry delay are withheld
       // from scheduling this wave (cheap filter over the cached frontier)
+      // frontierSize bounds the filtered input, letting schedule() skip
+      // the quota histogram job when no per-priority quota can bind
       val scheduled = Politeness.schedule(
         frontier.filter(col("eligible_wave") <= w), settings.hostBudget, grant,
-        settings.nPriorities, settings.salts)
+        settings.nPriorities, settings.salts, inputUpperBound = frontierSize)
         .withColumn("parser_id", ParserDispatch.parserId(col("url"), parserRules))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the rank pass doubles as the nScheduled count and the cache build

@@ -168,6 +168,27 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("host", "priority", "seq").collect().map(_.toSeq).toSet == plain)
   }
 
+  test("schedule with a driver-known input bound skips quotas with identical output") {
+    import graft.operators.Politeness
+    val cands = FrontierBenchLike.skewed(spark, 1300)
+    val n = cands.count()
+    // grant large enough that even the smallest 2^-i quota covers the
+    // whole input: the bound proves no quota binds, the histogram pass
+    // is skipped, and the output must be row-identical to the full path
+    val bigGrant = n * 8 // min quota at 3 priorities ≈ grant/7 ≥ n
+    val full = Politeness.schedule(cands, 5, bigGrant, 3)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    val skipped = Politeness.schedule(cands, 5, bigGrant, 3, inputUpperBound = n)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    assert(skipped == full)
+    // a binding grant with the same bound must NOT skip: quotas still apply
+    val bound = Politeness.schedule(cands, 5, 40, 3, inputUpperBound = n)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    val boundFull = Politeness.schedule(cands, 5, 40, 3)
+      .select("host", "priority", "seq").collect().map(_.toSeq).toSet
+    assert(bound == boundFull && bound.size <= 40)
+  }
+
   test("O8 per-error-class retry: mixed network/server errors match the simulator") {
     // classed mode: pages with fetch_status — id%13==5 pages error
     // server-side (retries=0 → dead on first failure), missing link
