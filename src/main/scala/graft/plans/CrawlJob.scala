@@ -392,7 +392,17 @@ class CrawlJob(
             sum(when(col("ok"), 0L).otherwise(1L)).as("errors"),
             sum(when(retriableCol, 1L).otherwise(0L)).as("retries"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        processed.count() // materialize: html traversed exactly once
+        // materialize: html traversed exactly once, building the cache.
+        // With the inc queue on, the O9 write IS the materializing action
+        // (the wave Observation sits below its `ok` filter, so the write
+        // fires it over every processed row) — one job instead of a
+        // count + a write. An all-error wave then writes an empty inc
+        // file, the same one-job cost the count would have paid.
+        val success = processed.filter(col("ok"))
+        if (settings.inc)
+          ckpt.write(success.select(col("url"), col("url_canon"),
+            lit(w).as("wave"), col("priority"), col("seq")), w, "inc")
+        else processed.count()
         // pages-unique contract check, free via the wave Observation: the
         // left join returns exactly one row per scheduled url iff `pages`
         // is unique per url — duplicate page rows would silently multiply
@@ -448,10 +458,6 @@ class CrawlJob(
           .select(lit(w).as("wave"), col("url_canon"), col("host"), col("error_times"),
             reasonCol.as("reason"), col("__ehtml").as("content"))
 
-        val success = processed.filter(col("ok"))
-        if (settings.inc && nSuccess > 0) // O9: finished units feed the inc queue
-          ckpt.write(success.select(col("url"), col("url_canon"),
-            lit(w).as("wave"), col("priority"), col("seq")), w, "inc")
         counters.add("budget", "applied", nScheduled)
         counters.add("budget", "finishes", nSuccess)
         counters.add("budget", "errors", nErrors)
@@ -521,6 +527,11 @@ class CrawlJob(
             plain.unionByName(members.select(plain.columns.map(col).toSeq: _*))
         }).persist(StorageLevel.MEMORY_AND_DISK)
 
+        // the count is ALSO the cache build, deliberately serialized
+        // before the dedup gate: the gate's union plan scans candidates
+        // from two subtrees (in-batch window + force branch), and a
+        // lazily-built cache would let their concurrent tasks race and
+        // compute the enrich UDFs per partition twice
         val nCandidates = candidates.count()
         if (freshLabels != null) nLabels = freshLabels.count() // cached, cheap
 
