@@ -143,7 +143,17 @@ object TextDedup {
   def jaccardForPairs(cand0: DataFrame, sh: DataFrame, minJaccardMilli: Int): DataFrame = {
     val cand = cand0.select(col("a"), col("b")).distinct()
     val candIds = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
+    // shc feeds three differently-shaped consumers (sizes aggregate,
+    // a-side expansion, b-side probe) — no shared exchange for
+    // ReuseExchange, so uncached it would recompute the corpus semi-join
+    // three times. It is bounded by the candidate docs' shingles (output-
+    // proportional, tiny next to the corpus), so persisting is scale-safe.
     val shc = sh.join(candIds, Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shc.count() // serialize the cache build: the consumers' stages are
+    // independent (Spark runs them concurrently) and would race a lazy
+    // cache into duplicate semi-join computes. Cache stays for the lazy
+    // result's lifetime (bounded, LRU-evictable).
     val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val aShingles = cand.join(shc.withColumnRenamed("id", "a"), Seq("a"))
     val inter = aShingles
