@@ -95,6 +95,19 @@ case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
  * (nextSizeBase) counts one fetch per scheduled url. The invariant is
  * asserted every wave at zero cost via the wave Observation (see run()).
  */
+object CrawlJob {
+  /** Shared pool for a wave's tail output writes (see run()): Spark
+   *  DataFrame actions are thread-safe against one session, and the
+   *  futures only ever read frames whose caches the wave thread already
+   *  built. Daemon threads — the pool must never hold the JVM open. */
+  private[plans] lazy val waveWriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-wave-write"); t.setDaemon(true); t
+        }))
+}
+
 class CrawlJob(
     spark: SparkSession,
     pages: DataFrame,
@@ -325,6 +338,13 @@ class CrawlJob(
         val scheduleTable = ranked
           .select(lit(w).as("wave"), col("rank"), col("priority"), col("seq"),
             col("host"), col("url_canon"), col("depth"))
+        // the schedule output reads only the cached `scheduled` frame plus
+        // the collected rank offsets — independent of everything after it,
+        // so its write job overlaps the fetch/extract pass instead of
+        // serializing behind it (awaited with the wave tail before commit)
+        val fSchedule = scala.concurrent.Future {
+          ckpt.write(scheduleTable, w, "schedule")
+        }(CrawlJob.waveWriteEc)
 
         // ---- "fetch" = join pages (J6/S2: html column IS the fetch result),
         //      then ONE pass over html computes extraction + outlinks + the
@@ -604,7 +624,6 @@ class CrawlJob(
         val lineage = perPartitionLineage(candidates, w, "candidates")
           .unionByName(perPartitionLineage(newEntries, w, "admitted"))
           .unionByName(perPartitionLineage(scheduled, w, "scheduled"))
-        ckpt.write(scheduleTable, w, "schedule")
         // seen delta = new frontier urls ∪ fresh bundle labels (both gate
         // future discoveries; labels must also reach the blooms or the
         // "definitely new" shortcut would readmit a seen label)
@@ -613,14 +632,11 @@ class CrawlJob(
             newEntries.select(col("url_hash"), col("url_canon"))
               .unionByName(freshLabels.select(col("url_hash"), col("url_canon")))
           else newEntries.select(col("url_hash"), col("url_canon"))
-        if (nNew + nLabels > 0) {
-          ckpt.writeBucketed(seenDelta, w, "seen")
-          // fold the delta into the per-bucket bloom files BEFORE the wave
-          // manifest commits: a crash in between leaves a filter that
-          // over-approximates the committed seen set (harmless false
-          // "maybe"), never one missing committed urls (BloomStore rule)
-          bloomStore.foreach(_.writeDelta(seenDelta, w))
-        }
+        // the seen write runs on the wave thread FIRST: it is the action
+        // that builds the newEntries cache, which every tail write below
+        // reads — racing the cache build would recompute the dedup subtree
+        // per consumer
+        if (nNew + nLabels > 0) ckpt.writeBucketed(seenDelta, w, "seen")
 
         // exact arithmetic: scheduled ⊆ frontier and the frontier is unique
         // per url_canon, so the leftover anti-join removes exactly
@@ -644,8 +660,27 @@ class CrawlJob(
           counters.add("inc", "reseeded", nIncSeeded)
         }
 
-        ckpt.writeBucketed(frontierOut, w, "frontier")
-        ckpt.write(lineage, w, "lineage")
+        // ---- wave-tail outputs: independent jobs over cached frames,
+        // submitted concurrently (a real cluster likewise runs independent
+        // output jobs from one driver at once; on the local
+        // driver-latency-bound path each serialized job costs a scheduler
+        // round trip). All are awaited before the manifest commits — the
+        // wave-atomic commit rule is unchanged. The bloom delta folds in
+        // BEFORE the commit: a crash in between leaves a filter that
+        // over-approximates the committed seen set (harmless false
+        // "maybe"), never one missing committed urls (BloomStore rule).
+        val tailWrites = Seq(
+          fSchedule,
+          scala.concurrent.Future {
+            if (nNew + nLabels > 0) bloomStore.foreach(_.writeDelta(seenDelta, w))
+          }(CrawlJob.waveWriteEc),
+          scala.concurrent.Future {
+            ckpt.writeBucketed(frontierOut, w, "frontier")
+          }(CrawlJob.waveWriteEc),
+          scala.concurrent.Future {
+            ckpt.write(lineage, w, "lineage")
+          }(CrawlJob.waveWriteEc))
+        tailWrites.foreach(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
 
         frontier.unpersist()
         frontier = ckpt.readBucketedWave("frontier", w)

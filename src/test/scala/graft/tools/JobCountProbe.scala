@@ -18,11 +18,18 @@ object JobCountProbe {
         sites.merge(site, 1, (a, b) => a + b)
       }
     })
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    val reps = sys.env.getOrElse("PROBE_REPS", "1").toInt
+    var n = 0L
+    val times = (1 to reps).map { r =>
+      if (r == reps) sites.clear() // histogram reflects the last (warm) rep
+      val t0 = System.nanoTime()
+      n = SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     Thread.sleep(500)
     import scala.jdk.CollectionConverters._
     val total = sites.values.asScala.map(_.toInt).sum
-    println(s"== $name rows=$n totalJobs=$total")
+    println(f"== $name rows=$n totalJobs=$total min=${times.min}%.2fs all=${times.map(t => f"$t%.2f").mkString(",")}")
     sites.asScala.toSeq.sortBy(-_._2).foreach { case (s, c) => println(f"$c%4d  $s") }
     spark.stop()
   }
