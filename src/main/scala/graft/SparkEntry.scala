@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
-import graft.operators.{Dedup, Multimodal, Politeness, Robots, Similarity, TextDedup}
+import graft.operators.{Corpus, Dedup, Multimodal, Politeness, Robots, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.Fixtures
 
@@ -257,6 +257,45 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // the end-to-end cleaning pipeline a training-data job ships, in the
+    // canonical order: exact-dedup collapse (planted byte-copies) →
+    // near-dup cluster collapse (MinHash-LSH + connected components) →
+    // quality + language gates. Every stage is individually oracled
+    // above; this query proves the COMPOSITION cross-engine
+    "corpus_clean" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val planted = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val uniq = planted.join(
+        TextDedup.exact(planted, "text", "doc_id").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val pairs = TextDedup.minhashLshDuplicates(uniq, "text", "doc_id")
+      val comps = TextDedup.duplicateClusters(pairs.select(col("a"), col("b")))
+      val survivors = uniq.join(
+        comps.filter(col("comp") =!= col("id")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      survivors
+        .filter(TextStats.qualityKeep(col("text")) && TextStats.langId(col("text")) =!= "und")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
+    // deterministic stratified sampling: k docs per language by keyed
+    // md5 order (WindowGroupLimit partial top-k per mapper — a giant
+    // stratum never materializes more than k rows per task)
+    "sample_stratified" -> ((s, d) =>
+      Corpus.sampleStratified(
+          s.read.parquet(s"$d/documents.parquet"), "lang", "doc_id", 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))),
+
+    // token-budget shard packing: distributed prefix sum (dense-seq
+    // pattern — per-partition sums + scanLeft offsets, never a
+    // single-partition global window)
+    "shard_pack" -> ((s, d) =>
+      Corpus.packShards(
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), TextStats.tokenCount(col("text")).as("nt")),
+        "doc_id", "nt", budget = 2000L)),
+
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
@@ -486,44 +525,9 @@ object SparkEntry {
             CAST(len(regexp_extract_all(text, '$BpeishRe2')) AS BIGINT) AS n_bpeish
           FROM documents""",
 
-    "text_lang_id" ->
-      s"""SELECT doc_id,
-            CASE WHEN gmax > 0 AND czh = gmax THEN 'zh'
-                 WHEN gmax > 0 AND cen = gmax THEN 'en'
-                 WHEN gmax > 0 AND ces = gmax THEN 'es'
-                 WHEN gmax > 0 AND cde = gmax THEN 'de'
-                 WHEN gmax > 0 AND cfr = gmax THEN 'fr'
-                 ELSE 'und' END AS lang_pred
-          FROM (SELECT doc_id, czh, cen, ces, cde, cfr,
-                       greatest(czh, cen, ces, cde, cfr) AS gmax
-                FROM (SELECT doc_id,
-                        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS czh,
-                        len(regexp_extract_all(text, '\\b(the|and|of|is|to|in|that|it|for|was)\\b')) AS cen,
-                        len(regexp_extract_all(text, '\\b(el|los|las|es|y|de|que|la|en|un)\\b')) AS ces,
-                        len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht|ein|zu|den|mit)\\b')) AS cde,
-                        len(regexp_extract_all(text, '\\b(le|la|les|et|est|ne|pas|des|une|du)\\b')) AS cfr
-                      FROM documents) c) g""",
+    "text_lang_id" -> langPredSql("documents"),
 
-    "text_quality" ->
-      s"""SELECT doc_id, n_tokens,
-            CASE WHEN n_tokens > 0
-                 THEN CAST(floor(1000.0 * (chars - (n_tokens - 1)) / n_tokens) AS BIGINT)
-                 ELSE 0 END AS mean_token_len_milli,
-            CASE WHEN chars > 0 THEN CAST(floor(1000.0 * punct / chars) AS BIGINT) ELSE 0 END AS punct_per_mille,
-            CASE WHEN n_tokens > 0 THEN CAST(floor(1000.0 * stop / n_tokens) AS BIGINT) ELSE 0 END AS stopword_per_mille,
-            CASE WHEN chars > 0 THEN CAST(floor(1000.0 * upper / chars) AS BIGINT) ELSE 0 END AS upper_per_mille,
-            (n_tokens >= 10 AND n_tokens <= 100000
-             AND (CASE WHEN chars > 0 THEN CAST(floor(1000.0 * upper / chars) AS BIGINT) ELSE 0 END) < 500
-             AND (CASE WHEN n_tokens > 0
-                       THEN CAST(floor(1000.0 * (chars - (n_tokens - 1)) / n_tokens) AS BIGINT)
-                       ELSE 0 END) BETWEEN 1500 AND 20000) AS keep
-          FROM (SELECT doc_id, length(text) AS chars,
-                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
-                  len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS punct,
-                  len(regexp_extract_all(text, '\\b(the|and|of|is|to|a|in|that|it|for)\\b')) AS stop,
-                  len(regexp_extract_all(text, '[A-Z]')) AS upper
-                FROM documents) t""",
+    "text_quality" -> qualitySql("documents"),
 
     "dedup_exact_text" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -537,6 +541,53 @@ object SparkEntry {
     "dedup_survivors" -> survivorsOracle(800),
 
     "dedup_ngram_jaccard" -> jaccardOracle(500),
+
+    // the composed cleaning pipeline: planted exact copies collapse to
+    // min-id reps, the recursive closure over the exact Jaccard-≥0.8
+    // pair set drops non-representative near-dup members, then the
+    // quality + language gates (each individually oracled) filter
+    "corpus_clean" ->
+      s"""WITH RECURSIVE planted AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents),
+          exact AS (SELECT min(doc_id) AS doc_id FROM planted GROUP BY text),
+          uniq AS (SELECT doc_id, text FROM planted
+                   WHERE doc_id IN (SELECT doc_id FROM exact)),
+          ${jaccardCtes(800, "uniq")},
+          edges AS (SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs),
+          reach(id, comp) AS (
+            SELECT a AS id, a AS comp FROM edges
+            UNION
+            SELECT e.a AS id, r.comp FROM edges e JOIN reach r ON r.id = e.b),
+          comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+          survivors AS (SELECT doc_id, text FROM uniq
+                        WHERE doc_id NOT IN (SELECT id FROM comps WHERE comp <> id)),
+          q AS (${qualitySql("survivors")}),
+          l AS (${langPredSql("survivors")})
+          SELECT s.doc_id, l.lang_pred, q.n_tokens
+          FROM survivors s JOIN q USING (doc_id) JOIN l USING (doc_id)
+          WHERE q.keep AND l.lang_pred <> 'und'""",
+
+    // keyed-md5 stratified sample: identical hash, identical order
+    "sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', lang)), doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 20""",
+
+    // shard = exclusive-prefix-sum(tokens) // budget in doc_id order;
+    // the window cumsum the engine deliberately avoids at scale is
+    // exactly right for the single-node oracle
+    "shard_pack" ->
+      s"""SELECT doc_id, n_tokens,
+            CAST(COALESCE(cum, 0) // 2000 AS BIGINT) AS shard
+          FROM (SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+                FROM (SELECT doc_id, ${tokenCountSql("text")} AS n_tokens
+                      FROM documents) t) w""",
 
     "dedup_simhash" -> simhashOracle,
 
@@ -681,12 +732,61 @@ object SparkEntry {
         WHERE dist <= 3"""
   }
 
-  /** Shared CTE block computing the exact shingle-Jaccard pair set. */
-  private def jaccardCtes(minMilli: Int): String =
+  /** Language-ID oracle (replays TextStats.langId) over `src` (a table or
+    * prior CTE with doc_id, text). */
+  private def langPredSql(src: String): String =
+    s"""SELECT doc_id,
+          CASE WHEN gmax > 0 AND czh = gmax THEN 'zh'
+               WHEN gmax > 0 AND cen = gmax THEN 'en'
+               WHEN gmax > 0 AND ces = gmax THEN 'es'
+               WHEN gmax > 0 AND cde = gmax THEN 'de'
+               WHEN gmax > 0 AND cfr = gmax THEN 'fr'
+               ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, czh, cen, ces, cde, cfr,
+                     greatest(czh, cen, ces, cde, cfr) AS gmax
+              FROM (SELECT doc_id,
+                      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS czh,
+                      len(regexp_extract_all(text, '\\b(the|and|of|is|to|in|that|it|for|was)\\b')) AS cen,
+                      len(regexp_extract_all(text, '\\b(el|los|las|es|y|de|que|la|en|un)\\b')) AS ces,
+                      len(regexp_extract_all(text, '\\b(der|die|das|und|ist|nicht|ein|zu|den|mit)\\b')) AS cde,
+                      len(regexp_extract_all(text, '\\b(le|la|les|et|est|ne|pas|des|une|du)\\b')) AS cfr
+                    FROM $src) c) g"""
+
+  /** Quality-signals oracle (replays TextStats.qualitySignals/Keep) over
+    * `src` (a table or prior CTE with doc_id, text). */
+  private def qualitySql(src: String): String =
+    s"""SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens > 0
+               THEN CAST(floor(1000.0 * (chars - (n_tokens - 1)) / n_tokens) AS BIGINT)
+               ELSE 0 END AS mean_token_len_milli,
+          CASE WHEN chars > 0 THEN CAST(floor(1000.0 * punct / chars) AS BIGINT) ELSE 0 END AS punct_per_mille,
+          CASE WHEN n_tokens > 0 THEN CAST(floor(1000.0 * stop / n_tokens) AS BIGINT) ELSE 0 END AS stopword_per_mille,
+          CASE WHEN chars > 0 THEN CAST(floor(1000.0 * upper / chars) AS BIGINT) ELSE 0 END AS upper_per_mille,
+          (n_tokens >= 10 AND n_tokens <= 100000
+           AND (CASE WHEN chars > 0 THEN CAST(floor(1000.0 * upper / chars) AS BIGINT) ELSE 0 END) < 500
+           AND (CASE WHEN n_tokens > 0
+                     THEN CAST(floor(1000.0 * (chars - (n_tokens - 1)) / n_tokens) AS BIGINT)
+                     ELSE 0 END) BETWEEN 1500 AND 20000) AS keep
+        FROM (SELECT doc_id, length(text) AS chars,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS punct,
+                len(regexp_extract_all(text, '\\b(the|and|of|is|to|a|in|that|it|for)\\b')) AS stop,
+                len(regexp_extract_all(text, '[A-Z]')) AS upper
+              FROM $src) t"""
+
+  /** The whitespace token-count expression (replays TextStats.tokenCount). */
+  private def tokenCountSql(textExpr: String): String =
+    s"""CAST(CASE WHEN length(trim($textExpr)) = 0 THEN 0
+         ELSE len(string_split_regex(trim($textExpr), '\\s+')) END AS BIGINT)"""
+
+  /** Shared CTE block computing the exact shingle-Jaccard pair set over
+    * `src` (a table or prior CTE with doc_id, text). */
+  private def jaccardCtes(minMilli: Int, src: String = "documents"): String =
     s"""sh AS (
           SELECT DISTINCT doc_id,
                  unnest([array_to_string(w[i:i+2], ' ') FOR i IN generate_series(1, len(w)-2)]) AS shingle
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents) ws
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src) ws
           WHERE len(w) >= 3),
         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/**
+ * Corpus-assembly operators for training-data pipelines: deterministic
+ * stratified sampling and token-budget shard packing. Both are pure
+ * functions of the input rows — identical output at any parallelism —
+ * so they cross-check exactly against a single-node SQL oracle.
+ */
+object Corpus {
+
+  /** Deterministic stratified sample: the k lexicographically-first docs
+   *  per stratum by `md5(id ':' stratum)` — a keyed pseudo-random order
+   *  that any engine reproduces exactly (no RNG state, no seed plumbing).
+   *
+   *  Scale: the `row_number <= k` filter compiles to WindowGroupLimit,
+   *  so each mapper keeps only its local top-k per stratum before the
+   *  single per-stratum exchange — the same partial-limit shape as the
+   *  politeness top-k (BENCH/PLANS.md §3); a giant stratum never
+   *  materializes more than k rows per task. Output = input columns +
+   *  `sample_rank` (1-based within stratum). */
+  def sampleStratified(df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    df.withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":"), col(strataCol))))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol)))
+          .cast(LongType))
+      .filter(col("sample_rank") <= k)
+      .drop("__h")
+  }
+
+  /** Token-budget shard packing: documents in `idCol` order are laid out
+   *  contiguously and cut into shards of ~`budget` tokens each —
+   *  `shard = floor(exclusivePrefixSum(tokens) / budget)`. A document
+   *  starts a new shard exactly when the tokens before it cross a budget
+   *  multiple, so every shard's total lands within one document of the
+   *  budget, and the assignment is a pure function of the sorted prefix
+   *  sums (identical at any parallelism).
+   *
+   *  A window cumsum over an empty partition spec would single-task the
+   *  corpus; this is the engine's dense-seq pattern (CrawlJob.withDenseSeq)
+   *  with a running-sum payload: sort by id (range exchange), one
+   *  per-partition pass gives the driver P partial sums (bounded: one
+   *  Long per partition), scanLeft turns them into exact global offsets,
+   *  and a second partition-local pass assigns shards at the InternalRow
+   *  level (no external-Row boxing). Output: (idCol, n_tokens, shard). */
+  def packShards(df: DataFrame, idCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"shard budget must be positive: $budget")
+    val spark = df.sparkSession
+    val sorted = df.select(col(idCol),
+        coalesce(col(tokensCol).cast(LongType), lit(0L)).as("n_tokens"))
+      .orderBy(col(idCol))
+    val schema = sorted.schema.add("shard", LongType, nullable = false)
+    val rdd0 = sorted.queryExecution.toRdd
+    val sums = rdd0.mapPartitions { it =>
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(1)
+      Iterator.single(s)
+    }.collect() // bounded driver state: one Long per partition
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (p, it) =>
+      val joined = new JoinedRow()
+      val shardRow = new GenericInternalRow(1)
+      var run = offsets(p)
+      it.map { r =>
+        shardRow.update(0, run / budget)
+        run += r.getLong(1)
+        joined(r, shardRow): InternalRow
+      }
+    }
+    ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
+  }
+}

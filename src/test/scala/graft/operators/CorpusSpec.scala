@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 120 docs over 3 strata with deterministic token counts 1..40. */
+  private def corpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 120L).toSeq.map { i =>
+      val lang = Seq("en", "de", "zh")((i % 3).toInt)
+      (i, lang, (i % 40 + 1).toInt)
+    }.toDF("doc_id", "lang", "nt")
+  }
+
+  // ---- sampleStratified ----
+
+  test("stratified sample: exactly k per stratum, ranks dense from 1") {
+    val out = Corpus.sampleStratified(corpus, "lang", "doc_id", 7)
+    val perStratum = out.groupBy("lang").agg(
+      count(lit(1)).as("n"), min("sample_rank").as("lo"), max("sample_rank").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(perStratum.length == 3)
+    perStratum.foreach { case (_, n, lo, hi) => assert(n == 7 && lo == 1L && hi == 7L) }
+  }
+
+  test("stratified sample: k beyond stratum size returns the whole stratum") {
+    val out = Corpus.sampleStratified(corpus.filter(col("doc_id") < 5), "lang", "doc_id", 100)
+    assert(out.count() == 5)
+  }
+
+  test("stratified sample is partition-independent") {
+    val base = Corpus.sampleStratified(corpus, "lang", "doc_id", 7)
+      .select("doc_id", "lang", "sample_rank").collect().map(_.toSeq).toSet
+    val shuffled = Corpus.sampleStratified(corpus.repartition(13), "lang", "doc_id", 7)
+      .select("doc_id", "lang", "sample_rank").collect().map(_.toSeq).toSet
+    val single = Corpus.sampleStratified(corpus.coalesce(1), "lang", "doc_id", 7)
+      .select("doc_id", "lang", "sample_rank").collect().map(_.toSeq).toSet
+    assert(base == shuffled && base == single)
+  }
+
+  test("stratified sample plan keeps a partial top-k below the stratum exchange") {
+    // the rank<=k filter must compile to WindowGroupLimit so a mega-stratum
+    // never materializes more than k rows per mapper (same shape the
+    // politeness top-k is pinned to)
+    val plan = Corpus.sampleStratified(corpus, "lang", "doc_id", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  // ---- packShards ----
+
+  /** Sequential reference: exclusive prefix sum over doc_id order. */
+  private def packSeq(rows: Seq[(Long, Int)], budget: Long): Map[Long, (Long, Long)] = {
+    var run = 0L
+    rows.sortBy(_._1).map { case (id, t) =>
+      val shard = run / budget
+      run += t
+      id -> ((t.toLong, shard))
+    }.toMap
+  }
+
+  test("packShards matches the sequential prefix-sum packing") {
+    val expected = packSeq((0L until 120L).map(i => (i, (i % 40 + 1).toInt)), 100L)
+    val got = Corpus.packShards(corpus, "doc_id", "nt", 100L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("packShards is partition-independent") {
+    val base = Corpus.packShards(corpus, "doc_id", "nt", 100L)
+      .collect().map(_.toSeq).toSet
+    val shuffled = Corpus.packShards(corpus.repartition(17), "doc_id", "nt", 100L)
+      .collect().map(_.toSeq).toSet
+    assert(base == shuffled)
+  }
+
+  test("packShards: every shard total is within one doc of the budget") {
+    val budget = 100L
+    val totals = Corpus.packShards(corpus, "doc_id", "nt", budget)
+      .groupBy("shard").agg(sum("n_tokens").as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxShard = totals.keys.max
+    // shards are contiguous 0..max; all but the last hold >= budget - maxDoc
+    assert(totals.keySet == (0L to maxShard).toSet)
+    val maxDoc = 40L
+    totals.foreach { case (s, tot) =>
+      assert(tot < budget + maxDoc, s"shard $s overfull: $tot")
+      if (s < maxShard) assert(tot > budget - maxDoc, s"shard $s underfull: $tot")
+    }
+  }
+
+  test("packShards treats null token counts as zero") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, Some(5)), (1L, None), (2L, Some(7))).toDF("doc_id", "nt")
+    val got = Corpus.packShards(df, "doc_id", "nt", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 5L, 0L), (1L, 0L, 0L), (2L, 7L, 0L)))
+  }
+}
