@@ -223,6 +223,34 @@ object SparkEntry {
         TextStats.qualityKeep(col("text")).as("keep"): _*)
     }),
 
+    // repetition signals (the Gopher/RefinedWeb boilerplate filters) over
+    // docs with deterministically planted boilerplate lines — explode →
+    // (doc, token) partial agg → per-doc max, never an O(len²) scalar
+    "text_repetition" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val seeded = docs.withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter\nsubscribe to our newsletter"))
+          .otherwise(lit(""))))
+      TextStats.repetition(seeded, "t2", "doc_id")
+    }),
+
+    // PII detection + redaction over deterministically planted contacts;
+    // the redacted text is compared via md5 (cheap exact cross-engine)
+    "text_pii" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val seeded = docs.withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.1."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(lit(""))))
+      seeded.select(col("doc_id"),
+        TextStats.piiEmailCount(col("t2")).cast("long").as("n_emails"),
+        TextStats.piiIpv4Count(col("t2")).cast("long").as("n_ipv4"),
+        md5(TextStats.piiRedact(col("t2"))).as("redacted_md5"))
+    }),
+
     // exact dedup (hash-groupBy) over planted exact copies
     "dedup_exact_text" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
@@ -529,6 +557,59 @@ object SparkEntry {
 
     "text_quality" -> qualitySql("documents"),
 
+    // replays TextStats.repetition: duplicate-line / dup-line-chars /
+    // top-word / top-bigram fractions, integer per-mille
+    "text_repetition" ->
+      """WITH seeded AS (
+           SELECT doc_id, concat(text, CASE WHEN doc_id % 3 = 0
+             THEN chr(10) || 'subscribe to our newsletter' || chr(10) || 'subscribe to our newsletter'
+             ELSE '' END) AS t2 FROM documents),
+         lines AS (SELECT doc_id, trim(l) AS line FROM
+                     (SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM seeded) t
+                   WHERE length(trim(l)) > 0),
+         lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+         la AS (SELECT doc_id, count(*) AS uniq, sum(c) AS n_lines,
+                       sum(c * length(line)) AS line_chars,
+                       sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+                FROM lc GROUP BY 1),
+         words AS (SELECT doc_id, w FROM
+                     (SELECT doc_id, unnest(string_split_regex(trim(t2), '\s+')) AS w FROM seeded) t
+                   WHERE length(w) > 0),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+         wa AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_w FROM wc GROUP BY 1),
+         bgs AS (SELECT doc_id,
+                   unnest([array_to_string(w[i:i+1], ' ') FOR i IN generate_series(1, len(w)-1)]) AS bg
+                 FROM (SELECT doc_id, string_split_regex(trim(t2), '\s+') AS w FROM seeded) ws
+                 WHERE len(w) >= 2),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2),
+         ba AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM bc GROUP BY 1)
+         SELECT d.doc_id,
+           CASE WHEN COALESCE(n_lines, 0) > 0
+                THEN CAST(floor(1000.0 * (n_lines - uniq) / n_lines) AS BIGINT) ELSE 0 END AS dup_line_frac_milli,
+           CASE WHEN COALESCE(line_chars, 0) > 0
+                THEN CAST(floor(1000.0 * dup_chars / line_chars) AS BIGINT) ELSE 0 END AS dup_line_char_frac_milli,
+           CASE WHEN COALESCE(n_words, 0) > 0
+                THEN CAST(floor(1000.0 * top_w / n_words) AS BIGINT) ELSE 0 END AS top_word_frac_milli,
+           CASE WHEN COALESCE(n_bg, 0) > 0
+                THEN CAST(floor(1000.0 * top_bg / n_bg) AS BIGINT) ELSE 0 END AS top_bigram_frac_milli
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN la USING (doc_id) LEFT JOIN wa USING (doc_id) LEFT JOIN ba USING (doc_id)""",
+
+    // identical regexes (the java.regex ∩ RE2 agreement subset); DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "text_pii" ->
+      s"""WITH seeded AS (
+            SELECT doc_id, concat(text, CASE WHEN doc_id % 3 = 0
+              THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com via 10.1.', CAST(doc_id % 256 AS VARCHAR), '.7')
+              ELSE '' END) AS t2 FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+            md5(regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+                               '$Ipv4Re', '<IP>', 'g')) AS redacted_md5
+          FROM seeded""",
+
     "dedup_exact_text" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM (SELECT doc_id, text FROM documents
@@ -696,6 +777,10 @@ object SparkEntry {
                  FROM embeddings q, embeddings c
                  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) s) t
          WHERE rank <= 3""")
+
+  /** The PII patterns verbatim (already in the java.regex ∩ RE2 subset). */
+  private val EmailRe = TextStats.EmailPattern
+  private val Ipv4Re = TextStats.Ipv4Pattern
 
   /** RE2 spelling of TextStats.BpeishPattern (\uXXXX → \x{...}). */
   private val BpeishRe2 =

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -77,6 +77,73 @@ object TextStats {
       (sig("upper_per_mille") < 500) &&
       (sig("mean_token_len_milli") between (1500, 20000))
   }
+
+  /** floor(1000 * num / den), 0 when den is 0/null (exact cross-engine). */
+  private def milli(num: Column, den: Column): Column =
+    when(coalesce(den, lit(0L)) > 0, (lit(1000) * num / den).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Repetition signals (the Gopher/RefinedWeb boilerplate filters), all
+   *  integer per-mille: duplicate-line fraction, characters-in-duplicated-
+   *  lines fraction, top-word fraction, top-bigram fraction.
+   *
+   *  Deliberately a DataFrame op, not a scalar Column: a per-row
+   *  "count occurrences of every token inside the array" expression is
+   *  O(len²) per document — the explode → (doc, token) partial-agg →
+   *  per-doc max shape is linear, map-side combined, and keyed by doc_id
+   *  (uniform — no skew at any corpus size). Output: doc_id + 4 signals;
+   *  docs with no lines/words/bigrams get 0. */
+  def repetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val lineAgg = base
+      .select(col("doc_id"), explode(split(col("__text"), "\n")).as("l"))
+      .select(col("doc_id"), trim(col("l")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("uniq"),
+        sum("c").as("n_lines"),
+        sum(col("c") * length(col("line"))).as("line_chars"),
+        sum(when(col("c") > 1, col("c") * length(col("line")))
+          .otherwise(lit(0L))).as("dup_chars"))
+    val wordAgg = base
+      .select(col("doc_id"), explode(split(trim(col("__text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_words"), max("c").as("top_w"))
+    val bigramAgg = base
+      .select(col("doc_id"), split(trim(col("__text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bg"), max("c").as("top_bg"))
+    base.select(col("doc_id"))
+      .join(lineAgg, Seq("doc_id"), "left")
+      .join(wordAgg, Seq("doc_id"), "left")
+      .join(bigramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        milli(col("n_lines") - col("uniq"), col("n_lines")).as("dup_line_frac_milli"),
+        milli(col("dup_chars"), col("line_chars")).as("dup_line_char_frac_milli"),
+        milli(col("top_w"), col("n_words")).as("top_word_frac_milli"),
+        milli(col("top_bg"), col("n_bg")).as("top_bigram_frac_milli"))
+  }
+
+  /** PII patterns — the ASCII subset where java.util.regex and RE2 agree
+   *  exactly (identical strings run in the DuckDB oracle). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def piiIpv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+
+  /** PII redaction: emails first (so address-local digit runs never half-
+   *  match as IPs), then IPv4s — a fixed order both engines replay. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
 
   /** Rolling polynomial fingerprint of the token stream (order-sensitive,
    *  whitespace-normalized). Pure deterministic Scala — pinned by spec. */

@@ -38,6 +38,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((1, 1)))
   }
 
+  test("repetition signals match hand-computed fractions") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b\na b\nc d"), // dup line "a b" ×2
+      (2L, ""),
+      (3L, "x"))).toDF("doc_id", "text")
+    val out = TextStats.repetition(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: lines {a b:2, c d:1} → dup 1/3=333‰, dup chars 6/9=666‰;
+    // words [a,b,a,b,c,d] → top 2/6=333‰; bigrams [a b,b a,a b,b c,c d] → 2/5=400‰
+    assert(out(1L) == ((333L, 666L, 333L, 400L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 1000L, 0L)))
+  }
+
+  test("PII counts and redaction") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "write to bob@x.com or 10.0.0.1 now"),
+      (2L, "no pii here"),
+      (3L, "a@b is not an email; 1.2.3 is not an ip"))).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextStats.piiEmailCount(col("text")).as("e"),
+      TextStats.piiIpv4Count(col("text")).as("i"),
+      TextStats.piiRedact(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1, 1, "write to <EMAIL> or <IP> now")))
+    assert(out(2L) == ((0, 0, "no pii here")))
+    assert(out(3L) == ((0, 0, "a@b is not an email; 1.2.3 is not an ip")))
+  }
+
   test("langId picks the marker-dominant language, und for no markers") {
     val df = spark.createDataFrame(Seq(
       (1L, "the cat and the dog of the house is to go"),
