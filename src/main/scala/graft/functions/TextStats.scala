@@ -83,50 +83,64 @@ object TextStats {
     when(coalesce(den, lit(0L)) > 0, (lit(1000) * num / den).cast("long"))
       .otherwise(lit(0L))
 
+  /** Run statistics over a sorted string array, as one `aggregate` HOF
+   *  pass: equal values are adjacent after array_sort, so distinct count,
+   *  longest run, total chars, and chars-in-runs-of->1 all fall out of a
+   *  single linear scan with a struct accumulator — no explode, no
+   *  shuffle. `arr` must be a sorted array<string> expression. Fields:
+   *  total, uniq, maxrun, chars, dupchars. */
+  private def runStats(arr: String): String =
+    s"""aggregate($arr,
+         named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+                      'total', CAST(0 AS BIGINT), 'uniq', CAST(0 AS BIGINT),
+                      'maxrun', CAST(0 AS BIGINT), 'chars', CAST(0 AS BIGINT),
+                      'dupchars', CAST(0 AS BIGINT)),
+         (a, x) -> named_struct(
+           'prev', x,
+           'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, CAST(1 AS BIGINT)),
+           'total', a.total + 1,
+           'uniq', a.uniq + IF(a.prev IS NULL OR x != a.prev, 1, 0),
+           'maxrun', greatest(a.maxrun,
+             IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, CAST(1 AS BIGINT))),
+           'chars', a.chars + length(x),
+           'dupchars', a.dupchars + CASE
+             WHEN a.prev IS NOT NULL AND x = a.prev AND a.run = 1 THEN 2 * length(x)
+             WHEN a.prev IS NOT NULL AND x = a.prev THEN length(x)
+             ELSE CAST(0 AS BIGINT) END),
+         a -> named_struct('total', a.total, 'uniq', a.uniq, 'maxrun', a.maxrun,
+                           'chars', a.chars, 'dupchars', a.dupchars))"""
+
   /** Repetition signals (the Gopher/RefinedWeb boilerplate filters), all
    *  integer per-mille: duplicate-line fraction, characters-in-duplicated-
    *  lines fraction, top-word fraction, top-bigram fraction.
    *
-   *  Deliberately a DataFrame op, not a scalar Column: a per-row
-   *  "count occurrences of every token inside the array" expression is
-   *  O(len²) per document — the explode → (doc, token) partial-agg →
-   *  per-doc max shape is linear, map-side combined, and keyed by doc_id
-   *  (uniform — no skew at any corpus size). Output: doc_id + 4 signals;
-   *  docs with no lines/words/bigrams get 0. */
+   *  Shuffle-free by design: these are per-document scalars, and the
+   *  obvious explode → (doc, token) → per-doc agg shape exchanges
+   *  near-corpus-size data twice just to count within rows. Instead each
+   *  row sorts its own token array (equal values become adjacent) and a
+   *  single `aggregate` pass per array extracts distinct/longest-run/char
+   *  totals — O(len log len) per doc, plan = scan → project, nothing
+   *  moves. Output: doc_id + 4 signals; docs with no lines/words/bigrams
+   *  get 0. */
   def repetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val lineAgg = base
-      .select(col("doc_id"), explode(split(col("__text"), "\n")).as("l"))
-      .select(col("doc_id"), trim(col("l")).as("line"))
-      .filter(length(col("line")) > 0)
-      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("uniq"),
-        sum("c").as("n_lines"),
-        sum(col("c") * length(col("line"))).as("line_chars"),
-        sum(when(col("c") > 1, col("c") * length(col("line")))
-          .otherwise(lit(0L))).as("dup_chars"))
-    val wordAgg = base
-      .select(col("doc_id"), explode(split(trim(col("__text")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_words"), max("c").as("top_w"))
-    val bigramAgg = base
-      .select(col("doc_id"), split(trim(col("__text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_bg"), max("c").as("top_bg"))
-    base.select(col("doc_id"))
-      .join(lineAgg, Seq("doc_id"), "left")
-      .join(wordAgg, Seq("doc_id"), "left")
-      .join(bigramAgg, Seq("doc_id"), "left")
+    val lines =
+      "filter(transform(split(__text, '\\n'), l -> trim(l)), l -> length(l) > 0)"
+    val bigrams = """CASE WHEN size(__ws) >= 2
+        THEN transform(sequence(0, size(__ws) - 2),
+               i -> concat_ws(' ', slice(__ws, i + 1, 2)))
+        ELSE array() END"""
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .select(col("doc_id"), col("__text"),
+        expr("filter(split(trim(__text), '\\\\s+'), x -> length(x) > 0)").as("__ws"))
       .select(col("doc_id"),
-        milli(col("n_lines") - col("uniq"), col("n_lines")).as("dup_line_frac_milli"),
-        milli(col("dup_chars"), col("line_chars")).as("dup_line_char_frac_milli"),
-        milli(col("top_w"), col("n_words")).as("top_word_frac_milli"),
-        milli(col("top_bg"), col("n_bg")).as("top_bigram_frac_milli"))
+        expr(runStats(s"array_sort($lines)")).as("__l"),
+        expr(runStats("array_sort(__ws)")).as("__w"),
+        expr(runStats(s"array_sort($bigrams)")).as("__b"))
+      .select(col("doc_id"),
+        milli(col("__l.total") - col("__l.uniq"), col("__l.total")).as("dup_line_frac_milli"),
+        milli(col("__l.dupchars"), col("__l.chars")).as("dup_line_char_frac_milli"),
+        milli(col("__w.maxrun"), col("__w.total")).as("top_word_frac_milli"),
+        milli(col("__b.maxrun"), col("__b.total")).as("top_bigram_frac_milli"))
   }
 
   /** PII patterns — the ASCII subset where java.util.regex and RE2 agree

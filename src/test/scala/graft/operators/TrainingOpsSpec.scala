@@ -52,6 +52,12 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((0L, 0L, 1000L, 0L)))
   }
 
+  test("repetition signals are shuffle-free (per-doc scalars, no exchange)") {
+    val plan = TextStats.repetition(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"per-doc scalar stats must not shuffle:\n$plan")
+  }
+
   test("PII counts and redaction") {
     val df = spark.createDataFrame(Seq(
       (1L, "write to bob@x.com or 10.0.0.1 now"),
