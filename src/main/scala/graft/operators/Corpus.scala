@@ -25,10 +25,14 @@ object Corpus {
    *  single per-stratum exchange — the same partial-limit shape as the
    *  politeness top-k (BENCH/PLANS.md §3); a giant stratum never
    *  materializes more than k rows per task. Output = input columns +
-   *  `sample_rank` (1-based within stratum). */
+   *  `sample_rank` (1-based within stratum). Strata must be non-null:
+   *  Spark's concat nulls the key for a null stratum (ordering it first)
+   *  while SQL oracles typically skip nulls in concat — null strata rows
+   *  are dropped up front so both engines agree. */
   def sampleStratified(df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
-    df.withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":"), col(strataCol))))
+    df.filter(col(strataCol).isNotNull)
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(":"), col(strataCol))))
       .withColumn("sample_rank",
         row_number().over(Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol)))
           .cast(LongType))
