@@ -12,6 +12,9 @@ object Bench {
   /** Timed reps per query; the min is recorded (see below). */
   val queryReps: Int = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
 
+  private def fmtSamples(ss: Seq[(Double, Double)]): String =
+    ss.map { case (a, b) => f"($a%.1f, $b%.1f)" }.mkString(" ")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -45,10 +48,13 @@ object Bench {
     // plan's scaling behavior.
     val coresN = math.max(cpus / 4, 1)
     val scaling = FrontierBench.measureScaling(frontierN, coresN, cpus)
-    // software pair carries the north-rule target → drift-guard it: up to
-    // 2 extra interleaved rounds when a loaded window reads under 0.8
-    // (see measureScaling scaladoc — load bias is strictly downward)
+    // software pair carries the north-rule target → 3 base rounds and a
+    // drift guard: up to 2 extra interleaved rounds when a loaded window
+    // reads under 0.8 (see measureScaling scaladoc and BENCH/DRIFT.md —
+    // load bias on the min-per-level estimator is strictly downward, so
+    // more rounds only sharpen the unloaded estimate)
     val low = FrontierBench.measureScaling(frontierN, 2, 8,
+      rounds = math.max(FrontierBench.benchRounds, 3),
       retryBelow = 0.8, maxExtraRounds = 2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -96,6 +102,11 @@ object Bench {
          |warmups (2 in round 1, 1 after — JIT is fresh per JVM) then
          |${FrontierBench.benchReps} timed reps; reported time = min over
          |all reps of all rounds.
+         |
+         |Raw per-round child times, seconds (low level, high level) —
+         |drift across rounds is host background load, see BENCH/DRIFT.md:
+         |software pair ${fmtSamples(low.samples)};
+         |box pair ${fmtSamples(scaling.samples)}.
          |
          |**Why two pairs.** All pairs run the identical job on identical
          |input; only parallelism differs. On this single box an 8MB-copy

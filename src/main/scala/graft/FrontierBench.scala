@@ -146,7 +146,8 @@ object FrontierBench {
   }
 
   case class ScalingResult(n: Long, coresN: Int, cores4N: Int,
-      thrN: Double, thr4N: Double, efficiency: Double, roundsRun: Int)
+      thrN: Double, thr4N: Double, efficiency: Double, roundsRun: Int,
+      samples: Seq[(Double, Double)] = Nil)
 
   /** Child mode: measure one config in this JVM, print a marker line.
    *  SPARK_GRAFT_SEEN=mem switches to the round-1-style in-memory seen
@@ -314,7 +315,8 @@ object FrontierBench {
       val thrN = n / secsN
       val thr4N = n / secs4N
       val ratio = cores4N.toDouble / coresN
-      ScalingResult(n, coresN, cores4N, thrN, thr4N, (thr4N / thrN) / ratio, samples.size)
+      ScalingResult(n, coresN, cores4N, thrN, thr4N, (thr4N / thrN) / ratio,
+        samples.size, samples.toSeq)
     }
     while (result.efficiency < retryBelow && samples.size - rounds < maxExtraRounds) {
       System.err.println(f"[bench] pair $coresN->$cores4N read ${result.efficiency}%.3f " +
