@@ -324,6 +324,21 @@ object SparkEntry {
           .select(col("doc_id"), TextStats.tokenCount(col("text")).as("nt")),
         "doc_id", "nt", budget = 2000L)),
 
+    // benchmark decontamination (the GPT-3/Gopher n-gram rule), flag
+    // stage: eval set = a prefix snippet of every 41st document, length
+    // varied 8..14 words by doc_id so per-doc hit counts differ (a
+    // value-discriminating hash check, not a constant column); a doc is
+    // contaminated iff it shares an 8-gram with the eval set. Bench
+    // grams are distinct+broadcast; the corpus side is one map-side
+    // pass — the shipping anti-join is Corpus.decontaminate
+    "decontaminate" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+        .select(array_join(slice(Corpus.wordTokens(col("text")), lit(1),
+          lit(8) + col("doc_id") % 7), " ").as("text"))
+      Corpus.contaminationHits(docs, bench, "text", "doc_id", n = 8)
+    }),
+
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
@@ -615,6 +630,30 @@ object SparkEntry {
          FROM (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id + 1000000, text FROM documents) p
          GROUP BY text""",
+
+    // replays the n-gram decontamination rule: same tokenization
+    // (whitespace split of trimmed text), same varied-length bench
+    // snippets, same 8-gram windows; n_hits counts matching POSITIONS
+    "decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+           FROM documents),
+         bgrams AS (
+           SELECT DISTINCT
+             unnest([array_to_string(bt[i:i+7], ' ')
+                     FOR i IN generate_series(1, len(bt) - 7)]) AS gram
+           FROM (SELECT t[1:CAST(8 + doc_id % 7 AS BIGINT)] AS bt
+                 FROM toks WHERE doc_id % 41 = 0)
+           WHERE len(bt) >= 8),
+         dgrams AS (
+           SELECT doc_id,
+             unnest([array_to_string(t[i:i+7], ' ')
+                     FOR i IN generate_series(1, len(t) - 7)]) AS gram
+           FROM toks WHERE len(t) >= 8)
+         SELECT doc_id, count(*) AS n_hits
+         FROM dgrams WHERE gram IN (SELECT gram FROM bgrams)
+         GROUP BY doc_id""",
 
     "dedup_minhash_lsh" -> jaccardOracle(800),
 

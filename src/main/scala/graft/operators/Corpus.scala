@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.InternalRow
@@ -81,4 +81,53 @@ object Corpus {
     }
     ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
+
+  /** Whitespace token array (trimmed, empties dropped) — the shared
+   *  tokenization for word n-grams; identical to the DuckDB oracle's
+   *  `list_filter(string_split_regex(trim(text), '\s+'), ...)`. */
+  def wordTokens(text: Column): Column =
+    filter(split(trim(coalesce(text, lit(""))), "\\s+"), w => length(w) > 0)
+
+  /** All word n-grams of a pre-tokenized array (space-joined strings);
+   *  fewer than n tokens → empty array. */
+  def wordGrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => array_join(slice(tokens, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination, flag stage (the GPT-3/Gopher n-gram
+   *  rule): a corpus document is contaminated iff it shares at least one
+   *  word n-gram with the eval set; `n_hits` counts its matching n-gram
+   *  positions. The shipping step is [[decontaminate]] (anti-join).
+   *
+   *  Scale shape: eval sets are tiny relative to a 100 TB corpus
+   *  (~10^5–10^7 distinct grams ≈ tens of MB), so the bench side is
+   *  distinct-ed and BROADCAST; the corpus side explodes map-side into a
+   *  broadcast LEFT SEMI hash join — the corpus is never shuffled, and
+   *  only the (rare) matching gram rows reach the per-doc count, whose
+   *  exchange is sized by contaminated docs, not the corpus. One scan,
+   *  one pass, partial-aggregated map-side. */
+  def contaminationHits(docs: DataFrame, bench: DataFrame,
+                        textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n-gram order must be positive: $n")
+    val bgrams = bench
+      .select(explode(wordGrams(wordTokens(col(textCol)), n)).as("gram"))
+      .distinct()
+    docs.select(col(idCol).as("doc_id"),
+        explode(wordGrams(wordTokens(col(textCol)), n)).as("gram"))
+      .join(broadcast(bgrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Benchmark decontamination, shipping stage: the corpus minus every
+   *  document sharing an n-gram with the eval set. The contaminated-id
+   *  side is small (eval leakage is rare), so the anti-join broadcasts
+   *  it and the corpus again never reshuffles. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    textCol: String, idCol: String, n: Int): DataFrame =
+    docs.join(
+      broadcast(contaminationHits(docs, bench, textCol, idCol, n)
+        .select(col("doc_id").as(idCol))),
+      Seq(idCol), "left_anti")
 }

@@ -115,4 +115,64 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((0L, 5L, 0L), (1L, 0L, 0L), (2L, 7L, 0L)))
   }
+
+  // ---- decontaminate ----
+
+  /** 5 docs: 0 is the eval source, 1 repeats 0's opening, 2 shares only a
+   *  2-word phrase (below the 3-gram window), 3 is unrelated, 4 is too
+   *  short to form a 3-gram. Bench = first 4 words of doc 0. */
+  private def contamFixture: (DataFrame, DataFrame) = {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "prefix words alpha beta gamma delta and more"),
+      (2L, "gamma delta unrelated tail words here"),
+      (3L, "completely different text with no overlap at all"),
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta").toDF("text")
+    (docs, bench)
+  }
+
+  test("contaminationHits flags exactly the docs sharing an n-gram, counting positions") {
+    val (docs, bench) = contamFixture
+    // bench 3-grams: {alpha beta gamma, beta gamma delta}
+    // doc 0 matches both (2 positions), doc 1 matches both, docs 2/3/4 none
+    val got = Corpus.contaminationHits(docs, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L))
+  }
+
+  test("decontaminate ships the corpus minus contaminated docs") {
+    val (docs, bench) = contamFixture
+    val kept = Corpus.decontaminate(docs, bench, "text", "doc_id", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
+  test("contamination handles whitespace runs, blanks, and sub-n docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "  alpha   beta\tgamma  delta  "), // irregular whitespace still matches
+      (1L, ""), (2L, "   "), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma").toDF("text")
+    val got = Corpus.contaminationHits(docs, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L))
+  }
+
+  test("contamination plan: corpus side reaches the semi-join without an Exchange") {
+    val (_, bench) = contamFixture
+    val docs = spark.range(0, 1000).selectExpr("id AS doc_id",
+      "concat('filler text number ', id, ' alpha beta gamma delta') AS text")
+    val plan = Corpus.contaminationHits(docs, bench, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join in:\n$plan")
+    // the only Exchanges allowed: the bench-side broadcast(s) and the final
+    // per-doc count's shuffle over matched rows — never a corpus sort/shuffle
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"corpus side must not reshuffle; got $shuffles hash exchanges:\n$plan")
+  }
 }
