@@ -111,11 +111,15 @@ object Corpus {
   def contaminationHits(docs: DataFrame, bench: DataFrame,
                         textCol: String, idCol: String, n: Int): DataFrame = {
     require(n > 0, s"n-gram order must be positive: $n")
+    // tokenize in a Project BELOW the explode: wordGrams references its
+    // tokens arg 3× and CollapseProject won't merge a Project into a
+    // Generate, so the trim+split+filter runs once per row, not thrice
     val bgrams = bench
-      .select(explode(wordGrams(wordTokens(col(textCol)), n)).as("gram"))
+      .select(wordTokens(col(textCol)).as("__t"))
+      .select(explode(wordGrams(col("__t"), n)).as("gram"))
       .distinct()
-    docs.select(col(idCol).as("doc_id"),
-        explode(wordGrams(wordTokens(col(textCol)), n)).as("gram"))
+    docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(wordGrams(col("__t"), n)).as("gram"))
       .join(broadcast(bgrams), Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
