@@ -293,6 +293,9 @@ object SparkEntry {
     "corpus_clean" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val planted = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      // NOT materialized: measured at sf0.1, checkpointing this boundary
+      // moves nothing (the stage costs are additive, recompute is cheap)
+      // while blocking column pruning through the semi-join
       val uniq = planted.join(
         TextDedup.exact(planted, "text", "doc_id").select("doc_id"),
         Seq("doc_id"), "left_semi")

@@ -11,7 +11,7 @@ object CorpusPlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = FrontierBench.session(8)
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("sample_stratified", "shard_pack")) {
+    for (q <- Seq("sample_stratified", "shard_pack", "decontaminate")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
       df.count()
       println(s"=== $q ===")
