@@ -126,12 +126,17 @@ object Corpus {
 
   /** Benchmark decontamination, shipping stage: the corpus minus every
    *  document sharing an n-gram with the eval set. The contaminated-id
-   *  side is small (eval leakage is rare), so the anti-join broadcasts
-   *  it and the corpus again never reshuffles. */
+   *  side is USUALLY tiny (eval leakage is rare) but not bounded by
+   *  construction — a boilerplate-heavy eval gram could flag a large
+   *  corpus fraction — so no broadcast HINT here (a hint is obeyed even
+   *  at OOM size; cf. the r2 hot-host-broadcast hazard): AQE converts
+   *  the anti-join to a broadcast at runtime exactly when the measured
+   *  contaminated set is small, and degrades to a shuffle join instead
+   *  of an executor OOM when it is not. */
   def decontaminate(docs: DataFrame, bench: DataFrame,
                     textCol: String, idCol: String, n: Int): DataFrame =
     docs.join(
-      broadcast(contaminationHits(docs, bench, textCol, idCol, n)
-        .select(col("doc_id").as(idCol))),
+      contaminationHits(docs, bench, textCol, idCol, n)
+        .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 }
