@@ -58,10 +58,18 @@ object Robots {
     regexp_replace(regexp_replace(urlCanon, "^[a-z][a-z0-9+.-]*://[^/]*", ""), "^$", "/")
 
   /** Drop candidates whose path is disallowed for their host.
-   *  `candidates` needs (host, url_canon); `rules` is (host, prefix). */
+   *  `candidates` needs (host, url_canon); `rules` is (host, prefix).
+   *
+   *  No broadcast HINT on the rules side: per-host rules for a 10^7+
+   *  host web crawl reach GBs, and a hint is obeyed even at OOM size
+   *  (the same hazard class as the r2 hot-host broadcast). AQE makes
+   *  this a broadcast join at runtime when the measured rules table is
+   *  small (every fixture/test here), and falls back to a shuffle join
+   *  keyed on host — an exchange the politeness top-k downstream pays
+   *  anyway — when it is not. */
   def filterAllowed(candidates: DataFrame, rules: DataFrame): DataFrame = {
     val agg = rules.groupBy(col("host")).agg(collect_list(col("prefix")).as("__prefixes"))
-    candidates.join(broadcast(agg), Seq("host"), "left")
+    candidates.join(agg, Seq("host"), "left")
       .withColumn("__path", pathOf(col("url_canon")))
       .filter(col("__prefixes").isNull ||
         !exists(col("__prefixes"), p => col("__path").startsWith(p)))
