@@ -162,6 +162,21 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(0L -> 1L))
   }
 
+  test("decontaminate shipping anti-join: AQE broadcasts the small flagged set with no hint") {
+    // the contaminated-id side carries no broadcast hint (not bounded by
+    // construction); pin that AQE still makes the anti-join a broadcast
+    // at runtime when the flagged set is actually small
+    val bench = { val s = spark; import s.implicits._
+      Seq("alpha beta gamma").toDF("text") }
+    val docs = spark.range(0, 2000).selectExpr("id AS doc_id",
+      "concat('filler text number ', id, CASE WHEN id % 100 = 0 THEN ' alpha beta gamma' ELSE '' END) AS text")
+    val out = Corpus.decontaminate(docs, bench, "text", "doc_id", n = 3)
+    assert(out.count() == 1980)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected runtime broadcast anti-join in:\n$plan")
+  }
+
   test("contamination plan: corpus side reaches the semi-join without an Exchange") {
     val (_, bench) = contamFixture
     val docs = spark.range(0, 1000).selectExpr("id AS doc_id",

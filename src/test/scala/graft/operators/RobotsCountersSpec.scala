@@ -53,6 +53,20 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set("http://a.com/public/x", "http://b.com/private/x"))
   }
 
+  test("filterAllowed: AQE still broadcasts a small rules table with no hint") {
+    // the rules join carries no broadcast hint (unbounded at 10^7+ hosts);
+    // this pins that AQE converts it to a broadcast join at runtime when
+    // the rules table is actually small — the common case costs nothing
+    val cands = spark.range(0, 2000).selectExpr(
+      "concat('http://h', id % 50, '.com/p/', id) AS url_canon",
+      "concat('h', id % 50, '.com') AS host")
+    val rules = Robots.rulesFromTxt(spark, Seq("h0.com" -> "User-agent: *\nDisallow: /p/"))
+    val out = Robots.filterAllowed(cands, rules)
+    out.count() // finalize the adaptive plan
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"expected runtime broadcast in:\n$plan")
+  }
+
   test("crawl with robots rules never schedules disallowed urls; counters/inc populated") {
     val v = 200L
     val pages = Fixtures.pagesDF(spark, v)
