@@ -162,6 +162,28 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(0L -> 1L))
   }
 
+  test("contaminationHits equals a brute-force reference on a seeded random corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic corpus
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def doc(): String = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docsSeq = (0L until 200L).map(i => (i, doc()))
+    val benchSeq = Seq.fill(5)(doc())
+    val n = 4
+    def grams(t: String): Seq[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    val bset = benchSeq.flatMap(grams).toSet
+    val expected = docsSeq
+      .map { case (id, t) => id -> grams(t).count(bset) }
+      .filter(_._2 > 0).toMap
+    val got = Corpus.contaminationHits(
+        docsSeq.toDF("doc_id", "text"), benchSeq.toDF("text"), "text", "doc_id", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture degenerate: no contamination planted")
+  }
+
   test("decontaminate shipping anti-join: AQE broadcasts the small flagged set with no hint") {
     // the contaminated-id side carries no broadcast hint (not bounded by
     // construction); pin that AQE still makes the anti-join a broadcast
