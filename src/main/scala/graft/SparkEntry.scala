@@ -342,6 +342,18 @@ object SparkEntry {
       Corpus.contaminationHits(docs, bench, "text", "doc_id", n = 8)
     }),
 
+    // decontamination SHIPPING stage: the corpus minus every flagged doc
+    // (the anti-join end of the pipeline — hint-free, AQE-sized; the flag
+    // stage above proves the gram matching, this proves the ship)
+    "decontaminate_ship" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+        .select(array_join(slice(Corpus.wordTokens(col("text")), lit(1),
+          lit(8) + col("doc_id") % 7), " ").as("text"))
+      Corpus.decontaminate(docs, bench, "text", "doc_id", n = 8)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
@@ -461,6 +473,20 @@ object SparkEntry {
       val job = new CrawlJob(s, pages, settings, dir)
       job.run(Fixtures.seeds(v))
       job.scheduleTable
+    }))
+
+  /** Observability sidecars: named scalar checks recorded NEXT TO a
+    * query's verify/bench run (not part of the oracled result schema —
+    * the driver compare hashes result columns, so these ride a separate
+    * channel). One entry today: the jaccard df-cap's blind spot —
+    * documents whose shingles are ALL hotter than maxDf can never form a
+    * candidate pair, so a non-zero count on a corpus means the cap is
+    * silently eating recall there and maxDf should rise (VERDICT r3 #3). */
+  def observability: Map[String, (SparkSession, String) => Map[String, Long]] = Map(
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = TextDedup.shingles(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3)
+      Map("hot_only_doc_count_maxdf32" -> TextDedup.hotOnlyDocCount(sh, 32))
     }))
 
   /** DuckDB-equivalent SQL per query (same parquet tables). */
@@ -657,6 +683,30 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_hits
          FROM dgrams WHERE gram IN (SELECT gram FROM bgrams)
          GROUP BY doc_id""",
+
+    // shipping stage: documents minus the flagged set (same gram CTEs)
+    "decontaminate_ship" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+           FROM documents),
+         bgrams AS (
+           SELECT DISTINCT
+             unnest([array_to_string(bt[i:i+7], ' ')
+                     FOR i IN generate_series(1, len(bt) - 7)]) AS gram
+           FROM (SELECT t[1:CAST(8 + doc_id % 7 AS BIGINT)] AS bt
+                 FROM toks WHERE doc_id % 41 = 0)
+           WHERE len(bt) >= 8),
+         dgrams AS (
+           SELECT doc_id,
+             unnest([array_to_string(t[i:i+7], ' ')
+                     FOR i IN generate_series(1, len(t) - 7)]) AS gram
+           FROM toks WHERE len(t) >= 8),
+         flagged AS (
+           SELECT DISTINCT doc_id FROM dgrams
+           WHERE gram IN (SELECT gram FROM bgrams))
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
 
     "dedup_minhash_lsh" -> jaccardOracle(800),
 

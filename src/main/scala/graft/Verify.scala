@@ -39,6 +39,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // observability sidecars (e.g. the jaccard df-cap recall blind spot):
+    // recorded in the verify output so a corpus where a documented cap
+    // bites is VISIBLE in the round artifacts, not just spec-pinned
+    val obs = SparkEntry.observability.flatMap { case (name, fn) =>
+      if (only.isEmpty || only(name))
+        try {
+          val m = fn(spark, sfDir)
+          m.foreach { case (k, v) => System.err.println(s"[verify] $name $k=$v") }
+          Some(s"${q(name)}: " +
+            m.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] observability $name failed: ${e.getMessage}")
+          None
+        }
+      else None
+    }
+    Files.writeString(Paths.get(s"$outDir/observability.json"),
+      obs.mkString("{", ",", "}"))
     spark.stop()
   }
 }

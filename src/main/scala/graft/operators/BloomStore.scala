@@ -61,6 +61,16 @@ final class BloomStore(
 
   private def bloomDir: Path = new Path(dir, "bloom")
 
+  /** Completion marker: written after the first successful writeDelta /
+   *  rebuild. A crash mid-rebuild (delete dir → distributed re-write)
+   *  otherwise leaves SOME buckets with files — `isEmpty` would read
+   *  false, the caller would skip the rebuild, and buckets with no filter
+   *  make [[probeUdf]] return false ("definitely new"), letting
+   *  already-seen URLs bypass the exact anti-join (superset-rule
+   *  violation). A missing marker is treated as "no state", forcing a
+   *  fresh rebuild. */
+  private def markerPath: Path = new Path(bloomDir, "_complete")
+
   /** The storage-bucket id of a (url_hash, url_canon) row — identical to
    *  the seen table's HashPartitioning bucket function. */
   def bucketIdCol(urlHash: Column, urlCanon: Column): Column =
@@ -81,8 +91,10 @@ final class BloomStore(
       .map { case (b, vs) => b -> vs.maxBy(_._2)._3 }
   }
 
-  /** True when the store has any committed filter state. */
-  def isEmpty: Boolean = currentFiles().isEmpty
+  /** True when the store has no COMMITTED filter state: no completion
+   *  marker (see [[markerPath]] — bucket files without a marker are the
+   *  debris of a crashed rebuild and must not be trusted). */
+  def isEmpty: Boolean = !fs.exists(markerPath)
 
   /** Fold one wave's NEW urls (url_hash, url_canon) into the per-bucket
    *  filters, executor-side: aggregate delta filters per bucket (a tiny
@@ -103,10 +115,22 @@ final class BloomStore(
             r.getAs[Array[Byte]](1), wave)
         }
       }
+    // commit: all bucket files for this delta are on disk. A crash BEFORE
+    // this line leaves either (a) a marker-less dir — isEmpty forces a
+    // rebuild — or (b) an already-committed store whose partial extra
+    // files only over-approximate (harmless "maybe"): superset rule holds
+    // in both regimes.
+    if (!fs.exists(markerPath)) {
+      fs.mkdirs(bloomDir)
+      fs.create(markerPath, true).close()
+    }
   }
 
   /** Rebuild the full filter state from a seen table (resume onto a
-   *  checkpoint without bloom files, or after changing capacity). */
+   *  checkpoint without bloom files, after changing capacity, or resume
+   *  onto a crashed rebuild's marker-less debris). Crash-atomic via the
+   *  completion marker: the delete drops the old marker, writeDelta
+   *  re-creates it only after every bucket's file is written. */
   def rebuild(seen: DataFrame, wave: Int): Unit = {
     if (fs.exists(bloomDir)) fs.delete(bloomDir, true)
     writeDelta(seen.select(col("url_hash"), col("url_canon")), wave)

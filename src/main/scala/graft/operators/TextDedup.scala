@@ -152,17 +152,24 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shc.count() // serialize the cache build: the consumers' stages are
     // independent (Spark runs them concurrently) and would race a lazy
-    // cache into duplicate semi-join computes. Cache stays for the lazy
-    // result's lifetime (bounded, LRU-evictable).
+    // cache into duplicate semi-join computes.
     val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val aShingles = cand.join(shc.withColumnRenamed("id", "a"), Seq("a"))
     val inter = aShingles
       .join(shc.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"), "left_semi")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
-    withJaccard(inter, sizes)
+    // Materialize the (output-sized) verified pair set eagerly so shc's
+    // cache can be dropped NOW: callers invoke this repeatedly (bench
+    // reps, corpus_clean / dedup_clusters / dedup_survivors each recompute
+    // the pipeline) and un-released caches accumulated for the session,
+    // leaning on LRU eviction under memory pressure (ADVICE r3).
+    val out = withJaccard(inter, sizes)
       .filter(col("jaccard_milli") >= minJaccardMilli)
       .select(col("a"), col("b"), col("jaccard_milli"))
+      .localCheckpoint(true)
+    shc.unpersist(false)
+    out
   }
 
   /** MinHash signatures: H hash slots per id, slot i = min over shingles
@@ -354,6 +361,15 @@ object TextDedup {
       labels = next
       it += 1
     }
+    // Unconverged labels are NOT a best-effort answer: downstream
+    // (dedup_survivors / corpus_clean) would silently keep duplicates on a
+    // graph whose diameter exceeds maxIters (ADVICE r3). Min-label
+    // propagation halves the effective diameter per round on typical dup
+    // graphs, so hitting this on real data means maxIters is misconfigured
+    // — fail loudly instead of returning partial components.
+    require(changed == 0,
+      s"component propagation did not converge after $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters")
     labels
   }
 
@@ -414,8 +430,12 @@ object TextDedup {
     val combos = (0 until nBlocks).combinations(keyBlocks).toSeq
     val keyExprs: Seq[Column] = combos.map { blocks =>
       blocks.zip(blocks.map(widths).scanLeft(0)(_ + _)).map { case (b, outShift) =>
+        // width 64 (nBlocks=1, i.e. maxDist=0): (1L << 64) - 1 == 0 would
+        // key every signature to bucket 0 and the join goes quadratic —
+        // the full-width mask is -1L (ADVICE r3)
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
         shiftleft(
-          shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)),
+          shiftright(col("simhash"), offsets(b)).bitwiseAND(lit(mask)),
           outShift)
       }.reduce(_.bitwiseOR(_))
     }

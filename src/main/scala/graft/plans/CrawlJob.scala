@@ -669,14 +669,25 @@ class CrawlJob(
         // BEFORE the commit: a crash in between leaves a filter that
         // over-approximates the committed seen set (harmless false
         // "maybe"), never one missing committed urls (BloomStore rule).
+        // The bloom delta is CHAINED after the frontier write (not run
+        // concurrently with it): writeDelta prunes superseded per-bucket
+        // files, and the frontier plan can embed the inc-reseed dedup
+        // (nextSizeBase == 0 with inc passes left) whose probeUdf captured
+        // the PRE-prune file paths via currentFiles() — a task probing an
+        // uncached bucket after the prune would hit FileNotFoundException
+        // and fail the wave (ADVICE r3). Ordering costs nothing the
+        // commit rule cares about: the delta still lands before the
+        // manifest commit below.
+        val fFrontier = scala.concurrent.Future {
+          ckpt.writeBucketed(frontierOut, w, "frontier")
+        }(CrawlJob.waveWriteEc)
+        val fBloom = fFrontier.map { _ =>
+          if (nNew + nLabels > 0) bloomStore.foreach(_.writeDelta(seenDelta, w))
+        }(CrawlJob.waveWriteEc)
         val tailWrites = Seq(
           fSchedule,
-          scala.concurrent.Future {
-            if (nNew + nLabels > 0) bloomStore.foreach(_.writeDelta(seenDelta, w))
-          }(CrawlJob.waveWriteEc),
-          scala.concurrent.Future {
-            ckpt.writeBucketed(frontierOut, w, "frontier")
-          }(CrawlJob.waveWriteEc),
+          fBloom,
+          fFrontier,
           scala.concurrent.Future {
             ckpt.write(lineage, w, "lineage")
           }(CrawlJob.waveWriteEc))

@@ -91,6 +91,34 @@ class BloomStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(misses == 0L)
   }
 
+  test("crashed rebuild (bucket files, no completion marker) reads as empty") {
+    val dir = tmp("crashed")
+    val store = new BloomStore(spark, dir, Buckets, bucketCapacity = 1024)
+    store.rebuild(urls(0 until 100), 0)
+    assert(!store.isEmpty)
+    // simulate a crash mid-rebuild: SOME bucket files exist but the
+    // completion marker does not — trusting them would let probeUdf call
+    // seen urls in marker-less buckets "definitely new" (superset-rule
+    // violation, ADVICE r3)
+    val marker = java.nio.file.Paths.get(dir, "bloom", "_complete")
+    java.nio.file.Files.delete(marker)
+    val aBucket = Files.list(java.nio.file.Paths.get(dir, "bloom")).iterator()
+    val bloomFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(aBucket).asScala
+      .filter(_.getFileName.toString.endsWith(".bloom")).toSeq
+    java.nio.file.Files.delete(bloomFiles.head) // partial state
+    assert(store.isEmpty, "marker-less debris must force a fresh rebuild")
+    // the recovery path: rebuild restores a committed superset state
+    store.rebuild(urls(0 until 100), 0)
+    assert(!store.isEmpty)
+    BloomStore.clearCache()
+    val probe = store.probeUdf(store.currentFiles())
+    val misses = urls(0 until 100)
+      .withColumn("__b", store.bucketIdCol(col("url_hash"), col("url_canon")))
+      .withColumn("maybe", probe(col("__b"), col("url_hash")))
+      .filter(!col("maybe")).count()
+    assert(misses == 0L)
+  }
+
   test("empty store degrades to the exact anti-join") {
     val dir = tmp("empty")
     val store = new BloomStore(spark, dir, Buckets, bucketCapacity = 1024)

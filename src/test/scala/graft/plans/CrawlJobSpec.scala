@@ -334,6 +334,34 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fixed == viaTable)
   }
 
+  test("O7 budget gate: broadcast hint is count-guarded (VERDICT r3 #2)") {
+    import graft.operators.Politeness
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val sp = spark
+    import sp.implicits._
+    val cands = FrontierBenchLike.skewed(spark, 300)
+    val budgets = Seq(("http://mega.example.com", 2), ("http://h1.example.com", 3),
+      ("http://h2.example.com", 5)).toDF("host", "host_budget")
+    def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst { case h: ResolvedHint => h }.isDefined
+    // under the bound: the hint is present and the runtime plan broadcasts
+    val small = Politeness.hostEligibleBudgets(cands, budgets, 4)
+    assert(hasHint(small), "bounded budgets table should carry the broadcast hint")
+    small.count()
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"),
+      s"bounded budgets join did not broadcast:\n$smallPlan")
+    // above the bound: NO hint — Spark obeys hints even at OOM size, so an
+    // unbounded per-host table must reach the planner unhinted (AQE may
+    // still pick broadcast from actual runtime bytes; that is its own
+    // size check, not an obligation)
+    val large = Politeness.hostEligibleBudgets(cands, budgets, 4, maxBroadcastHosts = 1)
+    assert(!hasHint(large), "over-bound budgets table must not be hint-broadcast")
+    // and the guard changes nothing about the output
+    assert(small.select("host", "seq").collect().map(_.toSeq).toSet ==
+      large.select("host", "seq").collect().map(_.toSeq).toSet)
+  }
+
   test("bloom pre-filter + salted politeness change nothing (identical schedule)") {
     val (job, _) = runEngine(base.copy(useBloom = true, bloomCapacity = 4096, salts = 4),
       tmpDir("bloomsalt"))
