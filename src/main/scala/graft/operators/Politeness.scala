@@ -289,12 +289,20 @@ object Politeness {
       grant: Long,
       nPriorities: Int,
       salts: Int = 1,
-      inputUpperBound: Long = Long.MaxValue): DataFrame = {
+      inputUpperBound: Long = Long.MaxValue,
+      hostBudgets: Option[DataFrame] = None): DataFrame = {
     if (grant <= 0) return candidates.limit(0)
     val clamped = candidates.withColumn("priority", clampPriority(col("priority"), nPriorities))
-    val eligible =
-      if (salts <= 1) hostEligible(clamped, hostBudget)
-      else hostEligibleAdaptive(clamped, hostBudget, salts)
+    // O7 wired end-to-end: a decayed per-host budgets table (the output of
+    // [[adaptiveHostBudgets]] over a previous run's host metrics) replaces
+    // the uniform quota — hosts absent from the table keep `hostBudget`
+    // (the reference only ever LOWERS a banned host's rate).
+    val eligible = hostBudgets match {
+      case Some(b) => hostEligibleBudgets(clamped, b, hostBudget)
+      case None =>
+        if (salts <= 1) hostEligible(clamped, hostBudget)
+        else hostEligibleAdaptive(clamped, hostBudget, salts)
+    }
     if (priorityQuotas(grant, nPriorities).min >= inputUpperBound) eligible
     else applyQuotas(eligible, grant, nPriorities)
   }

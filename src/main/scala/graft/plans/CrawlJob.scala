@@ -71,6 +71,7 @@ case class CrawlSettings(
     useBloom: Boolean = true,
     bloomCapacity: Long = 1000000L, // D3 floor (cola/job/__init__.py:48)
     extract: Boolean = true,
+    hostMetrics: Boolean = false, // O7 evidence: write per-(wave, host) fetch outcomes
     inc: Boolean = true, // O9 incremental queue (job.inc, main.yaml:22)
     incPasses: Int = 0, // O9 automated re-crawl passes once the frontier drains
     parsers: Seq[ParserRule] = Seq.empty,
@@ -114,7 +115,13 @@ class CrawlJob(
     settings: CrawlSettings,
     workDir: String,
     priorityExpr: Column => Column = _ => lit(0),
-    robotsRules: Option[DataFrame] = None) {
+    robotsRules: Option[DataFrame] = None,
+    // O7 end-to-end: decayed per-host budgets (host STRING, host_budget
+    // INT — the output of Politeness.adaptiveHostBudgets over a previous
+    // run's hostMetricsTable) gate this run's politeness step; hosts not
+    // in the table keep settings.hostBudget (speed.py:203-230 offline
+    // reading — a prior run's banned windows lower the next run's rate)
+    hostBudgets: Option[DataFrame] = None) {
 
   import spark.implicits._
 
@@ -313,7 +320,8 @@ class CrawlJob(
       // the quota histogram job when no per-priority quota can bind
       val scheduled = Politeness.schedule(
         frontier.filter(col("eligible_wave") <= w), settings.hostBudget, grant,
-        settings.nPriorities, settings.salts, inputUpperBound = frontierSize)
+        settings.nPriorities, settings.salts, inputUpperBound = frontierSize,
+        hostBudgets = hostBudgets)
         .withColumn("parser_id", ParserDispatch.parserId(col("url"), parserRules))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the rank pass doubles as the nScheduled count and the cache build
@@ -684,7 +692,20 @@ class CrawlJob(
         val fBloom = fFrontier.map { _ =>
           if (nNew + nLabels > 0) bloomStore.foreach(_.writeDelta(seenDelta, w))
         }(CrawlJob.waveWriteEc)
-        val tailWrites = Seq(
+        // O7 evidence (opt-in): per-(wave, host) fetch outcomes — the
+        // banned-window input adaptiveHostBudgets decays budgets from.
+        // Reads only the cached `processed` frame; host cardinality bounds
+        // the output (tiny next to the wave)
+        val fHostMetrics =
+          if (settings.hostMetrics) Seq(scala.concurrent.Future {
+            ckpt.write(processed.groupBy(col("host")).agg(
+                sum(when(col("ok"), 1L).otherwise(0L)).as("fetched"),
+                sum(when(col("ok"), 0L).otherwise(1L)).as("errors"))
+              .select(lit(w).as("wave"), col("host"), col("fetched"), col("errors")),
+              w, "host_metrics")
+          }(CrawlJob.waveWriteEc))
+          else Seq.empty
+        val tailWrites = fHostMetrics ++ Seq(
           fSchedule,
           fBloom,
           fFrontier,
@@ -787,6 +808,13 @@ class CrawlJob(
 
   def resultsTable: DataFrame =
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "results", Schemas.results)
+
+  /** O7 per-(wave, host) fetch outcomes across committed waves (written
+   *  when settings.hostMetrics): feed through
+   *  [[graft.operators.Politeness.adaptiveHostBudgets]] and pass the
+   *  result as `hostBudgets` to the next run. */
+  def hostMetricsTable: DataFrame =
+    ckpt.readAll(ckpt.latestWave.getOrElse(0), "host_metrics", Schemas.hostMetrics)
 
   /** O9 incremental re-crawl queue: re-enqueue as the lowest priority
    *  (task.py:135-139) — v1 ships the table; continuous re-crawl is a

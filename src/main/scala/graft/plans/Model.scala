@@ -42,6 +42,11 @@ case class DeadLetter(wave: Int, url_canon: String, host: String,
  *  lineage); stage ∈ {candidates, admitted, scheduled}. */
 case class LineageRow(wave: Int, stage: String, partition_id: Int, rows: Long)
 
+/** Per-(wave, host) fetch outcome counts (O7 input: the banned-window
+ *  evidence adaptiveHostBudgets decays budgets from — a wave with errors
+ *  on a host ≙ a banned window; cola/functions/speed.py:203-230). */
+case class HostWaveMetrics(wave: Int, host: String, fetched: Long, errors: Long)
+
 /** Per-wave counters (A7 standard metrics). */
 case class WaveMetrics(wave: Int, scheduled: Long, fetched: Long, errors: Long,
     new_urls: Long, deduped: Long, frontier_size: Long,
@@ -66,6 +71,7 @@ object Schemas {
   val dead: StructType = Encoders.product[DeadLetter].schema
   val lineage: StructType = Encoders.product[LineageRow].schema
   val metrics: StructType = Encoders.product[WaveMetrics].schema
+  val hostMetrics: StructType = Encoders.product[HostWaveMetrics].schema
   val results: StructType = Encoders.product[PageResult].schema
   val inc: StructType = Encoders.product[IncEntry].schema
 }

@@ -362,6 +362,69 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       large.select("host", "seq").collect().map(_.toSeq).toSet)
   }
 
+  test("O7 wired end-to-end: run-1 banned windows decay budgets gating run 2 (sim ≡)") {
+    import graft.operators.Politeness
+    val sp = spark
+    import sp.implicits._
+    // phase 1: a classed run (id%13==5 pages error server-side) with
+    // per-(wave, host) metrics on — the banned-window evidence
+    val settings = base.copy(retries = 99, networkRetries = 2, serverRetries = 3,
+      size = 200, maxWaves = 15, hostMetrics = true)
+    val job1 = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+      tmpDir("o7run1"))
+    job1.run(Fixtures.seeds(V))
+    val sim1 = new ColaSimulator(settings, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
+    sim1.run(Fixtures.seeds(V))
+    // the engine's committed host metrics ≡ the simulator's
+    val engMetrics = job1.hostMetricsTable
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(engMetrics == sim1.hostMetrics.toMap, "host metrics diverged")
+    assert(engMetrics.values.exists(_._2 > 0), "fixture must produce banned windows")
+
+    // decay: engine side through the shipped operator; sim side through an
+    // independent fold implementing the same rule (min fetched in the
+    // host's metric row immediately before each banned row; floor 1,
+    // capped at the default — the reference only lowers rates)
+    val budgetsDf = Politeness.adaptiveHostBudgets(
+      job1.hostMetricsTable, defaultBudget = settings.hostBudget)
+    val engBudgets = budgetsDf.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val simBudgets: Map[String, Int] = sim1.hostMetrics.toSeq
+      .map { case ((w, h), (f, e)) => (h, w, f, e) }
+      .groupBy(_._1)
+      .flatMap { case (h, rows0) =>
+        val rows = rows0.sortBy(_._2)
+        val minBefore = rows.zipWithIndex.collect {
+          case ((_, _, _, e), i) if e > 0 => if (i == 0) 1L else rows(i - 1)._3
+        }
+        if (minBefore.isEmpty) None
+        else Some(h -> math.max(1L, math.min(settings.hostBudget.toLong, minBefore.min)).toInt)
+      }
+    assert(engBudgets.filter(_._2 != settings.hostBudget) == simBudgets,
+      "decayed budgets diverged from the independent decay fold")
+    assert(simBudgets.nonEmpty, "decay must actually bind for the test to mean anything")
+
+    // phase 2: both sides crawl again under the decayed budgets
+    val job2 = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+      tmpDir("o7run2"), hostBudgets = Some(budgetsDf))
+    val summary2 = job2.run(Fixtures.seeds(V))
+    val sim2 = new ColaSimulator(settings, pagesMap, _ => 0,
+      Some(Fixtures.statusMap(V)), hostBudgetOf = simBudgets)
+    sim2.run(Fixtures.seeds(V))
+    assert(scheduleTuples(job2) == simTuples(sim2), "run-2 schedule diverged under decayed budgets")
+    assert(deadPairs(job2) == sim2.dead.toSet)
+    assert(summary2.finished == sim2.finished && summary2.applied == sim2.applied)
+    // the gate actually binds: each decayed host never exceeds its budget
+    val perWaveHost = job2.scheduleTable.groupBy("wave", "host").count()
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    perWaveHost.foreach { case (h, n) =>
+      assert(n <= engBudgets.getOrElse(h, settings.hostBudget),
+        s"host $h scheduled $n rows over its decayed budget")
+    }
+    // and run 2 differs from run 1 (the decay changed the crawl)
+    assert(scheduleTuples(job2) != scheduleTuples(job1),
+      "decayed budgets should change the schedule on this fixture")
+  }
+
   test("bloom pre-filter + salted politeness change nothing (identical schedule)") {
     val (job, _) = runEngine(base.copy(useBloom = true, bloomCapacity = 4096, salts = 4),
       tmpDir("bloomsalt"))

@@ -25,7 +25,10 @@ class ColaSimulator(
     // O8 classed mode (≙ the engine's pages.fetch_status column):
     // Some(map) where map(canon) = "server" marks present-but-erroring
     // pages; canons missing from `pages` are then network errors.
-    pageStatus: Option[Map[String, String]] = None) {
+    pageStatus: Option[Map[String, String]] = None,
+    // O7: per-host politeness quota override (≙ the engine's decayed
+    // hostBudgets table); hosts not overridden keep settings.hostBudget
+    hostBudgetOf: Map[String, Int] = Map.empty) {
 
   case class Entry(url: String, canon: String, host: String, priority: Int,
       depth: Int, seq: Long, var errorTimes: Int, bundle: Option[String] = None,
@@ -41,6 +44,8 @@ class ColaSimulator(
    *  the engine-terminating records: non-ignored network exhaustion
    *  ("network_error") and poisoned-bundle survivors ("bundle_blocked"). */
   val dead = mutable.ArrayBuffer.empty[(String, String)]
+  /** O7 banned-window evidence: (wave, host) -> (fetched, errors). */
+  val hostMetrics = mutable.LinkedHashMap.empty[(Int, String), (Long, Long)]
   var applied = 0L
   var finished = 0L
   // O9 inc store: finished units in first-finish FIFO order (canon -> raw)
@@ -107,7 +112,7 @@ class ColaSimulator(
       val hostCount = mutable.Map.empty[String, Int].withDefaultValue(0)
       val eligible = byOrder.filter { e =>
         hostCount(e.host) += 1
-        hostCount(e.host) <= settings.hostBudget
+        hostCount(e.host) <= hostBudgetOf.getOrElse(e.host, settings.hostBudget)
       }
       // step 2: per-priority quota, FIFO by seq
       val qs = quotas(grant)
@@ -144,6 +149,11 @@ class ColaSimulator(
             case Some(m) =>
               if (!pages.contains(e.canon)) "network" else m.getOrElse(e.canon, "ok")
             case None => if (!pages.contains(e.canon)) "default" else "ok"
+          }
+          { // O7 evidence: one fetch outcome per scheduled row
+            val (f0, e0) = hostMetrics.getOrElse((w, e.host), (0L, 0L))
+            hostMetrics((w, e.host)) =
+              if (status == "ok") (f0 + 1, e0) else (f0, e0 + 1)
           }
           if (status != "ok") {
               applied -= 1 // error refund
