@@ -292,9 +292,16 @@ object Extract extends Serializable {
    *         (latin-1 accents sit isolated — odd runs; and one adjacent
    *         accent pair like 'üß' decoding to a lone hanzi is not
    *         evidence, it is the windows-1252 prior), or
-   *       - overwhelming: ≥ 8 CJK chars at ≥ 90% of non-ASCII (covers
-   *         GBK/Big5/SJIS chars with ASCII-range trail bytes, which
-   *         break run parity), or
+   *       - overwhelming: ≥ 8 STRONG CJK chars (ideographs/full kana/CJK
+   *         punctuation — halfwidth katakana are excluded: ANY single
+   *         high byte 0xA1-0xDF decodes to one under SJIS, so they are
+   *         near-zero evidence) at ≥ 90% of non-ASCII, AND at least one
+   *         run of ≥ 2 high bytes (isolated accents each followed by an
+   *         ASCII letter decode as plausible lead+trail pairs under
+   *         GBK — accent-heavy latin-1 text would otherwise pass; real
+   *         double-byte text always has some high-high character). This
+   *         covers GBK/Big5/SJIS chars with ASCII-range trail bytes,
+   *         which break run parity. Or,
    *       - (Shift_JIS only) ≥ 3 kana at ≥ 1/3 of the non-ASCII chars —
    *         real Japanese text is kana-dominant, while the WRONG charset
    *         decoding random double-byte pairs lands in the kana block
@@ -319,12 +326,12 @@ object Extract extends Serializable {
   def sniffCharset(bytes: Array[Byte]): String = {
     if (bytes == null) return "utf-8"
     if (isValidUtf8(bytes)) return "utf-8"
-    val (allEven, runCount) = highByteRuns(bytes)
+    val (allEven, runCount, maxRun) = highByteRuns(bytes)
     val scored = Seq("GBK", "Big5", "Shift_JIS").flatMap { cs =>
       decodeCjkStats(bytes, cs).collect {
         case st if st.cjkish * 2 >= st.nonAscii && (
-            (st.cjkish >= 8 && st.cjkish * 10 >= st.nonAscii * 9) ||
-            (allEven && runCount >= 2 && st.cjkish >= 3) ||
+            (st.strong >= 8 && st.cjkish * 10 >= st.nonAscii * 9 && maxRun >= 2) ||
+            (allEven && runCount >= 2 && st.strong >= 3) ||
             (cs == "Shift_JIS" && st.kana >= 3 && st.kana * 3 >= st.nonAscii)) =>
           // kana are "common" only when kana-DOMINANT (real Japanese):
           // a wrong double-byte decode scatters a few chars into the
@@ -370,26 +377,30 @@ object Extract extends Serializable {
     true
   }
 
-  /** (every maximal run of bytes ≥ 0x80 has even length, run count).
-   *  Even paired runs are the double-byte-charset shape. */
-  private def highByteRuns(bytes: Array[Byte]): (Boolean, Int) = {
+  /** (every maximal run of bytes ≥ 0x80 has even length, run count, max
+   *  run length). Even paired runs are the double-byte-charset shape; a
+   *  max run of 1 means every high byte sits isolated between ASCII —
+   *  the latin-1 accent shape, never real double-byte text. */
+  private def highByteRuns(bytes: Array[Byte]): (Boolean, Int, Int) = {
     var i = 0
     val n = bytes.length
     var runs = 0
     var allEven = true
+    var maxRun = 0
     while (i < n) {
       if ((bytes(i) & 0x80) != 0) {
         var j = i
         while (j < n && (bytes(j) & 0x80) != 0) j += 1
         if (((j - i) & 1) != 0) allEven = false
+        if (j - i > maxRun) maxRun = j - i
         runs += 1
         i = j
       } else i += 1
     }
-    (allEven && runs > 0, runs)
+    (allEven && runs > 0, runs, maxRun)
   }
 
-  private case class CjkStats(cjkish: Int, kana: Int, common: Int, nonAscii: Int)
+  private case class CjkStats(cjkish: Int, strong: Int, kana: Int, common: Int, nonAscii: Int)
 
   /** Strict decode + classification; None on any malformed/unmappable
    *  sequence or when nothing non-ASCII was decoded. cjkish counts
@@ -405,6 +416,7 @@ object Extract extends Serializable {
       try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
       catch { case _: java.nio.charset.CharacterCodingException => return None }
     var cjkish = 0
+    var strong = 0
     var kana = 0
     var common = 0
     var nonAscii = 0
@@ -414,15 +426,20 @@ object Extract extends Serializable {
       if (c >= 0x80) {
         nonAscii += 1
         val isKana = c >= 0x3040 && c <= 0x30ff
+        // halfwidth katakana: what ANY single 0xA1-0xDF byte decodes to
+        // under SJIS — counted toward the confidence ratio but never as
+        // STRONG evidence (see the sniffCharset scaladoc)
+        val isHalfKana = c >= 0xff61 && c <= 0xff9f
         val isCjk = (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3000 && c <= 0x303f) ||
           (c >= 0xff00 && c <= 0xffef) || isKana
         if (isCjk) cjkish += 1
+        if (isCjk && !isHalfKana) strong += 1
         if (isKana) kana += 1
         if (!isKana && CommonHanzi.contains(c)) common += 1
       }
       i += 1
     }
-    if (nonAscii == 0) None else Some(CjkStats(cjkish, kana, common, nonAscii))
+    if (nonAscii == 0) None else Some(CjkStats(cjkish, strong, kana, common, nonAscii))
   }
 
   /** Decode with the sniffed charset (X3). */

@@ -16,10 +16,18 @@ import scala.collection.mutable
  * attributes, implicit closing (`<p>a<p>b` → sibling paragraphs, `<li>`,
  * `<td>`/`<tr>`, `<dt>`/`<dd>`, `<option>`, block elements closing an
  * open paragraph), misnested close tags (pop to the nearest open match),
- * and unclosed elements at EOF. Remaining divergence from a browser:
- * no adoption agency for misnested INLINE formatting (`<b>a<i>b</b>c</i>`
- * keeps `c` outside the `<i>`), no entity decoding, no implied
- * html/head/body synthesis.
+ * unclosed elements at EOF, misnested inline formatting (a close tag that
+ * pops over still-open formatting elements REOPENS them — the common-case
+ * adoption-agency repair: `<b>a<i>b</b>c</i>` puts `c` inside a reopened
+ * `<i>`, like a browser), and character references (decoded in text and
+ * attribute values at parse — named subset amp/lt/gt/quot/apos/nbsp plus
+ * numeric dec/hex; a bare `&` that starts no valid reference stays
+ * literal, the real-web leniency). Serialization re-escapes `&` `<` `>`
+ * in text and `&` `"` in attributes (the BeautifulSoup round-trip rule —
+ * without it a decoded `&lt;b&gt;` would re-parse as a real element).
+ * Remaining divergence from a browser: the full HTML5 named-entity table
+ * (only the common subset decodes), the multi-step adoption agency for
+ * deeply misnested formatting, and implied html/head/body synthesis.
  */
 object Html {
 
@@ -47,6 +55,75 @@ object Html {
 
   private val RawTextElements: Set[String] = Set("script", "style")
 
+  /** HTML5 formatting elements: a close tag popping over these reopens
+   *  them in the new insertion point (the one-step adoption-agency repair
+   *  for misnested inline runs). */
+  private val FormattingElements: Set[String] = Set(
+    "a", "b", "i", "em", "strong", "u", "s", "strike", "small", "big",
+    "font", "code", "tt", "span", "sub", "sup")
+
+  /** Named character references decoded at parse (the common real-web
+   *  subset; the full HTML5 table is ~2k names). */
+  private val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    // nbsp decodes to a PLAIN space, not U+00A0: the reference decodes to
+    // \xa0 but Python's whitespace normalization folds \xa0 to ' ' (str
+    // .split()/\s are Unicode-aware), while java \s is ASCII-only — going
+    // straight to ' ' yields the reference-equal FINAL text without
+    // widening every whitespace regex downstream
+    "apos" -> "'", "nbsp" -> " ")
+
+  /** Decode character references leniently: `&name;`, `&#123;`, `&#x1f;`
+   *  become their characters; a `&` that starts no valid reference stays
+   *  literal (bare ampersands are everywhere on the real web). */
+  private[functions] def decodeEntities(s: String): String = {
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (amp >= 0) {
+      sb.append(s, i, amp)
+      var consumed = 0
+      if (amp + 1 < n && s.charAt(amp + 1) == '#') {
+        val hex = amp + 2 < n && (s.charAt(amp + 2) == 'x' || s.charAt(amp + 2) == 'X')
+        val dStart = if (hex) amp + 3 else amp + 2
+        var j = dStart
+        while (j < n && (if (hex) Character.digit(s.charAt(j), 16) >= 0 else s.charAt(j).isDigit)) j += 1
+        if (j > dStart && j < n && s.charAt(j) == ';' && j - dStart <= 8) {
+          try {
+            val cp = Integer.parseInt(s.substring(dStart, j), if (hex) 16 else 10)
+            if (Character.isValidCodePoint(cp) && cp > 0) {
+              sb.append(Character.toChars(cp)); consumed = j + 1 - amp
+            }
+          } catch { case _: NumberFormatException => }
+        }
+      } else {
+        var j = amp + 1
+        while (j < n && j - amp <= 8 && s.charAt(j).isLetter) j += 1
+        if (j < n && s.charAt(j) == ';')
+          NamedEntities.get(s.substring(amp + 1, j)).foreach { r =>
+            sb.append(r); consumed = j + 1 - amp
+          }
+      }
+      if (consumed == 0) { sb.append('&'); consumed = 1 }
+      i = amp + consumed
+      amp = s.indexOf('&', i)
+    }
+    sb.append(s, i, n)
+    sb.toString
+  }
+
+  /** Serializer escaping (the BS4 round-trip rule): text must re-escape
+   *  what parse decoded, or a decoded `<` would re-parse as markup. */
+  private def escapeText(s: String): String =
+    if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) s
+    else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def escapeAttr(s: String): String =
+    if (s.indexOf('&') < 0 && s.indexOf('"') < 0) s
+    else s.replace("&", "&amp;").replace("\"", "&quot;")
+
   sealed trait Node {
     var parent: Elem = _
     /** Concatenation of all descendant text (BS4 ''.join(find_all(text=True))). */
@@ -60,7 +137,9 @@ object Html {
 
   final class Text(val data: String) extends Node {
     override def text: String = data
-    override def render: String = data
+    override def render: String =
+      if (parent != null && RawTextElements.contains(parent.name)) data
+      else escapeText(data)
   }
 
   final class Elem(var name: String) extends Node {
@@ -117,12 +196,14 @@ object Html {
     private def renderTo(sb: StringBuilder): Unit = {
       if (name != "[document]") {
         sb.append('<').append(name)
-        attrs.foreach { case (k, v) => sb.append(' ').append(k).append("=\"").append(v).append('"') }
+        attrs.foreach { case (k, v) =>
+          sb.append(' ').append(k).append("=\"").append(escapeAttr(v)).append('"') }
         if (children.isEmpty && VoidElements.contains(name)) { sb.append("/>"); return }
         sb.append('>')
       }
+      val raw = RawTextElements.contains(name)
       children.foreach {
-        case t: Text => sb.append(t.data)
+        case t: Text => sb.append(if (raw) t.data else escapeText(t.data))
         case e: Elem => e.renderTo(sb)
       }
       if (name != "[document]") sb.append("</").append(name).append('>')
@@ -140,7 +221,8 @@ object Html {
 
     def appendText(from: Int, until: Int): Unit =
       if (until > from) {
-        val t = new Text(s.substring(from, until)); t.parent = cur; cur.children += t
+        val t = new Text(decodeEntities(s.substring(from, until)))
+        t.parent = cur; cur.children += t
       }
 
     while (i < n) {
@@ -159,11 +241,27 @@ object Html {
           if (end < 0) i = n
           else {
             val tag = s.substring(lt + 2, end).trim.toLowerCase
-            // pop to the nearest matching open element; ignore if none
+            // pop to the nearest matching open element; ignore if none.
+            // Formatting elements the pop passes over are REOPENED at the
+            // new insertion point (one-step adoption agency): in
+            // `<b>a<i>b</b>c</i>` the </b> pops over the open <i>, and a
+            // fresh <i> reopens so `c` lands inside it, like a browser.
             var p = cur
             while (p != null && p.name != tag) p = p.parent
-            if (p != null && p.parent != null) cur = p.parent
-            else if (p != null) cur = root
+            if (p != null) {
+              val reopen = mutable.ArrayBuffer.empty[Elem]
+              var q = cur
+              while (q ne p) {
+                if (FormattingElements.contains(q.name)) reopen += q
+                q = q.parent
+              }
+              cur = if (p.parent != null) p.parent else root
+              reopen.reverseIterator.foreach { f =>
+                val ne = new Elem(f.name)
+                f.attrs.foreach { case (k, v) => ne.attrs(k) = v }
+                ne.parent = cur; cur.children += ne; cur = ne
+              }
+            }
             i = end + 1
           }
         } else if (lt + 1 < n && (s.charAt(lt + 1).isLetter)) {
@@ -239,13 +337,13 @@ object Html {
             val vStart = j + 1
             var k = vStart
             while (k < n && body.charAt(k) != q) k += 1
-            if (key.nonEmpty) attrs += key -> body.substring(vStart, k)
+            if (key.nonEmpty) attrs += key -> decodeEntities(body.substring(vStart, k))
             i = math.min(k + 1, n)
           } else {
             val vStart = j
             var k = vStart
             while (k < n && !body.charAt(k).isWhitespace) k += 1
-            if (key.nonEmpty) attrs += key -> body.substring(vStart, k)
+            if (key.nonEmpty) attrs += key -> decodeEntities(body.substring(vStart, k))
             i = k
           }
         } else {

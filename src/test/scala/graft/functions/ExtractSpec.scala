@@ -102,16 +102,27 @@ class ExtractSpec extends AnyFunSuite {
       Extract.extractText(gbkHtml.getBytes(StandardCharsets.UTF_8), "http://h/x"))
     // GBK chars with ASCII-range trail bytes (GBK/3 region, trails
     // 0x40-0x7E) break high-byte-run parity — the strong-CJK branch
-    // (≥8 CJK chars at ≥90%) must still claim them
+    // (≥8 CJK chars at ≥90%) must still claim them when they appear the
+    // way real text carries them: MIXED among ordinary high-high hanzi
+    // (ascii-trail chars are the rare extension region; a run of ≥2 high
+    // bytes somewhere in the page is what separates this shape from
+    // accent-heavy latin-1, whose high bytes are ALL isolated)
     val gbkCs = java.nio.charset.Charset.forName("GBK")
     val asciiTrail = (0x4E00 to 0x4FFF).map(_.toChar).filter { c =>
       val b = c.toString.getBytes(gbkCs)
       b.length == 2 && (b(1) & 0x80) == 0 && b(0) != '?'.toByte
     }.take(12)
     assert(asciiTrail.size >= 8, "JDK GBK table should contain ascii-trail hanzi")
-    val tricky = asciiTrail.mkString + " with ascii words"
+    val tricky = asciiTrail.mkString + "的一 with ascii words"
     assert(Extract.sniffCharset(tricky.getBytes(gbkCs)) == "GBK")
     assert(Extract.decodeHtml(tricky.getBytes(gbkCs)) == tricky)
+    // …but a page whose high bytes are ALL isolated (every one followed
+    // by an ASCII byte — zero high-high pairs) is byte-shape-identical to
+    // accent-heavy latin-1 text, which is overwhelmingly more common on
+    // the web than pure-GBK/3 rare-hanzi text: the windows-1252 prior
+    // wins (the r4 charset fuzz found GBK claiming accented German here)
+    val allIsolated = asciiTrail.mkString
+    assert(Extract.sniffCharset(allIsolated.getBytes(gbkCs)) == "windows-1252")
     // a lone valid double-byte pair is NOT evidence (one even run, one
     // hanzi): the windows-1252 prior wins — a latin-1 snippet whose only
     // non-ASCII bytes are one adjacent accent pair ('üß') must not

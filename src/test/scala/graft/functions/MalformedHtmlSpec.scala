@@ -40,9 +40,45 @@ class MalformedHtmlSpec extends AnyFunSuite {
       == "<select><option>a</option><option>b</option></select>")
   }
 
-  test("misnested inline close pops to the nearest open match (no adoption agency)") {
-    // divergence from a browser, frozen: `c` lands OUTSIDE the <i>
-    assert(render("<b>a<i>b</b>c</i>") == "<b>a<i>b</i></b>c")
+  test("misnested inline close reopens popped-over formatting elements (one-step adoption agency)") {
+    // browser behavior: `c` lands inside a REOPENED <i>
+    assert(render("<b>a<i>b</b>c</i>") == "<b>a<i>b</i></b><i>c</i>")
+    // longer misnested run: both formatting elements reopen, nesting order kept
+    assert(render("<u>a<b>b<i>c</u>d</i>e</b>")
+      == "<u>a<b>b<i>c</i></b></u><b><i>d</i>e</b>")
+    // attributes survive the reopen
+    assert(render("""<div><a href="/x">l<b>m</div>n""")
+      == """<div><a href="/x">l<b>m</b></a></div><a href="/x"><b>n</b></a>""")
+    // text reached through a reopened element is still collected
+    assert(Html.parse("<b>a<i>b</b>c</i>").text == "abc")
+  }
+
+  test("character references decode in text; bare '&' stays literal") {
+    assert(Html.parse("<p>Tom &amp; Jerry &lt;3 &#65;&#x42;</p>").text
+      == "Tom & Jerry <3 AB")
+    // the real-web leniency: an '&' that starts no valid reference is text
+    assert(Html.parse("<p>fish & chips &nosuch; &#; at &copy</p>").text
+      == "fish & chips &nosuch; &#; at &copy")
+    assert(Html.parse("<p>a&nbsp;b</p>").text == "a b")
+    // attribute values decode too
+    assert(Html.parse("""<a href="/x?a=1&amp;b=2">l</a>""")
+      .find("a").flatMap(_.attr("href")).contains("/x?a=1&b=2"))
+    // raw-text elements (script/style) never decode
+    assert(Html.parse("<script>a &amp;&amp; b</script>")
+      .find("script").map(_.text).contains("a &amp;&amp; b"))
+  }
+
+  test("render re-escapes what parse decoded (round-trip stability)") {
+    // without re-escaping, a decoded &lt;b&gt; would re-parse as markup
+    val once = Html.parse("<p>&lt;b&gt;not a tag&lt;/b&gt; &amp; more</p>")
+    assert(once.text == "<b>not a tag</b> & more")
+    val again = Html.parse(once.render)
+    assert(again.text == once.text, "parse(render(x)) must preserve text")
+    assert(again.findAll("b").isEmpty, "escaped markup must stay text")
+    // attributes round-trip through the quote/amp escapes
+    val a = Html.parse("""<a href="/x?a=1&amp;q=&quot;v&quot;">l</a>""")
+    assert(Html.parse(a.render).find("a").flatMap(_.attr("href"))
+      == a.find("a").flatMap(_.attr("href")))
   }
 
   test("unquoted, valueless and duplicate attributes") {
@@ -55,7 +91,9 @@ class MalformedHtmlSpec extends AnyFunSuite {
 
   test("stray close tags and stray '<' survive as text/no-ops") {
     assert(render("</div><p>t") == "<p>t</p>")
-    assert(render("<p>1 < 2 and 3 > 2</p>") == "<p>1 < 2 and 3 > 2</p>")
+    // stray '<'/'>' stay TEXT (and re-serialize escaped, the BS4 rule)
+    assert(render("<p>1 < 2 and 3 > 2</p>") == "<p>1 &lt; 2 and 3 &gt; 2</p>")
+    assert(Html.parse("<p>1 < 2 and 3 > 2</p>").text == "1 < 2 and 3 > 2")
   }
 
   test("everything left open at EOF closes structurally") {
