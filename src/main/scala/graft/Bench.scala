@@ -138,6 +138,22 @@ object Bench {
          |broadcast cold-pass) and every shuffle's partition count scales
          |with cores; no stage is driver-bound or single-task.
          |
+         |**Measurement-model note (r4).** Operator-internal caches are
+         |cleared between reps now (VERDICT r3 #6) — every rep pays the
+         |full cold cost of one call, and the min measures an honest
+         |single invocation. Rounds ≤ 3 recorded mins of WARM second
+         |calls for the queries whose operators persist internally
+         |(minhash/jaccard/cluster family: the leaked `shc` cache made
+         |rep 2 skip the shingle semi-join entirely — the r3 log's
+         |"already cached" warning flood). Cross-round per-query
+         |comparisons for those queries must account for the model
+         |change. A/B on this build (one JVM, sf0.1, minhash-LSH):
+         |cold call 16.6 s, repeat calls 10.2/8.9 s (JIT warmth only —
+         |the shingle cache is RELEASED after each call now, by design:
+         |bounded memory over warm repeats; a production pipeline
+         |invokes the operator once per corpus, paying exactly the cold
+         |cost recorded here).
+         |
          |Per-query times (sf=$sfDirV; up to ${Bench.queryReps} reps per
          |query in one JVM, min recorded, cache cleared between reps;
          |reps actually run shown as xN): ${
