@@ -36,6 +36,22 @@ import org.apache.spark.sql.types.StructType
  * Iceberg would give the same semantics via snapshot commits + bucket
  * partition transforms; the runtime has no iceberg jars (checked), so
  * this parquet+manifest+bucketed-table fallback per SURVEY §7.4-5.
+ *
+ * Porting to a cluster WITH iceberg-runtime jars (the drop-in map — each
+ * concept here is deliberately snapshot-shaped so the swap is local to
+ * this class):
+ *  - `commit(w, props)` → one Iceberg transaction appending the wave's
+ *    files; the manifest properties ride as snapshot summary metadata
+ *    (`snapshot.summary()` carries the same key→value strings);
+ *  - `latestWave`/`manifest(w)` → current snapshot / snapshot-by-id
+ *    summary lookup; `cleanUncommitted` → nothing (uncommitted files are
+ *    invisible to Iceberg by construction);
+ *  - `CLUSTERED BY ... INTO n BUCKETS` → `PARTITIONED BY
+ *    (bucket(n, url_hash))` with storage-partitioned join enabled
+ *    (`spark.sql.sources.v2.bucketing.enabled`) to keep the seen-side
+ *    anti-join exchange-free, same plan shape as the catalog tables here;
+ *  - `readBucketedWave(name, w)` → time-travel or the `wave` partition
+ *    column, unchanged semantics.
  */
 final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 32) {
 

@@ -291,6 +291,12 @@ class CrawlJob(
       else None
     bloomStore.foreach(st => if (st.isEmpty) st.rebuild(seenUpTo(wave), wave))
 
+    // O7 budgets: materialize ONCE for the whole run — the politeness
+    // gate's broadcast guard counts the table every wave, and the decayed
+    // budgets are run-constant by contract (the reference re-derives them
+    // between runs, not between waves; speed.py:203-230)
+    val runBudgets = hostBudgets.map(_.localCheckpoint(true))
+
     var frontierSize = frontier.count()
     // consumed O9 re-crawl passes are committed state: a resume must not
     // replay a pass an earlier (killed) run already performed
@@ -321,7 +327,7 @@ class CrawlJob(
       val scheduled = Politeness.schedule(
         frontier.filter(col("eligible_wave") <= w), settings.hostBudget, grant,
         settings.nPriorities, settings.salts, inputUpperBound = frontierSize,
-        hostBudgets = hostBudgets)
+        hostBudgets = runBudgets)
         .withColumn("parser_id", ParserDispatch.parserId(col("url"), parserRules))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the rank pass doubles as the nScheduled count and the cache build
