@@ -199,6 +199,16 @@ object BloomStore {
     try out.write(merged) finally out.close()
     if (fs.exists(target)) fs.delete(target, false) // re-run of a crashed wave
     fs.rename(tmp, target)
-    versions.filter(_._1 != w).foreach(v => fs.delete(v._2, false)) // best-effort prune
+    // LAZY prune (ADVICE r3 tail-write race): the version that was current
+    // coming INTO this wave stays on disk one generation longer — live
+    // wave plans (inc-reseed dedup, or a cache-evicted recompute of the
+    // wave's dedup subtree) captured its path via currentFiles() at wave
+    // start, and deleting it mid-wave would fail their tasks with
+    // FileNotFound. It becomes prunable when a LATER delta supersedes it.
+    // Disk cost: ≤ 2 versions per bucket, ever. This keeps the wave's
+    // tail writes fully concurrent (no bloom-after-frontier ordering).
+    val prevMax = versions.filter(_._1 != w).map(_._1).maxOption
+    versions.filter(v => v._1 != w && !prevMax.contains(v._1))
+      .foreach(v => fs.delete(v._2, false))
   }
 }

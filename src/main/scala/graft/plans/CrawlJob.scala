@@ -683,19 +683,17 @@ class CrawlJob(
         // BEFORE the commit: a crash in between leaves a filter that
         // over-approximates the committed seen set (harmless false
         // "maybe"), never one missing committed urls (BloomStore rule).
-        // The bloom delta is CHAINED after the frontier write (not run
-        // concurrently with it): writeDelta prunes superseded per-bucket
-        // files, and the frontier plan can embed the inc-reseed dedup
-        // (nextSizeBase == 0 with inc passes left) whose probeUdf captured
-        // the PRE-prune file paths via currentFiles() — a task probing an
-        // uncached bucket after the prune would hit FileNotFoundException
-        // and fail the wave (ADVICE r3). Ordering costs nothing the
-        // commit rule cares about: the delta still lands before the
-        // manifest commit below.
+        // The bloom delta runs CONCURRENTLY with the frontier write: safe
+        // against the ADVICE r3 tail-write race (the frontier plan can
+        // embed the inc-reseed dedup whose probeUdf captured file paths
+        // via currentFiles() at wave start) because writeDelta's pruning
+        // is LAZY — the version each live plan captured survives this
+        // wave on disk and is pruned only by a LATER wave's delta (see
+        // BloomStore.mergeAndWrite).
         val fFrontier = scala.concurrent.Future {
           ckpt.writeBucketed(frontierOut, w, "frontier")
         }(CrawlJob.waveWriteEc)
-        val fBloom = fFrontier.map { _ =>
+        val fBloom = scala.concurrent.Future {
           if (nNew + nLabels > 0) bloomStore.foreach(_.writeDelta(seenDelta, w))
         }(CrawlJob.waveWriteEc)
         // O7 evidence (opt-in): per-(wave, host) fetch outcomes — the
