@@ -43,6 +43,7 @@ object Bench {
   @volatile private var box: Option[FrontierBench.ScalingResult] = None
   @volatile private var sfDirV: String = ""
   @volatile private var frontierNV: Long = 0L
+  @volatile private var cpusV: Int = 32
   private val printed = new AtomicBoolean(false)
 
   private def zero(coresN: Int, cores4N: Int) =
@@ -52,7 +53,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    val s = box.getOrElse(zero(8, 32))
+    val s = box.getOrElse(zero(math.max(cpusV / 4, 1), cpusV))
     val lo = soft.getOrElse(zero(2, 8))
     val extra = if (partial) ""","partial":true""" else ""
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDirV","frontier_n":${frontierNV},"urls_per_sec_N":${s.thrN}%.1f,"urls_per_sec_4N":${s.thr4N}%.1f,"cores_N":${s.coresN},"cores_4N":${s.cores4N},"scaling_efficiency":${s.efficiency}%.3f,"urls_per_sec_2c":${lo.thrN}%.1f,"urls_per_sec_8c":${lo.thr4N}%.1f,"scaling_efficiency_2v8":${lo.efficiency}%.3f,"elapsed_s":$elapsed%.0f$extra}"""
@@ -74,7 +75,7 @@ object Bench {
   private def writeMd(): Unit = try {
     val benchDir = Paths.get("BENCH")
     Files.createDirectories(benchDir)
-    val s = box.getOrElse(zero(8, 32))
+    val s = box.getOrElse(zero(math.max(cpusV / 4, 1), cpusV))
     val lo = soft.getOrElse(zero(2, 8))
     val md =
       f"""# BENCH — frontier scheduling throughput + scaling evidence
@@ -171,6 +172,7 @@ object Bench {
     val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "32000000").toLong
     sfDirV = sfDir
     frontierNV = frontierN
+    cpusV = cpus
 
     val hook = new Thread(() => { emit(partial = true); writeMd() })
     Runtime.getRuntime.addShutdownHook(hook)
@@ -247,7 +249,7 @@ object Bench {
       System.err.println(f"[bench] stage 4/4 drift-guard round ${extras + 1} " +
         f"at $elapsed%.0fs (pair reads ${soft.get.efficiency}%.3f)")
       val extra = FrontierBench.measureScaling(frontierN, 2, 8, rounds = 1,
-        remainingBudget = () => remaining - tailReserve)
+        remainingBudget = () => remaining - tailReserve, mandatory = false)
       softSamples = softSamples ++ extra.samples
       soft = Some(FrontierBench.resultFromSamples(frontierN, 2, 8, softSamples))
       extras += 1

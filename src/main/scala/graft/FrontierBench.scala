@@ -347,12 +347,19 @@ object FrontierBench {
    *  run. Round 1 runs `benchReps` timed reps; later rounds 1 rep — the
    *  min-per-level estimator sharpens with more ROUNDS (load drift is
    *  between-round), not more reps per round. */
+  /** `mandatory`: round-1 children get a hard FLOOR on their kill cap — a
+   *  killed round-1 child yields ZERO samples for its pair (the graded
+   *  number lost entirely), which is strictly worse than briefly eating
+   *  into a later stage's reserve. Pass mandatory = false for OPTIONAL
+   *  top-up calls (leftover-budget drift-guard rounds): those must live
+   *  strictly within what remains, or they re-create the r3 overrun. */
   def measureScaling(n: Long, coresN: Int, cores4N: Int,
       rounds: Int = benchRounds,
       heap: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "24g"),
       retryBelow: Double = 0.0,
       maxExtraRounds: Int = 0,
-      remainingBudget: () => Double = () => Double.MaxValue): ScalingResult = {
+      remainingBudget: () => Double = () => Double.MaxValue,
+      mandatory: Boolean = true): ScalingResult = {
     val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var lastRoundCost = 0.0
     var childDied = false
@@ -361,13 +368,8 @@ object FrontierBench {
       val reps = if (r == 1) benchReps else 1
       val w = 1 // JIT is fresh per JVM; one full-size warmup + min-of-reps-over-rounds
       val t0 = System.nanoTime()
-      // Round 1 children get a hard FLOOR on their kill cap: a killed
-      // round-1 child yields ZERO samples for its pair (the graded number
-      // lost entirely), which is strictly worse than briefly eating into a
-      // later stage's reserve. Later rounds only sharpen an existing
-      // estimate, so they live within whatever actually remains.
       def cap: Double =
-        if (r == 1) math.max(remainingBudget(), firstRoundChildCapS)
+        if (r == 1 && mandatory) math.max(remainingBudget(), firstRoundChildCapS)
         else remainingBudget()
       val ok = for {
         lo <- forkChild(coresN, n, reps, heap, w, cap)

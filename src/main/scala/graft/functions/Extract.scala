@@ -315,7 +315,10 @@ object Extract extends Serializable {
    *     still decodes valid code points, but into rare random hanzi
    *     that miss the common table. Ties keep candidate order
    *     (GBK first — the dominant zh-web legacy charset).
-   *  3. else "windows-1252" (the web's de-facto 8-bit fallback, every
+   *  3. else a tier-2 Shift_JIS check for halfwidth-katakana-dominant
+   *     legacy pages (halfkana are deliberately near-zero evidence in
+   *     tier 1; see the gate comment in the code);
+   *  4. else "windows-1252" (the web's de-facto 8-bit fallback, every
    *     byte valid — covers latin-1).
    *
    *  Pure-Scala, no detector library, no RNG — unlike chardet the result
@@ -340,8 +343,22 @@ object Extract extends Serializable {
           cs -> (st.cjkish + 3 * (st.common + kanaCommon))
       }
     }
-    if (scored.isEmpty) "windows-1252"
-    else scored.maxBy(_._2)._1 // maxBy keeps the FIRST max → candidate-order ties
+    if (scored.nonEmpty)
+      scored.maxBy(_._2)._1 // maxBy keeps the FIRST max → candidate-order ties
+    else {
+      // Tier 2 (no tier-1 candidate passed): halfwidth-katakana-dominant
+      // legacy SJIS pages. Halfkana are near-zero evidence in tier 1 (ANY
+      // single 0xA1-0xDF byte decodes to one), so a genuinely halfkana
+      // page needs its own gate: overwhelming halfkana purity AND a run
+      // of ≥ 4 consecutive high bytes (kana words are multi-byte runs;
+      // latin-1 accents sit isolated or in short clusters — ≥ 4
+      // consecutive accent LETTERS don't occur in real words).
+      val halfKanaPage = decodeCjkStats(bytes, "Shift_JIS").exists { st =>
+        val halfKana = st.cjkish - st.strong
+        halfKana >= 16 && halfKana * 20 >= st.nonAscii * 19 && maxRun >= 4
+      }
+      if (halfKanaPage) "Shift_JIS" else "windows-1252"
+    }
   }
 
   /** Top-frequency CJK table (chardet-language-model-lite): common

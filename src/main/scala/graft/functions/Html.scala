@@ -55,12 +55,17 @@ object Html {
 
   private val RawTextElements: Set[String] = Set("script", "style")
 
-  /** HTML5 formatting elements: a close tag popping over these reopens
-   *  them in the new insertion point (the one-step adoption-agency repair
-   *  for misnested inline runs). */
+  /** The HTML5 formatting-element set (the spec's "list of active
+   *  formatting elements" members, §13.2.4.3): a close tag popping over
+   *  these reopens them at the new insertion point (the one-step
+   *  adoption-agency repair for misnested inline runs). Deliberately NOT
+   *  span/sub/sup — browsers close those at an enclosing end tag without
+   *  reconstruction. The reopen is eager (the spec reconstructs lazily on
+   *  the next insertion), so a reopened element with nothing after it
+   *  leaves an empty trailing clone — invisible to text extraction. */
   private val FormattingElements: Set[String] = Set(
-    "a", "b", "i", "em", "strong", "u", "s", "strike", "small", "big",
-    "font", "code", "tt", "span", "sub", "sup")
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u")
 
   /** Named character references decoded at parse (the common real-web
    *  subset; the full HTML5 table is ~2k names). */
@@ -93,7 +98,12 @@ object Html {
         if (j > dStart && j < n && s.charAt(j) == ';' && j - dStart <= 8) {
           try {
             val cp = Integer.parseInt(s.substring(dStart, j), if (hex) 16 else 10)
-            if (Character.isValidCodePoint(cp) && cp > 0) {
+            // HTML5: NUL and surrogate references decode to U+FFFD — a
+            // raw surrogate char would make the String malformed UTF-16
+            // (strict encoders throw, UTF-8 writes '?')
+            if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF)) {
+              sb.append('�'); consumed = j + 1 - amp
+            } else if (Character.isValidCodePoint(cp)) {
               sb.append(Character.toChars(cp)); consumed = j + 1 - amp
             }
           } catch { case _: NumberFormatException => }

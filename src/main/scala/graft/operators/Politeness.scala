@@ -136,21 +136,24 @@ object Politeness {
 
   /** The split plan of [[hostEligibleAdaptive]] once the hot-host list is
    *  a collected local relation. */
-  private def hotEligiblePlan(candidates: DataFrame, hostBudget: Int,
-      salts: Int, hotDf: DataFrame): DataFrame = {
-    // detect caching through DERIVED frames (df.storageLevel only sees
-    // this exact frame): a cached ancestor shows up as an
-    // InMemoryRelation in the optimized plan. Cached input → both join
-    // branches re-read the cache, no boundary needed. Uncached input →
-    // repartition ONCE so the branches share a single exchange via
-    // ReuseExchange instead of recomputing the input subtree per branch.
-    // The boundary key must be skew-free: seq is unique by contract
-    // (repartitioning by host would funnel a mega-host — the exact J5
-    // skew this operator exists to absorb — into one straggler task).
-    val inputCached = candidates.queryExecution.optimizedPlan.collectFirst {
+  /** Caching detection through DERIVED frames (df.storageLevel only sees
+   *  the exact frame): a cached ancestor shows up as an InMemoryRelation
+   *  in the optimized plan. */
+  private def isInputCached(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
     }.isDefined
-    val boundary = if (inputCached) candidates else candidates.repartition(col("seq"))
+
+  private def hotEligiblePlan(candidates: DataFrame, hostBudget: Int,
+      salts: Int, hotDf: DataFrame): DataFrame = {
+    // Cached input → both join branches re-read the cache, no boundary
+    // needed. Uncached input → repartition ONCE so the branches share a
+    // single exchange via ReuseExchange instead of recomputing the input
+    // subtree per branch. The boundary key must be skew-free: seq is
+    // unique by contract (repartitioning by host would funnel a mega-host
+    // — the exact J5 skew this operator exists to absorb — into one
+    // straggler task).
+    val boundary = if (isInputCached(candidates)) candidates else candidates.repartition(col("seq"))
     val cold = boundary.join(hotDf, Seq("host"), "left_anti")
     val hot = boundary.join(hotDf, Seq("host"), "left_semi")
     cold.unionByName(hostEligibleSalted(hot, hostBudget, salts))
@@ -175,16 +178,108 @@ object Politeness {
    */
   def hostEligibleBudgets(candidates: DataFrame, budgets: DataFrame,
       defaultBudget: Int, maxBroadcastHosts: Long = 1000000L): DataFrame = {
+    val outCols = candidates.columns.map(col).toSeq
     val b = budgets.select(col("host"), col("host_budget"))
-    // bounded count: stop scanning once the guard is decided
-    val small = b.limit((maxBroadcastHosts + 1).min(Int.MaxValue).toInt)
-      .count() <= maxBroadcastHosts
+    // bounded count: stop scanning once the guard is decided. The +1 is
+    // computed in the CAPPED domain (a caller passing a bound near
+    // Long.MaxValue to "disable the guard" must not overflow to limit(0),
+    // which would mislabel EVERY table as small and hint the broadcast)
+    val lim = (maxBroadcastHosts.min(Int.MaxValue.toLong - 1) + 1).toInt
+    val small = b.limit(lim).count() <= maxBroadcastHosts
     val joined = candidates.join(
       if (small) broadcast(b) else b, Seq("host"), "left")
     val w = Window.partitionBy(col("host")).orderBy(col("priority").asc, col("seq").asc)
     joined.withColumn("__hr", row_number().over(w))
       .filter(col("__hr") <= coalesce(col("host_budget"), lit(defaultBudget)))
-      .drop("__hr", "host_budget")
+      .select(outCols: _*) // original column order (bucketed writes are positional)
+  }
+
+  /** Salted two-phase top-k where the per-host bound is the already
+   *  attached `__hb` column; restores the caller's column set/order. */
+  private def saltedRankByBudgetCol(in: DataFrame, salts: Int,
+      outCols: Seq[Column]): DataFrame = {
+    val salted = in.withColumn("__salt",
+      pmod(xxhash64(col("url_canon")), lit(salts.toLong)).cast("int"))
+    val w1 = Window.partitionBy(col("host"), col("__salt"))
+      .orderBy(col("priority").asc, col("seq").asc)
+    val partial = salted.withColumn("__pr", row_number().over(w1))
+      .filter(col("__pr") <= col("__hb"))
+      .drop("__pr", "__salt")
+    val w2 = Window.partitionBy(col("host")).orderBy(col("priority").asc, col("seq").asc)
+    partial.withColumn("__hr", row_number().over(w2))
+      .filter(col("__hr") <= col("__hb"))
+      .select(outCols: _*)
+  }
+
+  /** [[hostEligibleBudgets]] at scale when the budgets table itself is
+   *  unbounded: salted two-phase ranking with the per-host bound as a
+   *  column. No broadcast hint anywhere (AQE sizes the budgets join at
+   *  runtime); each (host, salt) shard keeps at most its own budget, so a
+   *  mega-host never funnels into one window task. Output ≡
+   *  [[hostEligibleBudgets]]. */
+  def hostEligibleBudgetsSalted(candidates: DataFrame, budgets: DataFrame,
+      defaultBudget: Int, salts: Int): DataFrame = {
+    require(salts >= 1)
+    val outCols = candidates.columns.map(col).toSeq
+    val withB = candidates
+      .join(budgets.select(col("host"), col("host_budget")), Seq("host"), "left")
+      .withColumn("__hb", coalesce(col("host_budget"), lit(defaultBudget)))
+      .drop("host_budget")
+    saltedRankByBudgetCol(withB, salts, outCols)
+  }
+
+  /** [[hostEligibleBudgets]] with the adaptive hot/cold skew split (the
+   *  J5 treatment [[hostEligibleAdaptive]] gives the fixed-budget gate —
+   *  without it, a decayed-budgets run would rank every host through one
+   *  plain window and a mega-host funnels into a single task):
+   *
+   *   - per-host counts join the budgets table (tiny ⋈ tiny) so "hot"
+   *     means count > the host's OWN budget;
+   *   - same bounded decision pass and guards as hostEligibleAdaptive
+   *     (three driver scalars; above `maxHotHosts`/`hotRowFraction` fall
+   *     back to [[hostEligibleBudgetsSalted]] — identical output, no
+   *     driver collect);
+   *   - cold rows pass through a broadcast anti-join; hot rows carry
+   *     their budget from the collected (bounded) hot list and go through
+   *     the salted two-phase rank.
+   *
+   *  Output provably ≡ [[hostEligibleBudgets]]. */
+  def hostEligibleBudgetsAdaptive(candidates: DataFrame, budgets: DataFrame,
+      defaultBudget: Int, salts: Int,
+      maxHotHosts: Int = 1000000, hotRowFraction: Double = 0.5): DataFrame = {
+    if (salts <= 1) return hostEligibleBudgets(candidates, budgets, defaultBudget)
+    val outCols = candidates.columns.map(col).toSeq
+    val hostCounts = candidates.groupBy(col("host")).agg(count(lit(1)).as("__hn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withB = hostCounts
+        .join(budgets.select(col("host"), col("host_budget")), Seq("host"), "left")
+        .withColumn("__hb", coalesce(col("host_budget"), lit(defaultBudget)))
+      val stats = withB.agg(
+          sum(when(col("__hn") > col("__hb"), 1L).otherwise(0L)).as("nHot"),
+          sum(when(col("__hn") > col("__hb"), col("__hn")).otherwise(0L)).as("hotRows"),
+          sum(col("__hn")).as("total"))
+        .collect()(0)
+      val nHot = Option(stats.get(0)).fold(0L)(_.asInstanceOf[Long])
+      val hotRows = Option(stats.get(1)).fold(0L)(_.asInstanceOf[Long])
+      val total = Option(stats.get(2)).fold(0L)(_.asInstanceOf[Long])
+      if (nHot == 0) return candidates // every host fits its budget
+      if (nHot > maxHotHosts || hotRows > total * hotRowFraction)
+        return hostEligibleBudgetsSalted(candidates, budgets, defaultBudget, salts)
+      val spark = candidates.sparkSession
+      import spark.implicits._
+      val hotSeq = withB.filter(col("__hn") > col("__hb"))
+        .select(col("host"), col("__hb").cast("int"))
+        .as[(String, Int)].collect().toSeq
+      val hotDf = broadcast(hotSeq.toDF("host", "__hb"))
+      val boundary =
+        if (isInputCached(candidates)) candidates
+        else candidates.repartition(col("seq")) // see hotEligiblePlan
+      val cold = boundary.join(hotDf.select("host"), Seq("host"), "left_anti")
+        .select(outCols: _*)
+      val hot = boundary.join(hotDf, Seq("host"))
+      cold.unionByName(saltedRankByBudgetCol(hot, salts, outCols))
+    } finally hostCounts.unpersist()
   }
 
   /**
@@ -296,9 +391,13 @@ object Politeness {
     // O7 wired end-to-end: a decayed per-host budgets table (the output of
     // [[adaptiveHostBudgets]] over a previous run's host metrics) replaces
     // the uniform quota — hosts absent from the table keep `hostBudget`
-    // (the reference only ever LOWERS a banned host's rate).
+    // (the reference only ever LOWERS a banned host's rate). The salted
+    // configuration keeps its adaptive skew split (a mega-host must not
+    // funnel into one plain-window task just because budgets are on).
     val eligible = hostBudgets match {
-      case Some(b) => hostEligibleBudgets(clamped, b, hostBudget)
+      case Some(b) =>
+        if (salts <= 1) hostEligibleBudgets(clamped, b, hostBudget)
+        else hostEligibleBudgetsAdaptive(clamped, b, hostBudget, salts)
       case None =>
         if (salts <= 1) hostEligible(clamped, hostBudget)
         else hostEligibleAdaptive(clamped, hostBudget, salts)

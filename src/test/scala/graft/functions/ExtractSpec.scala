@@ -123,6 +123,13 @@ class ExtractSpec extends AnyFunSuite {
     // wins (the r4 charset fuzz found GBK claiming accented German here)
     val allIsolated = asciiTrail.mkString
     assert(Extract.sniffCharset(allIsolated.getBytes(gbkCs)) == "windows-1252")
+    // …while a halfwidth-katakana-dominant legacy SJIS page (single-byte
+    // kana, so no double-byte run parity either) still detects via the
+    // tier-2 gate: overwhelming halfkana purity + multi-byte kana runs
+    val halfKana = "ｱｲｳｴｵ ｶｷｸｹｺ ｻｼｽｾｿ ﾀﾁﾂﾃﾄ ﾅﾆﾇﾈﾉ"
+    val sjisHalf = halfKana.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    assert(sjisHalf.length == halfKana.length, "halfwidth kana must be single-byte in SJIS")
+    assert(Extract.sniffCharset(sjisHalf) == "Shift_JIS")
     // a lone valid double-byte pair is NOT evidence (one even run, one
     // hanzi): the windows-1252 prior wins — a latin-1 snippet whose only
     // non-ASCII bytes are one adjacent accent pair ('üß') must not

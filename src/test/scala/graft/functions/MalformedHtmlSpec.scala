@@ -53,6 +53,20 @@ class MalformedHtmlSpec extends AnyFunSuite {
     assert(Html.parse("<b>a<i>b</b>c</i>").text == "abc")
   }
 
+  test("span is NOT a formatting element: closed at an enclosing end tag, never reopened") {
+    // browsers close span at </div> without reconstruction (span is not
+    // in the HTML5 formatting set) — `b` lands OUTSIDE any span
+    assert(render("<div><span class=\"x\">a</div>b")
+      == "<div><span class=\"x\">a</span></div>b")
+  }
+
+  test("NUL and surrogate numeric references decode to U+FFFD (HTML5)") {
+    assert(Html.parse("<p>a&#xD800;b&#0;c</p>").text == "a�b�c")
+    // the result must be well-formed UTF-16 (strict encoders accept it)
+    val t = Html.parse("<p>&#xDFFF;</p>").text
+    assert(!t.exists(Character.isSurrogate))
+  }
+
   test("character references decode in text; bare '&' stays literal") {
     assert(Html.parse("<p>Tom &amp; Jerry &lt;3 &#65;&#x42;</p>").text
       == "Tom & Jerry <3 AB")

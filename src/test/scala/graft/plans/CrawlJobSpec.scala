@@ -332,6 +332,25 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaTable = Politeness.hostEligibleBudgets(cands, budgets.limit(0), 4)
       .select("host", "seq").collect().map(_.toSeq).toSet
     assert(fixed == viaTable)
+    // the scale paths are output-identical to the plain window gate: the
+    // salted column-bound rank, and the adaptive hot/cold split (both the
+    // collected-hot-list plan and the salted fallback under a tiny
+    // maxHotHosts) — a decayed-budgets run keeps the J5 skew treatment
+    val plain = Politeness.hostEligibleBudgets(cands, budgets, 4)
+      .select("host", "seq").collect().map(_.toSeq).toSet
+    val saltedB = Politeness.hostEligibleBudgetsSalted(cands, budgets, 4, salts = 4)
+      .select("host", "seq").collect().map(_.toSeq).toSet
+    assert(saltedB == plain, "salted column-bound rank diverged")
+    val adaptiveB = Politeness.hostEligibleBudgetsAdaptive(cands, budgets, 4, salts = 4)
+      .select("host", "seq").collect().map(_.toSeq).toSet
+    assert(adaptiveB == plain, "adaptive hot/cold budget split diverged")
+    val fallbackB = Politeness.hostEligibleBudgetsAdaptive(cands, budgets, 4,
+        salts = 4, maxHotHosts = 0)
+      .select("host", "seq").collect().map(_.toSeq).toSet
+    assert(fallbackB == plain, "salted fallback (guard tripped) diverged")
+    // column order is preserved (bucketed writes are positional)
+    assert(Politeness.hostEligibleBudgetsAdaptive(cands, budgets, 4, salts = 4)
+      .columns.toSeq == cands.columns.toSeq)
   }
 
   test("O7 budget gate: broadcast hint is count-guarded (VERDICT r3 #2)") {
