@@ -327,6 +327,21 @@ object SparkEntry {
           .select(col("doc_id"), TextStats.tokenCount(col("text")).as("nt")),
         "doc_id", "nt", budget = 2000L)),
 
+    // source-weighted corpus mixing (the dolma/RedPajama mixing step):
+    // per-source token budgets — here a deterministic function of the
+    // source id so the rule scales with sf — filled in keyed-md5 order
+    // by an exclusive-prefix rule (distributed per-source prefix sums,
+    // never a per-source window task)
+    "corpus_mix" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val budget = lit(200L) *
+        (lit(1) + regexp_extract(col("source"), "src(\\d+)", 1).cast("int") % 3)
+      Corpus.mixSources(
+        docs.select(col("doc_id"), col("source"),
+          TextStats.tokenCount(col("text")).as("nt")),
+        "source", "doc_id", "nt", budget) // output: (doc_id, source, n_tokens)
+    }),
+
     // benchmark decontamination (the GPT-3/Gopher n-gram rule), flag
     // stage: eval set = a prefix snippet of every 41st document, length
     // varied 8..14 words by doc_id so per-doc hit counts differ (a
@@ -749,6 +764,19 @@ object SparkEntry {
                     ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', lang)), doc_id) AS rn
            FROM documents) t
          WHERE rn <= 20""",
+
+    // per-source exclusive-prefix fill in keyed-md5 order; the per-source
+    // window cumsum the engine avoids at scale is right for the oracle
+    "corpus_mix" ->
+      s"""SELECT doc_id, source, n_tokens FROM (
+            SELECT doc_id, source, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', source)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum,
+              200 * (1 + CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 3) AS budget
+            FROM (SELECT doc_id, source, ${tokenCountSql("text")} AS n_tokens
+                  FROM documents) t) w
+          WHERE COALESCE(cum, 0) < budget""",
 
     // shard = exclusive-prefix-sum(tokens) // budget in doc_id order;
     // the window cumsum the engine deliberately avoids at scale is

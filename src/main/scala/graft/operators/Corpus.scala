@@ -82,6 +82,81 @@ object Corpus {
     ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /** Source-weighted corpus mixing (the dolma/RedPajama-style mixing
+   *  step): each source contributes documents up to its own token budget,
+   *  chosen in the deterministic keyed-md5 order (the same engine-
+   *  portable pseudo-random order as [[sampleStratified]]) — keep a doc
+   *  iff the tokens of the docs BEFORE it within its source (exclusive
+   *  prefix sum in `md5(id ':' source)` order, id tiebreak) are still
+   *  under the source's budget. Every source lands within one document
+   *  of its budget, and the selection is a pure function of the rows.
+   *
+   *  `budgetCol` is evaluated against the INPUT frame (typically a
+   *  function of the source column — per-source weights × total tokens).
+   *
+   *  Scale: a per-source window cumsum would funnel each source into one
+   *  task (a giant source ≙ the J5 mega-host). This is the engine's
+   *  dense-seq/prefix-sum pattern grouped by source: global sort by
+   *  (source, hash, id) — a range exchange, sources contiguous — then
+   *  one per-partition pass collects ORDERED (source, partial-sum) runs
+   *  (driver state ≤ partitions + sources rows), scanLeft per source
+   *  yields exact start offsets, and a second partition-local pass
+   *  filters at the InternalRow level. No window, no per-source task.
+   *  Output: (idCol, source, n_tokens). Null sources are dropped (the
+   *  [[sampleStratified]] rule). */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, budgetCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(idCol).as("id"),
+        coalesce(col(tokensCol).cast(LongType), lit(0L)).as("n_tokens"),
+        budgetCol.cast(LongType).as("__budget"),
+        md5(concat(col(idCol).cast("string"), lit(":"), col(sourceCol))).as("__h"))
+      .orderBy(col("source"), col("__h"), col("id"))
+    val rdd0 = sorted.queryExecution.toRdd
+    // pass 1: ordered per-source partial sums per partition
+    val partials = rdd0.mapPartitionsWithIndex { (p, it) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var curSrc: String = null
+      var s = 0L
+      it.foreach { r =>
+        val src = r.getUTF8String(0).toString
+        if (src != curSrc) {
+          if (curSrc != null) runs += ((curSrc, s))
+          curSrc = src; s = 0L
+        }
+        s += r.getLong(2)
+      }
+      if (curSrc != null) runs += ((curSrc, s))
+      Iterator.single((p, runs.toSeq))
+    }.collect().sortBy(_._1) // bounded driver state: ≤ partitions + sources
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    val seen = scala.collection.mutable.HashMap.empty[String, Long]
+    partials.foreach { case (p, runs) =>
+      runs.foreach { case (src, s) =>
+        offsets((p, src)) = seen.getOrElse(src, 0L)
+        seen(src) = seen.getOrElse(src, 0L) + s
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+    // pass 2: partition-local exclusive-prefix filter (rows arrive in the
+    // same (source, hash, id) order as pass 1 — same sorted RDD)
+    val rdd = rdd0.mapPartitionsWithIndex { (p, it) =>
+      val off = bc.value
+      var curSrc: String = null
+      var run = 0L
+      it.filter { r =>
+        val src = r.getUTF8String(0).toString
+        if (src != curSrc) { curSrc = src; run = off.getOrElse((p, src), 0L) }
+        val keep = run < r.getLong(3)
+        run += r.getLong(2)
+        keep
+      }
+    }
+    ColumnBridge.internalCreateDataFrame(spark, rdd, sorted.schema)
+      .select(col("id").as(idCol), col("source").as(sourceCol), col("n_tokens"))
+  }
+
   /** Whitespace token array (trimmed, empties dropped) — the shared
    *  tokenization for word n-grams; identical to the DuckDB oracle's
    *  `list_filter(string_split_regex(trim(text), '\s+'), ...)`. */

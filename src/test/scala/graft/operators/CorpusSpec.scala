@@ -134,6 +134,63 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     (docs, bench)
   }
 
+  // ---- mixSources ----
+
+  /** 150 docs, 3 sources with different budgets; tokens 1..30. */
+  private def mixCorpus: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0L until 150L).toSeq.map { i =>
+      (i, Seq("web", "books", "code")((i % 3).toInt), (i % 30 + 1).toInt)
+    }.toDF("doc_id", "source", "nt")
+  }
+  private def mixBudget = when(col("source") === "web", 120L)
+    .when(col("source") === "books", 60L).otherwise(25L)
+
+  test("mixSources matches the sequential per-source prefix fill") {
+    val got = Corpus.mixSources(mixCorpus, "source", "doc_id", "nt", mixBudget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // independent reference: per source, sort by (md5(id:source), id),
+    // keep while exclusive prefix < budget
+    val rows = mixCorpus.withColumn("__h",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getString(3)))
+    val budgets = Map("web" -> 120L, "books" -> 60L, "code" -> 25L)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      var run = 0L
+      docs.sortBy(d => (d._4, d._1)).toSeq.flatMap { d =>
+        val keep = run < budgets(src)
+        run += d._3
+        if (keep) Some((d._1, src, d._3)) else None
+      }
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < 150, "budgets must actually bind")
+  }
+
+  test("mixSources is partition-independent") {
+    val base = Corpus.mixSources(mixCorpus, "source", "doc_id", "nt", mixBudget)
+      .collect().map(_.toSeq).toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Corpus.mixSources(mixCorpus.repartition(parts), "source", "doc_id", "nt", mixBudget)
+        .collect().map(_.toSeq).toSet
+      assert(got == base, s"parts=$parts diverged")
+    }
+  }
+
+  test("mixSources: each source lands within one kept doc of its budget (prefix maximality)") {
+    val out = Corpus.mixSources(mixCorpus, "source", "doc_id", "nt", mixBudget)
+    val totals = out.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = Map("web" -> 120L, "books" -> 60L, "code" -> 25L)
+    budgets.foreach { case (src, b) =>
+      val t = totals(src)
+      // ≥ budget (the rule admits the doc that CROSSES the budget) and
+      // the overshoot is bounded by that single doc (< budget + max nt)
+      assert(t >= b && t < b + 30, s"$src total $t vs budget $b")
+    }
+  }
+
   test("contaminationHits flags exactly the docs sharing an n-gram, counting positions") {
     val (docs, bench) = contamFixture
     // bench 3-grams: {alpha beta gamma, beta gamma delta}
