@@ -621,6 +621,21 @@ class CrawlJob(
               frontierNext = frontierCandidates.join(pdf, Seq("bundle"), "left_anti")
                 .select(frontierCols: _*)
             }
+            // O10 in-bundle error_urls (executor.py:500-501): ignore-class
+            // exhausted BUNDLE members persist for the bundle's next pop —
+            // at wave granularity, the O9 inc pass — together with
+            // poisoned-label tombstones (a poisoned bundle's error members
+            // never retry). One small write, error waves in inc+bundle
+            // mode only; both sides ride the cached wave frame.
+            if (settings.inc) {
+              val errRows = exhausted.filter(ignoreCol && col("bundle").isNotNull)
+                .select(col("url"), col("url_canon"), col("bundle"),
+                  lit(w).as("wave"), col("seq"), lit(false).as("poisoned"))
+              val tombstones = poisoned.select(lit(null).cast("string").as("url"),
+                lit(null).cast("string").as("url_canon"), col("bundle"),
+                lit(w).as("wave"), lit(0L).as("seq"), lit(true).as("poisoned"))
+              ckpt.write(errRows.unionByName(tombstones), w, "error_inc")
+            }
           }
           // dead letters only get a write job on waves with errors (most
           // waves have none; empty parquet writes cost a full job each on
@@ -752,15 +767,44 @@ class CrawlJob(
    *  at the slice after all priorities (≙ lowest priority here, since a
    *  re-seed only happens when nothing else is runnable). The rows carry
    *  force=true and go through the normal dedup gate, which they pass
-   *  despite being seen (D5, store.py:252). */
+   *  despite being seen (D5, store.py:252). In bundle mode the pass also
+   *  carries each bundle's accumulated error_urls (O10 tail — see the
+   *  ErrorIncEntry scaladoc); error_times restarts at 0, the reference's
+   *  common case (any success between pops clears the bundle's
+   *  consecutive-failure counter, executor.py:509-514). */
   private def incReseed(w: Int, seen: DataFrame,
       bloomStore: Option[graft.operators.BloomStore]): (DataFrame, Long) = {
     val incAll = ckpt.readAll(w, "inc", Schemas.inc)
     val firstFin = incAll.groupBy(col("url_canon"))
       .agg(min(struct(col("wave"), col("priority"), col("seq"), col("url"))).as("f"))
-      .select(col("f.url").as("url"), col("url_canon"), col("f.wave").as("inc_wave"),
-        col("f.priority").as("inc_priority"), col("f.seq").as("inc_seq"))
-    val entries = firstFin
+      .select(col("f.url").as("url"), col("url_canon"),
+        lit(null).cast("string").as("bundle"), lit(0).as("o_src"),
+        col("f.wave").as("o_wave"), col("f.priority").as("o_priority"),
+        col("f.seq").as("o_seq"))
+    // O10: the pass ≙ re-popping every finished unit's bundle, so each
+    // bundle's error_urls ride it too (execute() re-extends the worklist,
+    // executor.py:559-560) — after the finished FIFO, first-exhaustion
+    // order, label kept (a repeat exhaustion re-records; a later poison
+    // still withholds). Members that later FINISHED ride the inc FIFO
+    // instead (the bundle worklist dedups, executor.py:596); poisoned
+    // labels stay withheld (the engine's terminal reading).
+    val pool =
+      if (settings.bundles.isEmpty) firstFin
+      else {
+        val errAll = ckpt.readAll(w, "error_inc", Schemas.errorInc)
+        val tombstones = errAll.filter(col("poisoned")).select("bundle").distinct()
+        val errFirst = errAll.filter(!col("poisoned"))
+          .groupBy(col("url_canon"))
+          .agg(min(struct(col("wave"), col("seq"), col("url"), col("bundle"))).as("f"))
+          .select(col("f.url").as("url"), col("url_canon"),
+            col("f.bundle").as("bundle"), lit(1).as("o_src"),
+            col("f.wave").as("o_wave"), lit(0).as("o_priority"),
+            col("f.seq").as("o_seq"))
+          .join(tombstones, Seq("bundle"), "left_anti")
+          .join(incAll.select("url_canon").distinct(), Seq("url_canon"), "left_anti")
+        firstFin.unionByName(errFirst.select(firstFin.columns.map(col).toSeq: _*))
+      }
+    val entries = pool
       .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
       .withColumn("host", hostCol(col("url_canon")))
       .withColumn("priority", lit(settings.nPriorities - 1))
@@ -768,12 +812,12 @@ class CrawlJob(
       .withColumn("force", lit(true))
       .withColumn("error_times", lit(0))
       .withColumn("discovered_wave", lit(w))
-      .withColumn("bundle", lit(null).cast("string"))
       .withColumn("eligible_wave", lit(0))
     val passed = Dedup.dedupWave(spark, entries, seen,
-      Seq(col("inc_seq")), numBuckets = settings.numBuckets, bloomStore = bloomStore)
+      Seq(col("o_src"), col("o_wave"), col("o_priority"), col("o_seq")),
+      numBuckets = settings.numBuckets, bloomStore = bloomStore)
     val (seeded, n) = withDenseSeq(passed,
-      Seq(col("inc_wave").asc, col("inc_priority").asc, col("inc_seq").asc),
+      Seq(col("o_src").asc, col("o_wave").asc, col("o_priority").asc, col("o_seq").asc),
       waveBase(w), "seq")
     (seeded.select(frontierCols: _*), n)
   }
@@ -825,4 +869,9 @@ class CrawlJob(
    *  rerun seeded from it. */
   def incTable: DataFrame =
     ckpt.readAll(ckpt.latestWave.getOrElse(0), "inc", Schemas.inc)
+
+  /** O10 in-bundle error_urls state: ignore-exhausted bundle members +
+   *  poisoned-label tombstones (see ErrorIncEntry). */
+  def errorIncTable: DataFrame =
+    ckpt.readAll(ckpt.latestWave.getOrElse(0), "error_inc", Schemas.errorInc)
 }

@@ -64,6 +64,19 @@ case class PageResult(wave: Int, url_canon: String, parser_id: String,
  *  (within a wave, units finish in schedule order = (priority, seq)). */
 case class IncEntry(url: String, url_canon: String, wave: Int, priority: Int, seq: Long)
 
+/** O10 in-bundle `error_urls` row (cola/job/executor.py:500-501: an
+ *  ignore-class exhaustion appends the url to `bundle.error_urls`; every
+ *  later `execute()` of the bundle re-extends its worklist with them,
+ *  executor.py:559-560). At wave granularity a bundle is only ever
+ *  re-popped by the O9 inc re-crawl (put_inc re-queues the bundle,
+ *  executor.py:610-612), so these rows re-enter the frontier during the
+ *  inc pass — after the finished FIFO, in first-exhaustion (wave, seq)
+ *  order. A `poisoned=true` row is a label tombstone: the bundle had a
+ *  non-ignored exhaustion (UnitRetryFailed) and the engine's terminal
+ *  poisoned-bundle reading withholds its error members forever. */
+case class ErrorIncEntry(url: String, url_canon: String, bundle: String,
+    wave: Int, seq: Long, poisoned: Boolean)
+
 object Schemas {
   val frontier: StructType = Encoders.product[FrontierEntry].schema
   val seen: StructType = Encoders.product[SeenEntry].schema
@@ -74,4 +87,5 @@ object Schemas {
   val hostMetrics: StructType = Encoders.product[HostWaveMetrics].schema
   val results: StructType = Encoders.product[PageResult].schema
   val inc: StructType = Encoders.product[IncEntry].schema
+  val errorInc: StructType = Encoders.product[ErrorIncEntry].schema
 }

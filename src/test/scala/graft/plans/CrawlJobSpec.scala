@@ -538,6 +538,58 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lateSched.isEmpty, "blocked members were scheduled after the bundle failed")
   }
 
+  test("O10 in-bundle error_urls: ignore-exhausted members retry at the inc pass, poisoned labels stay withheld (sim-pinned)") {
+    import graft.operators.BundleSpec
+    // bundles labeled by pages ending in 0; member k=3 is a server-class
+    // page (id % 13 == 5 → fetch_status "server"; serverRetries=0 +
+    // serverIgnore=true → exhausted-ignored at first attempt, joining the
+    // bundle's error_urls, executor.py:500-501). A third of labels
+    // also carry an out-of-range member (missing page ≙ NetworkError,
+    // networkRetries=0, non-ignored → UnitRetryFailed poisons that
+    // bundle). The single O9 inc pass then re-pops every bundle: error
+    // members of live bundles are re-fetched (executor.py:559-560), a
+    // poisoned bundle's error members never are.
+    val v = V
+    val bs = BundleSpec("/p/([0-9]*0)$", label => {
+      val id = label.toLong
+      (1 to 6).map { k =>
+        if (k == 3) Fixtures.rawUrl(((id / 10) % 23) * 13 + 5)
+        else if (k == 5 && (id / 10) % 5 == 0) Fixtures.rawUrl(2 * v + id)
+        else Fixtures.rawUrl((id * 7 + k) % v)
+      }
+    })
+    val settings = base.copy(
+      size = -1, waveCap = 24, hostBudget = 4, maxWaves = 40,
+      retries = 99, serverRetries = 0, serverIgnore = true, networkRetries = 0,
+      incPasses = 1, bundles = Some(bs))
+    val job = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+      tmpDir("errorurls"))
+    job.run(Fixtures.seeds(V))
+    val sim = new ColaSimulator(settings, pagesMap, _ => 0, Some(Fixtures.statusMap(V)))
+    sim.run(Fixtures.seeds(V))
+    assert(scheduleTuples(job) == simTuples(sim), "error_urls schedule diverged")
+    assert(deadPairs(job) == sim.dead.toSet, "error_urls dead letters diverged")
+
+    // the fixture exercised both paths: live-bundle error members were
+    // re-scheduled in the inc pass, poisoned-label members were not
+    val err = job.errorIncTable
+    val tombstoned = err.filter(col("poisoned"))
+      .select("bundle").collect().map(_.getString(0)).toSet
+    assert(tombstoned.nonEmpty, "fixture must poison at least one bundle")
+    val errCanons = err.filter(!col("poisoned"))
+      .select("url_canon", "bundle").collect()
+      .map(r => (r.getString(0), r.getString(1))).distinct
+    val (heldCanons, liveCanons) = errCanons.partition(e => tombstoned(e._2))
+    assert(liveCanons.nonEmpty, "fixture must exhaust an ignored member of a live bundle")
+    assert(heldCanons.nonEmpty, "fixture must exhaust an ignored member of a poisoned bundle")
+    val schedCount = job.scheduleTable.groupBy("url_canon").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    liveCanons.foreach { case (c, _) =>
+      assert(schedCount(c) == 2L, s"live error member $c: expected inc retry") }
+    heldCanons.filterNot(h => liveCanons.exists(_._1 == h._1)).foreach { case (c, _) =>
+      assert(schedCount(c) == 1L, s"poisoned error member $c must not retry") }
+  }
+
   test("all features combined ≡ simulator (priorities × dispatch × bundles × classed errors × ignore × salts × bloom × inc)") {
     import graft.operators.{BundleSpec, ParserRule}
     val v = V

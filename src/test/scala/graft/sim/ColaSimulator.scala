@@ -51,6 +51,14 @@ class ColaSimulator(
   // O9 inc store: finished units in first-finish FIFO order (canon -> raw)
   private val incQueue = mutable.LinkedHashMap.empty[String, String]
   private var incPassesLeft = settings.incPasses
+  // O10 in-bundle error_urls (executor.py:500-501): ignore-exhausted
+  // BUNDLE members, first-exhaustion order, canon -> (raw, label). Retried
+  // at the bundle's next pop — at wave granularity, the O9 inc pass
+  // (execute() re-extends the worklist with error_urls, :559-560; put_inc
+  // re-queues the bundle, :610-612). Members of a poisoned label never
+  // retry (the terminal poisoned-bundle reading).
+  private val bundleErrorUrls = mutable.LinkedHashMap.empty[String, (String, String)]
+  private val poisonedLabels = mutable.Set.empty[String]
 
   private def waveBase(w: Int): Long = w.toLong << 40
 
@@ -180,6 +188,12 @@ class ColaSimulator(
                 }
                 if (status != "network" || !ignore) dead += ((e.canon, reason))
                 if (!ignore) e.bundle.foreach(poisoned += _)
+                // O10: an ignore-class exhaustion of a BUNDLE member joins
+                // its bundle's error_urls (first exhaustion wins the order)
+                if (ignore) e.bundle.foreach { lbl =>
+                  if (!bundleErrorUrls.contains(e.canon))
+                    bundleErrorUrls += e.canon -> ((e.url, lbl))
+                }
               }
           } else pages.get(e.canon).foreach { html =>
               finished += 1
@@ -232,6 +246,7 @@ class ColaSimulator(
         val (blocked, surviving) = (leftover ++ retries ++ fresh)
           .partition(e => e.bundle.exists(poisoned))
         blocked.foreach(e => dead += ((e.canon, "bundle_blocked")))
+        poisonedLabels ++= poisoned
         frontier = surviving
         // O9 automated re-crawl: frontier drained with budget left → one
         // pass over the inc store (first-finish FIFO), lowest priority,
@@ -242,6 +257,19 @@ class ColaSimulator(
             frontier += Entry(raw, canon, UrlCanon.host(canon),
               settings.nPriorities - 1, 0, waveBase(w) + i, 0)
           }
+          // O10: the pass ≙ re-popping every finished unit's bundle, so
+          // each bundle's error_urls ride it too (executor.py:559-560) —
+          // after the finished FIFO, first-exhaustion order, label kept
+          // (a repeat exhaustion re-joins error_urls; a poisoned label's
+          // members stay withheld). Units that later finished ride the
+          // inc FIFO instead (the bundle worklist dedups, :596).
+          bundleErrorUrls.iterator
+            .filter { case (canon, (_, lbl)) =>
+              !incQueue.contains(canon) && !poisonedLabels(lbl) }
+            .zipWithIndex.foreach { case ((canon, (raw, lbl)), i) =>
+              frontier += Entry(raw, canon, UrlCanon.host(canon),
+                settings.nPriorities - 1, 0, waveBase(w) + incQueue.size + i, 0, Some(lbl))
+            }
           incPassesLeft -= 1
         }
         wave = w
