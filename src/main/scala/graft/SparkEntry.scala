@@ -258,6 +258,14 @@ object SparkEntry {
       TextDedup.exact(planted, "text", "doc_id").select(col("doc_id"), col("n_copies"))
     }),
 
+    // exact repeated-span removal (fixed-k reading of Lee et al. 2022
+    // suffix dedup): any 8-token window occurring twice corpus-wide is
+    // cut from every doc; the oracle replays grams, coverage and the
+    // rebuilt text md5
+    "dedup_repeated_spans" -> ((s, d) =>
+      TextDedup.dedupRepeatedSpans(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", k = 8)),
+
     // MinHash+LSH near-dup detection, verified — equals exact Jaccard ≥ 0.8
     "dedup_minhash_lsh" -> ((s, d) =>
       TextDedup.minhashLshDuplicates(
@@ -674,6 +682,34 @@ object SparkEntry {
          FROM (SELECT doc_id, text FROM documents
                UNION ALL SELECT doc_id + 1000000, text FROM documents) p
          GROUP BY text""",
+
+    // replays repeated-span removal end to end: same tokenization, same
+    // 8-gram windows WITH positions, repeated grams (count > 1), token
+    // coverage, and the kept-token rebuild hashed with md5
+    "dedup_repeated_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                              w -> len(w) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, u.i - 1 AS pos, array_to_string(t[u.i:u.i+7], ' ') AS gram
+           FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+           WHERE len(t) >= 8),
+         rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         removed AS (
+           SELECT DISTINCT doc_id, pos + dd.d AS j
+           FROM (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM rep)) s,
+                unnest(generate_series(0, 7)) AS dd(d)),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS INT) AS n_removed, list(j) AS rm
+           FROM removed GROUP BY doc_id)
+         SELECT toks.doc_id, CAST(len(t) AS INT) AS n_tokens,
+           coalesce(agg.n_removed, 0) AS n_removed,
+           md5(coalesce(array_to_string(
+             [t[x + 1] FOR x IN generate_series(0, len(t) - 1)
+              IF NOT list_contains(coalesce(rm, []), x)], ' '), '')) AS clean_md5
+         FROM toks LEFT JOIN agg USING (doc_id)""",
 
     // replays the n-gram decontamination rule: same tokenization
     // (whitespace split of trimmed text), same varied-length bench

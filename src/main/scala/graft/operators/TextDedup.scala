@@ -463,4 +463,64 @@ object TextDedup {
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
   }
+
+  /** Repeated-span starts (the fixed-k sliding-window reading of exact
+   *  substring dedup — Lee et al. 2022, "Deduplicating Training Data
+   *  Makes Language Models Better": any k-token window occurring more
+   *  than `maxCount` times CORPUS-WIDE, within-doc repeats included, is
+   *  removed from every document). Output: (idCol, starts) — the sorted
+   *  token offsets in each affected doc where a repeated window begins.
+   *
+   *  Scale shape: tokens are pre-projected BELOW the gram explode (the
+   *  Generate-inlining trap — no subexpr elimination inside Generate);
+   *  the gram df is one map-side-partial hash aggregate keyed by the
+   *  gram string; repeated grams re-join the gram stream with a semi
+   *  join (only repeated rows survive to the per-doc collect, whose
+   *  size is bounded by the doc's own window count). Gram keys stay
+   *  STRINGS for cross-engine exactness — the production-scale swap is
+   *  xxhash64 gram keys (shuffles ~5-10x less at a ~2^-64 per-pair
+   *  false-removal risk), same plan shape. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int, maxCount: Long = 1L): DataFrame = {
+    require(k > 0, s"window length must be positive: $k")
+    val toks = df.select(col(idCol), Corpus.wordTokens(col(textCol)).as("__t"))
+    val grams = toks
+      .select(col(idCol), posexplode(Corpus.wordGrams(col("__t"), k)).as(Seq("pos", "gram")))
+    val repeated = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxCount)
+      .select(col("gram"))
+    grams.join(repeated, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+  }
+
+  /** Shipping stage of repeated-span removal: every token covered by a
+   *  repeated k-window is cut; the survivors keep their order. One
+   *  row per input doc: (idCol, n_tokens, n_removed, clean_md5) — the
+   *  md5 of the space-rejoined kept tokens (full clean text stays
+   *  derivable; the digest keeps result rows narrow). The rebuild is
+   *  per-row HOF arithmetic over the doc's own starts — kept indices
+   *  via hash-based `array_except` (order-preserving), so the row cost
+   *  is O(tokens + k·starts), linear even for a long fully-repeated
+   *  doc — no shuffle beyond [[repeatedSpans]]' aggregate + the small
+   *  starts join, which AQE broadcasts when the affected-doc set is
+   *  small). */
+  def dedupRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int, maxCount: Long = 1L): DataFrame = {
+    val spans = repeatedSpans(df, textCol, idCol, k, maxCount)
+    val toksC = Corpus.wordTokens(col(textCol))
+    val startsC = coalesce(col("starts"), array().cast("array<int>"))
+    val removed = array_distinct(flatten(
+      transform(startsC, s => sequence(s, s + lit(k - 1)))))
+    // guarded: sequence(0, -1) would count DOWN, not produce empty
+    val idxAll = when(size(toksC) > 0, sequence(lit(0), size(toksC) - 1))
+      .otherwise(array().cast("array<int>"))
+    val kept = transform(array_except(idxAll, removed),
+      i => element_at(toksC, i + 1))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol), size(toksC).as("n_tokens"),
+        size(removed).as("n_removed"),
+        md5(array_join(kept, " ")).as("clean_md5"))
+  }
 }

@@ -118,6 +118,86 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(max("doc_id")).collect()(0).getLong(0) < 1000000)
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("repeatedSpans: corpus-wide repeated k-windows, within-doc repeats included") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 repeats "a b" WITHIN itself (pos 0 and 3); "b c" repeats
+    // ACROSS docs 1 and 2; doc 3's gram is unique; doc 4 is shorter
+    // than k and contributes no windows at all.
+    val df = Seq(
+      (1L, "a b c a b"), (2L, "b c d"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val spans = TextDedup.repeatedSpans(df, "text", "doc_id", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(spans == Map(1L -> Seq(0, 1, 3), 2L -> Seq(0)))
+  }
+
+  test("dedupRepeatedSpans: covered tokens cut, survivors keep order, md5 exact") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a b c a b"), (2L, "  b   c d "), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.dedupRepeatedSpans(df, "text", "doc_id", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 1: starts {0,1,3} cover every index 0..4 → fully removed
+    assert(out(1L) == ((5, 5, md5Hex(""))))
+    // doc 2 (ragged whitespace — tokenization must normalize): "b c"
+    // repeated → tokens 0,1 cut, "d" survives
+    assert(out(2L) == ((3, 2, md5Hex("d"))))
+    // docs 3/4: untouched; md5 is of the whitespace-normalized rejoin
+    assert(out(3L) == ((2, 0, md5Hex("x y"))))
+    assert(out(4L) == ((1, 0, md5Hex("solo"))))
+  }
+
+  test("dedupRepeatedSpans equals brute force on a seeded LCG corpus (property)") {
+    val sp = spark
+    import sp.implicits._
+    // tiny vocab so 3-windows genuinely repeat; LCG for determinism
+    val vocab = Vector("a", "b", "c", "d", "e")
+    var s = 0x9E3779B97F4A7C15L
+    def nx(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % vocab.size).toInt + vocab.size) % vocab.size }
+    val texts = (0 until 40).map { i =>
+      val len = 2 + (i % 9) // some docs below k=3
+      i.toLong -> (0 until len).map(_ => vocab(nx())).mkString(" ")
+    }
+    val k = 3
+    // brute force: every k-window occurring >1 times corpus-wide
+    val grams = texts.flatMap { case (id, t) =>
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(k).zipWithIndex.filter(_._1.length == k)
+        .map { case (w, p) => (id, p, w.mkString(" ")) }.toSeq
+    }
+    val rep = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+    val expected = texts.map { case (id, t) =>
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      val removed = grams.filter(g => g._1 == id && rep(g._3))
+        .flatMap(g => g._2 until g._2 + k).toSet
+      val kept = tk.zipWithIndex.collect { case (w, i) if !removed(i) => w }
+      id -> ((tk.length, removed.size, md5Hex(kept.mkString(" "))))
+    }.toMap
+    val out = TextDedup.dedupRepeatedSpans(
+        texts.toDF("doc_id", "text"), "text", "doc_id", k)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out == expected)
+    assert(expected.values.exists(_._2 > 0), "fixture must contain repeats")
+    assert(expected.values.exists(v => v._2 == 0 && v._1 >= k),
+      "fixture must contain untouched full-length docs")
+  }
+
+  test("dedupRepeatedSpans plan: gram aggregate + semi join, no cartesian") {
+    val plan = TextDedup.dedupRepeatedSpans(docs, "text", "doc_id", k = 8)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"repeated-span dedup must never go quadratic:\n$plan")
+    assert(plan.contains("LeftSemi"), s"repeated grams must prune via semi join:\n$plan")
+  }
+
   test("minhash LSH + verify finds exactly the exact-Jaccard pairs (≥0.8)") {
     val sh = TextDedup.shingles(docs, "text", "doc_id", 3)
     val exact = TextDedup.jaccardPairs(sh, 800)
