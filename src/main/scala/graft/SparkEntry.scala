@@ -266,6 +266,26 @@ object SparkEntry {
       TextDedup.dedupRepeatedSpans(
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", k = 8)),
 
+    // paragraph-level exact dedup (CCNet line-dedup rule): the fixture
+    // has no newlines, so the query first builds multi-paragraph docs
+    // (5 consecutive texts joined by \n) and plants doc 0's text as a
+    // boilerplate paragraph in EVERY doc — its global first occurrence
+    // (doc 0, pos 0) survives, all others are cut, the within-group-0
+    // planted copy included
+    "dedup_paragraphs" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val bp = docs.filter(col("doc_id") === 0).select(col("text").as("__bp"))
+      val grouped = docs
+        .groupBy(floor(col("doc_id") / 5).cast("long").as("gid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("i"), col("text").as("t")))),
+          x => x.getField("t")), "\n").as("text"))
+      val withBp = grouped.crossJoin(broadcast(bp))
+        .select(col("gid").as("doc_id"),
+          concat(col("text"), lit("\n"), col("__bp")).as("text"))
+      TextDedup.dedupParagraphs(withBp, "text", "doc_id")
+    }),
+
     // MinHash+LSH near-dup detection, verified — equals exact Jaccard ≥ 0.8
     "dedup_minhash_lsh" -> ((s, d) =>
       TextDedup.minhashLshDuplicates(
@@ -710,6 +730,39 @@ object SparkEntry {
              [t[x + 1] FOR x IN generate_series(0, len(t) - 1)
               IF NOT list_contains(coalesce(rm, []), x)], ' '), '')) AS clean_md5
          FROM toks LEFT JOIN agg USING (doc_id)""",
+
+    // replays paragraph dedup end to end: same grouped+planted docs,
+    // same normalized key, global first occurrence by (doc_id, pos)
+    // via row_number, and the kept-segment rebuild hashed with md5
+    "dedup_paragraphs" ->
+      """WITH bp AS (SELECT text AS b FROM documents WHERE doc_id = 0),
+         g AS (
+           SELECT CAST(floor(doc_id / 5) AS BIGINT) AS doc_id,
+                  string_agg(text, chr(10) ORDER BY doc_id)
+                    || chr(10) || (SELECT b FROM bp) AS text
+           FROM documents GROUP BY 1),
+         p AS (
+           SELECT doc_id, u.i - 1 AS pos,
+                  lower(trim(regexp_replace(l[u.i], '\s+', ' ', 'g'))) AS key
+           FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l FROM g) t,
+                unnest(generate_series(1, len(l))) AS u(i)),
+         rm AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+             FROM p WHERE len(key) > 0)
+           WHERE rn > 1),
+         agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_removed, list(pos) AS rmp
+                 FROM rm GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(len(list_filter(l,
+             x -> len(lower(trim(regexp_replace(x, '\s+', ' ', 'g')))) > 0)) AS INT) AS n_paras,
+           coalesce(agg.n_removed, 0) AS n_removed,
+           md5(coalesce(array_to_string(
+             [l[i + 1] FOR i IN generate_series(0, len(l) - 1)
+              IF NOT list_contains(coalesce(rmp, []), i)], chr(10)), '')) AS clean_md5
+         FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l FROM g) t
+         LEFT JOIN agg USING (doc_id)""",
 
     // replays the n-gram decontamination rule: same tokenization
     // (whitespace split of trimmed text), same varied-length bench

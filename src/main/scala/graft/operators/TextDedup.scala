@@ -464,6 +464,53 @@ object TextDedup {
       .select(col("a"), col("b"), col("dist"))
   }
 
+  /** Paragraph-level exact dedup (the CCNet/RefinedWeb line-dedup rule):
+   *  a paragraph (newline-split segment) duplicated CORPUS-WIDE keeps
+   *  only its global first occurrence — ordered by (idCol, position) —
+   *  and is cut everywhere else, within-doc repeats included. Matching
+   *  is on a normalized key (whitespace runs collapsed to one space,
+   *  space-trimmed, lowercased); blank segments (empty key) never enter
+   *  dedup and are always kept, so document formatting survives. One
+   *  row per input doc: (idCol, n_paras, n_removed, clean_md5) — the
+   *  count of non-blank paragraphs, paragraphs cut, and the md5 of the
+   *  kept segments rejoined with '\n' (original bytes, not the key).
+   *
+   *  Scale shape: ONE map-side-partial aggregate keyed by the paragraph
+   *  key finds each key's global first occurrence (partial min of a
+   *  (id,pos) struct — a 10^8-copy boilerplate paragraph combines
+   *  map-side, no hot reduce key); the paragraph stream re-joins the
+   *  firsts table on the key (AQE: broadcast while small, skew-split
+   *  shuffle at corpus scale — never a window over a hot key, whose
+   *  rows can't split). Removed positions aggregate per doc (bounded by
+   *  the doc's own paragraph count) and the rebuild joins back to the
+   *  corpus scan — affected docs only — cutting per row with hash-based
+   *  order-preserving array_except, O(segments + removed). */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val segsC = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val keyC = lower(trim(regexp_replace(col("para"), "\\s+", " ")))
+    val paras = df.select(col(idCol), posexplode(segsC).as(Seq("pos", "para")))
+      .withColumn("__key", keyC)
+      .filter(length(col("__key")) > 0)
+      .select(col(idCol), col("pos"), col("__key"))
+    val firsts = paras.groupBy(col("__key"))
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__first"))
+    val removed = paras.join(firsts, Seq("__key"))
+      .filter(!(col(idCol) === col("__first.d") && col("pos") === col("__first.p")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__rm"))
+    val rmC = coalesce(col("__rm"), array().cast("array<int>"))
+    // guarded: sequence(0, -1) would count DOWN, not produce empty
+    val idxAll = when(size(segsC) > 0, sequence(lit(0), size(segsC) - 1))
+      .otherwise(array().cast("array<int>"))
+    val kept = transform(array_except(idxAll, rmC), i => element_at(segsC, i + 1))
+    df.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        size(filter(segsC, x => length(lower(trim(regexp_replace(x, "\\s+", " ")))) > 0))
+          .as("n_paras"),
+        size(rmC).as("n_removed"),
+        md5(array_join(kept, "\n")).as("clean_md5"))
+  }
+
   /** Repeated-span starts (the fixed-k sliding-window reading of exact
    *  substring dedup — Lee et al. 2022, "Deduplicating Training Data
    *  Makes Language Models Better": any k-token window occurring more

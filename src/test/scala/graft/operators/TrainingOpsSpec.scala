@@ -122,6 +122,69 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("dedupParagraphs: global first kept, normalized match, blanks survive") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: "A" repeats within the doc (case-normalized); the blank
+    // line must survive. doc 2: both paragraphs are later occurrences
+    // of doc 1's (whitespace-normalized). doc 3: empty text.
+    val df = Seq(
+      (1L, "A\n\nb c\na"), (2L, " a \nb  c\nd"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphs(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3, 1, md5Hex("A\n\nb c"))))
+    assert(out(2L) == ((3, 2, md5Hex("d"))))
+    assert(out(3L) == ((0, 0, md5Hex(""))))
+  }
+
+  test("dedupParagraphs equals brute force on a seeded LCG corpus (property)") {
+    val sp = spark
+    import sp.implicits._
+    // small paragraph pool (duplicates abound) + case/spacing variants
+    // + blank lines; brute-force replays the rules exactly
+    val pool = Vector("the quick fox", "lorem ipsum", "copyright footer",
+      "THE QUICK FOX", "lorem  ipsum", "unique %d", "", "   ")
+    var s = 0xC0FFEE1234L
+    def nx(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n }
+    val texts = (0 until 30).map { i =>
+      val nSeg = 1 + nx(6)
+      i.toLong -> (0 until nSeg).map { _ =>
+        val p = pool(nx(pool.size)); if (p.contains("%d")) p.format(nx(5)) else p
+      }.mkString("\n")
+    }
+    def norm(p: String) = p.replaceAll("\\s+", " ").trim.toLowerCase
+    val occ = texts.flatMap { case (id, t) =>
+      t.split("\n", -1).zipWithIndex.collect {
+        case (p, i) if norm(p).nonEmpty => (norm(p), id, i) } }
+    val firsts = occ.groupBy(_._1).map { case (k, os) =>
+      k -> os.map(o => (o._2, o._3)).min }
+    val expected = texts.map { case (id, t) =>
+      val segs = t.split("\n", -1)
+      val rm = segs.zipWithIndex.collect {
+        case (p, i) if norm(p).nonEmpty && firsts(norm(p)) != ((id, i)) => i }.toSet
+      val kept = segs.zipWithIndex.collect { case (p, i) if !rm(i) => p }
+      id -> ((segs.count(p => norm(p).nonEmpty), rm.size, md5Hex(kept.mkString("\n"))))
+    }.toMap
+    val out = TextDedup.dedupParagraphs(texts.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out == expected)
+    assert(expected.values.exists(_._2 > 0), "fixture must contain duplicate paragraphs")
+    assert(expected.values.exists(v => v._2 == 0), "fixture must contain untouched docs")
+  }
+
+  test("dedupParagraphs plan: map-side partial min on the key, no cartesian") {
+    val plan = TextDedup.dedupParagraphs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"paragraph dedup must never go quadratic:\n$plan")
+    // a 10^8-copy boilerplate paragraph must combine map-side, not
+    // flood one reduce key
+    assert(plan.contains("partial_min"),
+      s"firsts aggregate must have a map-side partial:\n$plan")
+  }
+
   test("repeatedSpans: corpus-wide repeated k-windows, within-doc repeats included") {
     val sp = spark
     import sp.implicits._
