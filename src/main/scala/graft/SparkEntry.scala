@@ -355,6 +355,13 @@ object SparkEntry {
           .select(col("doc_id"), TextStats.tokenCount(col("text")).as("nt")),
         "doc_id", "nt", budget = 2000L)),
 
+    // fixed-window chunking with overlap (LM pretraining windows):
+    // 32-token chunks every 24 tokens; the oracle replays tokenization,
+    // start positions and the per-window md5
+    "corpus_chunk" -> ((s, d) =>
+      Corpus.chunkDocs(s.read.parquet(s"$d/documents.parquet"),
+        "text", "doc_id", chunkSize = 32, stride = 24)),
+
     // source-weighted corpus mixing (the dolma/RedPajama mixing step):
     // per-source token budgets — here a deterministic function of the
     // source id so the rule scales with sf — filled in keyed-md5 order
@@ -878,6 +885,21 @@ object SparkEntry {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
                 FROM (SELECT doc_id, ${tokenCountSql("text")} AS n_tokens
                       FROM documents) t) w""",
+
+    // replays chunking end to end: same tokenization, start positions
+    // 0, 24, 48, ... below the token count, windows of 32 clamped at
+    // the doc end, md5 of the space-rejoined window
+    "corpus_chunk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                              w -> len(w) > 0) AS t
+           FROM documents)
+         SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+           CAST(len(t[u.i * 24 + 1 : u.i * 24 + 32]) AS INT) AS n_tokens,
+           md5(array_to_string(t[u.i * 24 + 1 : u.i * 24 + 32], ' ')) AS chunk_md5
+         FROM toks, unnest(generate_series(0, (len(t) - 1) // 24)) AS u(i)
+         WHERE len(t) > 0""",
 
     "dedup_simhash" -> simhashOracle,
 

@@ -160,6 +160,40 @@ object Corpus {
   /** Whitespace token array (trimmed, empties dropped) — the shared
    *  tokenization for word n-grams; identical to the DuckDB oracle's
    *  `list_filter(string_split_regex(trim(text), '\s+'), ...)`. */
+  /** Fixed-window document chunking (the tokenize→chunk step between
+   *  cleaning and shard packing): each doc's token stream is cut into
+   *  windows of `chunkSize` tokens starting every `stride` tokens
+   *  (stride < chunkSize ⇒ overlapping context windows, the usual LM
+   *  pretraining shape). Chunk i covers tokens [i·stride, i·stride +
+   *  chunkSize); the last window truncates at the doc end; a doc emits
+   *  a chunk for every start position < its token count (empty docs
+   *  emit nothing). One row per chunk: (idCol, chunk_id, n_tokens,
+   *  chunk_md5) — the md5 of the space-rejoined window (narrow rows;
+   *  the text stays derivable from the doc + the deterministic rule).
+   *
+   *  Scale shape: completely shuffle-free — tokens are projected BELOW
+   *  the start-position explode (one split per doc, not per chunk: the
+   *  Generate-inlining trap), and every output column is per-row
+   *  arithmetic on the carried token array. The plan is scan → project
+   *  → generate → project; output partitioning inherits the scan, so a
+   *  downstream packShards/write sees ~chunkSize-uniform rows. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunk size must be positive: $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize]: $stride")
+    val starts = when(size(col("__t")) > 0,
+        sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), wordTokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(starts).as(Seq("chunk_id", "__s")))
+      .select(col(idCol), col("chunk_id"),
+        size(slice(col("__t"), col("__s") + 1, lit(chunkSize))).as("n_tokens"),
+        md5(array_join(slice(col("__t"), col("__s") + 1, lit(chunkSize)), " "))
+          .as("chunk_md5"))
+  }
+
   def wordTokens(text: Column): Column =
     filter(split(trim(coalesce(text, lit(""))), "\\s+"), w => length(w) > 0)
 

@@ -191,6 +191,50 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunkDocs: window starts, overlap, runt tail, empty doc emits nothing") {
+    val s2 = spark
+    import s2.implicits._
+    // 7 tokens, size 4, stride 3 → starts 0, 3, 6: full window, full
+    // window, 1-token runt. 3 tokens → one truncated window. blank → none.
+    val df = Seq(
+      (1L, "a b c d e f g"), (2L, " x  y z "), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(df, "text", "doc_id", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(out == Map(
+      (1L, 0) -> ((4, md5Hex("a b c d"))),
+      (1L, 1) -> ((4, md5Hex("d e f g"))),
+      (1L, 2) -> ((1, md5Hex("g"))),
+      (2L, 0) -> ((3, md5Hex("x y z")))))
+  }
+
+  test("chunkDocs: stride == size gives disjoint exact cover") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(df, "text", "doc_id", chunkSize = 5, stride = 5)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(out == Map(0 -> 5, 1 -> 5))
+  }
+
+  test("chunkDocs is shuffle-free (scan → project → generate, no Exchange)") {
+    // a file scan (not a local relation, which constant-folds the
+    // tokenize away) so the below-Generate projection is visible
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Corpus.chunkDocs(df, "text", "doc_id", chunkSize = 8, stride = 6)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    // tokens split once per doc, below the Generate — not once per chunk:
+    // everything above the Generate works on the carried __t array
+    assert(plan.contains("Generate") &&
+      plan.indexOf("split(") > plan.indexOf("Generate"),
+      s"tokenize must be projected below the explode:\n$plan")
+  }
+
   test("contaminationHits flags exactly the docs sharing an n-gram, counting positions") {
     val (docs, bench) = contamFixture
     // bench 3-grams: {alpha beta gamma, beta gamma delta}
