@@ -20,14 +20,17 @@ import scala.collection.mutable
  * pops over still-open formatting elements REOPENS them — the common-case
  * adoption-agency repair: `<b>a<i>b</b>c</i>` puts `c` inside a reopened
  * `<i>`, like a browser), and character references (decoded in text and
- * attribute values at parse — named subset amp/lt/gt/quot/apos/nbsp plus
- * numeric dec/hex; a bare `&` that starts no valid reference stays
- * literal, the real-web leniency). Serialization re-escapes `&` `<` `>`
+ * attribute values at parse — the XML five + full latin-1 block +
+ * common typographic names, numeric dec/hex with the HTML5
+ * windows-1252 remap for C1 refs (`&#147;` is a curly quote on legacy
+ * pages); a bare `&` that starts no valid reference stays literal, the
+ * real-web leniency). Serialization re-escapes `&` `<` `>`
  * in text and `&` `"` in attributes (the BeautifulSoup round-trip rule —
  * without it a decoded `&lt;b&gt;` would re-parse as a real element).
- * Remaining divergence from a browser: the full HTML5 named-entity table
- * (only the common subset decodes), the multi-step adoption agency for
- * deeply misnested formatting, and implied html/head/body synthesis.
+ * Remaining divergence from a browser: the long tail of the ~2k-name
+ * HTML5 entity table (rare Greek/math/combining names), no-semicolon
+ * legacy references, the multi-step adoption agency for deeply
+ * misnested formatting, and implied html/head/body synthesis.
  */
 object Html {
 
@@ -67,16 +70,77 @@ object Html {
     "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
     "strike", "strong", "tt", "u")
 
-  /** Named character references decoded at parse (the common real-web
-   *  subset; the full HTML5 table is ~2k names). */
-  private val NamedEntities: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    // nbsp decodes to a PLAIN space, not U+00A0: the reference decodes to
-    // \xa0 but Python's whitespace normalization folds \xa0 to ' ' (str
-    // .split()/\s are Unicode-aware), while java \s is ASCII-only — going
-    // straight to ' ' yields the reference-equal FINAL text without
-    // widening every whitespace regex downstream
-    "apos" -> "'", "nbsp" -> " ")
+  /** Named character references decoded at parse: the XML five, the
+   *  full HTML latin-1 block (0xA1–0xFF, the HTML 3.2 names — by far
+   *  the densest real-web cluster after the XML five), and the common
+   *  typographic/symbol names (curly quotes, dashes, ellipsis, bullets,
+   *  arrows, legal marks, euro). The full HTML5 table is ~2k names;
+   *  everything beyond this set (rare Greek, combining marks, the
+   *  no-semicolon legacy forms) stays a documented divergence —
+   *  semicolon-terminated references only, a bare `&` or unknown name
+   *  stays literal. */
+  private val NamedEntities: Map[String, String] = {
+    val xml = Map(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      // nbsp decodes to a PLAIN space, not U+00A0: the reference decodes to
+      // \xa0 but Python's whitespace normalization folds \xa0 to ' ' (str
+      // .split()/\s are Unicode-aware), while java \s is ASCII-only — going
+      // straight to ' ' yields the reference-equal FINAL text without
+      // widening every whitespace regex downstream
+      "apos" -> "'", "nbsp" -> " ")
+    // HTML 3.2 latin-1 names for 0xA1..0xFF in codepoint order (nbsp
+    // 0xA0 is special-cased above)
+    val latin1Names = Seq(
+      "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect", "uml",
+      "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+      "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot",
+      "cedil", "sup1", "ordm", "raquo", "frac14", "frac12", "frac34",
+      "iquest", "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring",
+      "AElig", "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave",
+      "Iacute", "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute",
+      "Ocirc", "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute",
+      "Ucirc", "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute",
+      "acirc", "atilde", "auml", "aring", "aelig", "ccedil", "egrave",
+      "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+      "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml",
+      "divide", "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute",
+      "thorn", "yuml")
+    val latin1 = latin1Names.zipWithIndex.map {
+      case (name, i) => name -> (0xA1 + i).toChar.toString
+    }.toMap
+    val typographic = Map(
+      "ndash" -> "–", "mdash" -> "—", "horbar" -> "―",
+      "lsquo" -> "‘", "rsquo" -> "’", "sbquo" -> "‚",
+      "ldquo" -> "“", "rdquo" -> "”", "bdquo" -> "„",
+      "dagger" -> "†", "Dagger" -> "‡", "bull" -> "•",
+      "hellip" -> "…", "permil" -> "‰", "prime" -> "′",
+      "Prime" -> "″", "lsaquo" -> "‹", "rsaquo" -> "›",
+      "oline" -> "‾", "frasl" -> "⁄", "euro" -> "€",
+      "trade" -> "™", "minus" -> "−", "infin" -> "∞",
+      "ne" -> "≠", "le" -> "≤", "ge" -> "≥",
+      "larr" -> "←", "uarr" -> "↑", "rarr" -> "→",
+      "darr" -> "↓", "harr" -> "↔",
+      "OElig" -> "Œ", "oelig" -> "œ", "Scaron" -> "Š",
+      "scaron" -> "š", "Yuml" -> "Ÿ", "fnof" -> "ƒ",
+      "circ" -> "ˆ", "tilde" -> "˜",
+      "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
+      "zwnj" -> "‌", "zwj" -> "‍", "lrm" -> "‎",
+      "rlm" -> "‏")
+    xml ++ latin1 ++ typographic
+  }
+
+  /** HTML5 numeric-reference remap (§13.2.5.80): a `&#N;` in the C1
+   *  range 0x80–0x9F decodes through windows-1252 — legacy pages write
+   *  `&#147;` meaning a curly quote. Codepoints without a 1252 mapping
+   *  (0x81 0x8D 0x8F 0x90 0x9D) pass through unchanged per spec. */
+  private val Win1252C1: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
 
   /** Decode character references leniently: `&name;`, `&#123;`, `&#x1f;`
    *  become their characters; a `&` that starts no valid reference stays
@@ -103,6 +167,14 @@ object Html {
             // (strict encoders throw, UTF-8 writes '?')
             if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF)) {
               sb.append('�'); consumed = j + 1 - amp
+            } else if (cp >= 0x80 && cp <= 0x9F) {
+              // HTML5 legacy remap: C1 refs mean windows-1252 (&#147; is
+              // a curly quote on real pages); unmapped slots pass through
+              sb.append(Win1252C1.getOrElse(cp, cp.toChar))
+              consumed = j + 1 - amp
+            } else if (cp == 0xA0) {
+              // numeric nbsp folds to plain space like the named form
+              sb.append(' '); consumed = j + 1 - amp
             } else if (Character.isValidCodePoint(cp)) {
               sb.append(Character.toChars(cp)); consumed = j + 1 - amp
             }
@@ -110,7 +182,9 @@ object Html {
         }
       } else {
         var j = amp + 1
-        while (j < n && j - amp <= 8 && s.charAt(j).isLetter) j += 1
+        // letters then optional digits (sup2, frac12, Dagger): HTML names
+        // are alphanumeric, always letter-first
+        while (j < n && j - amp <= 8 && s.charAt(j).isLetterOrDigit) j += 1
         if (j < n && s.charAt(j) == ';')
           NamedEntities.get(s.substring(amp + 1, j)).foreach { r =>
             sb.append(r); consumed = j + 1 - amp

@@ -82,6 +82,27 @@ class MalformedHtmlSpec extends AnyFunSuite {
       .find("script").map(_.text).contains("a &amp;&amp; b"))
   }
 
+  test("latin-1, typographic and C1-remapped references decode (r4 widening)") {
+    // the full latin-1 named block
+    assert(Html.parse("<p>caf&eacute; &agrave; la cr&egrave;me, 25&deg; &frac12; &copy;2024</p>").text
+      == "café à la crème, 25° ½ ©2024")
+    // common typographic names
+    assert(Html.parse("<p>it&rsquo;s &ldquo;quoted&rdquo; &ndash; and&hellip; &euro;5 &bull; A&trade;</p>").text
+      == "it’s “quoted” – and… €5 • A™")
+    // HTML5 legacy numeric remap: C1 range reads as windows-1252
+    assert(Html.parse("<p>&#147;legacy quotes&#148; &#150; dash &#133;</p>").text
+      == "“legacy quotes” – dash …")
+    // unmapped C1 slots pass through as the raw codepoint (spec)
+    assert(Html.parse("<p>a&#129;b</p>").text == "a\u0081b")
+    // numeric nbsp folds to plain space like the named form
+    assert(Html.parse("<p>a&#160;b&#xA0;c</p>").text == "a b c")
+    // digit-bearing names resolve; a name NOT in the table stays literal
+    assert(Html.parse("<p>&frac34; &sup2; &notinthetable;</p>").text
+      == "¾ ² &notinthetable;")
+    // semicolon still required (documented divergence from no-semicolon legacy)
+    assert(Html.parse("<p>&eacute x</p>").text == "&eacute x")
+  }
+
   test("render re-escapes what parse decoded (round-trip stability)") {
     // without re-escaping, a decoded &lt;b&gt; would re-parse as markup
     val once = Html.parse("<p>&lt;b&gt;not a tag&lt;/b&gt; &amp; more</p>")
