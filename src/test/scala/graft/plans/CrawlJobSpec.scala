@@ -637,6 +637,63 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       && reasons.contains("network_error"), s"missing an error path: $reasons")
   }
 
+  test("randomized-config sweep: engine ≡ simulator on 4 seeded LCG configs (property)") {
+    import graft.operators.{BundleSpec, ParserRule}
+    val v = V
+    var s = 0xBADC0FFEE0DDF00DL
+    def nx(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n }
+    val bs = BundleSpec("/p/([0-9]*0)$", label => {
+      val id = label.toLong
+      (1 to 7).map(k => if (k == 4) Fixtures.rawUrl(2 * v + id)
+        else Fixtures.rawUrl((id * 7 + k) % v))
+    })
+    val twoRules = Seq(
+      ParserRule("^http://host[0-9]\\.example\\.com/p/[0-9]+.*$", "extract"),
+      ParserRule(Fixtures.UrlPattern, "links"))
+    (1 to 4).foreach { cfg =>
+      val nPrio = 1 + nx(3)
+      val settings = base.copy(
+        size = Seq(-1L, 100L, 160L)(nx(3)),
+        waveCap = 16L + nx(4) * 8L,
+        hostBudget = 2 + nx(4),
+        nPriorities = nPrio,
+        retries = nx(3),
+        networkRetries = nx(3) - 1,
+        serverRetries = nx(3),
+        networkIgnore = nx(2) == 1,
+        serverIgnore = nx(2) == 1,
+        retrySpanWaves = 1 + nx(2),
+        networkSpanWaves = 1 + nx(2),
+        serverSpanWaves = 1 + nx(2),
+        maxWaves = 25,
+        salts = 1 + nx(3),
+        useBloom = nx(2) == 1, bloomCapacity = 4096,
+        incPasses = nx(2),
+        parsers = if (nx(2) == 1) twoRules else Seq.empty,
+        bundles = if (nx(2) == 1) Some(bs) else None)
+      val pExprEngine = (c: Column) =>
+        if (nPrio == 1) lit(0)
+        else coalesce(pmod(regexp_extract(c, "/p/([0-9]+)", 1).cast("long"),
+          lit(nPrio)), lit(0)).cast("int")
+      val pOfSim = (canon: String) =>
+        if (nPrio == 1) 0
+        else "/p/([0-9]+)".r.findFirstMatchIn(canon)
+          .map(_.group(1).toLong % nPrio).getOrElse(0L).toInt
+      val job = new CrawlJob(spark, Fixtures.pagesWithStatusDF(spark, V), settings,
+        tmpDir(s"rand$cfg"), pExprEngine)
+      val summary = job.run(Fixtures.seeds(V))
+      val sim = new ColaSimulator(settings, pagesMap, pOfSim, Some(Fixtures.statusMap(V)))
+      sim.run(Fixtures.seeds(V))
+      val tag = s"config $cfg: $settings"
+      assert(scheduleTuples(job) == simTuples(sim), s"schedule diverged — $tag")
+      assert(deadPairs(job) == sim.dead.toSet, s"dead letters diverged — $tag")
+      assert(job.seenTable.count() == sim.seen.size.toLong, s"seen diverged — $tag")
+      assert(summary.finished == sim.finished && summary.applied == sim.applied,
+        s"budget accounting diverged — $tag")
+    }
+  }
+
   test("P4 blank/garbage seeds are dropped (engine ≡ simulator ≡ clean run)") {
     val settings = base.copy(maxWaves = 2)
     val noisy = Seq("", "   ", "\t") ++ Fixtures.seeds(V) ++
