@@ -475,16 +475,22 @@ object TextDedup {
    *  count of non-blank paragraphs, paragraphs cut, and the md5 of the
    *  kept segments rejoined with '\n' (original bytes, not the key).
    *
-   *  Scale shape: ONE map-side-partial aggregate keyed by the paragraph
-   *  key finds each key's global first occurrence (partial min of a
-   *  (id,pos) struct — a 10^8-copy boilerplate paragraph combines
-   *  map-side, no hot reduce key); the paragraph stream re-joins the
-   *  firsts table on the key (AQE: broadcast while small, skew-split
-   *  shuffle at corpus scale — never a window over a hot key, whose
-   *  rows can't split). Removed positions aggregate per doc (bounded by
-   *  the doc's own paragraph count) and the rebuild joins back to the
-   *  corpus scan — affected docs only — cutting per row with hash-based
-   *  order-preserving array_except, O(segments + removed). */
+   *  Scale shape: the global first occurrence is the lexicographic min
+   *  of (id, pos) per key, decomposed into two PRIMITIVE hash
+   *  aggregates — min pos per (key, id), then min id per key — because
+   *  a struct-valued `min` silently degrades to SortAggregate (two
+   *  full sorts of the paragraph stream; the same trap the in-batch
+   *  URL dedup documents). Both stay in whole-stage-codegen
+   *  HashAggregate with map-side partials — a 10^8-copy boilerplate
+   *  paragraph combines map-side, no hot reduce key — and the second
+   *  runs on the (key, id)-compressed stream. The paragraph stream
+   *  then re-joins the one-row-per-key firsts table (AQE: broadcast
+   *  while small, skew-split shuffle at corpus scale — never a window
+   *  over a hot key, whose rows can't split). Removed positions
+   *  aggregate per doc (bounded by the doc's own paragraph count) and
+   *  the rebuild joins back to the corpus scan — affected docs only —
+   *  cutting per row with hash-based order-preserving array_except,
+   *  O(segments + removed). */
   def dedupParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val segsC = split(coalesce(col(textCol), lit("")), "\n", -1)
     val keyC = lower(trim(regexp_replace(col("para"), "\\s+", " ")))
@@ -492,10 +498,14 @@ object TextDedup {
       .withColumn("__key", keyC)
       .filter(length(col("__key")) > 0)
       .select(col(idCol), col("pos"), col("__key"))
-    val firsts = paras.groupBy(col("__key"))
-      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__first"))
+    val perDoc = paras.groupBy(col("__key"), col(idCol))
+      .agg(min(col("pos")).as("__mp"))
+    val firstDoc = perDoc.groupBy(col("__key")).agg(min(col(idCol)).as("__fd"))
+    val firsts = perDoc.join(firstDoc, Seq("__key"))
+      .filter(col(idCol) === col("__fd"))
+      .select(col("__key"), col("__fd"), col("__mp").as("__fp"))
     val removed = paras.join(firsts, Seq("__key"))
-      .filter(!(col(idCol) === col("__first.d") && col("pos") === col("__first.p")))
+      .filter(!(col(idCol) === col("__fd") && col("pos") === col("__fp")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__rm"))
     val rmC = coalesce(col("__rm"), array().cast("array<int>"))

@@ -183,6 +183,10 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // flood one reduce key
     assert(plan.contains("partial_min"),
       s"firsts aggregate must have a map-side partial:\n$plan")
+    // the struct-min trap: a struct-valued min degrades to SortAggregate
+    // (two full sorts of the paragraph stream) — must stay hash
+    assert(!plan.contains("SortAggregate"),
+      s"firsts must be primitive hash aggregates, not sort:\n$plan")
   }
 
   test("repeatedSpans: corpus-wide repeated k-windows, within-doc repeats included") {
