@@ -78,8 +78,13 @@ object SparkEntry {
       urlsDF(s, d).select(hostUdf(lower(col("url"))).as("host"), col("seq"))),
 
     // D1: first-seen dedup
+    // the string url column is dropped BEFORE the dedup: with only
+    // fixed-width value columns the first-seen aggregate runs on its
+    // primitive min_by fast path (whole-stage HashAggregate — a string
+    // value column would demote it to the struct-min SortAggregate
+    // fallback, two full sorts; see PlanAudit)
     "dedup_anti" -> ((s, d) =>
-      Dedup.firstSeenInBatch(enriched(s, d), Seq(col("seq")))
+      Dedup.firstSeenInBatch(enriched(s, d).drop("url"), Seq(col("seq")))
         .select(col("url_canon"), col("seq"))),
 
     // O6: per-host top-k politeness quota
@@ -130,7 +135,7 @@ object SparkEntry {
 
     // MQ put path: union two waves + first-seen dedup
     "frontier_union_dedup" -> ((s, d) => {
-      val e = enriched(s, d)
+      val e = enriched(s, d).drop("url") // fixed-width values → hash-agg fast path
       val w1 = e.filter(col("seq") % 2 === 0)
       val w2 = e.filter(col("seq") % 3 === 0)
       Dedup.firstSeenInBatch(w1.unionByName(w2), Seq(col("seq")))

@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.{FrontierBench, SparkEntry}
+
+/** Sweeps EVERY SparkEntry query's executed plan for the silent
+  * degradations that pass correctness but break at scale:
+  * SortAggregate (a struct-valued min/min_by demotes the hash
+  * aggregate — two full sorts), CartesianProduct / BroadcastNestedLoopJoin
+  * (a join lost its equi-keys), and single-partition Window (a global
+  * window serializes the stream through one task).
+  * Run: sbt "Test/runMain graft.tools.PlanAudit [sfDir]" */
+object PlanAudit {
+  private val Flags = Seq(
+    "SortAggregate", "CartesianProduct", "BroadcastNestedLoop",
+    "Exchange SinglePartition")
+
+  /** Flags that are the QUERY's design, not a degradation — each entry
+    * must say why. A new unlisted flag is a finding. */
+  private val ByDesign: Map[String, String] = Map(
+    "embed_topk" -> ("BroadcastNestedLoop: brute-force exact top-k IS " +
+      "all-pairs by definition; queries broadcast, corpus streams"),
+    "embed_ann_lsh" -> ("BroadcastNestedLoop: the query embeds the " +
+      "brute-force exact baseline for its containment check; the ANN " +
+      "path itself is a bucket join (spec-pinned)"),
+    "embed_ann_ivf_probe" -> ("BroadcastNestedLoop: same embedded " +
+      "brute-force containment baseline as embed_ann_lsh"),
+    "dedup_paragraphs" -> ("BroadcastNestedLoop: the query plants a " +
+      "boilerplate paragraph via crossJoin(broadcast(1-row df)) — " +
+      "fixture construction; the operator plan is clean (PLANS.md §13)"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = FrontierBench.session(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val hits = Flags.filter(plan.contains)
+        if (hits.nonEmpty && ByDesign.contains(name))
+          println(f"$name%-28s by-design (${hits.mkString(", ")}) — ${ByDesign(name)}")
+        else if (hits.nonEmpty) { bad += 1; println(f"$name%-28s FLAG ${hits.mkString(", ")}") }
+        else println(f"$name%-28s ok")
+      } catch { case e: Throwable =>
+        bad += 1; println(f"$name%-28s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    println(s"PLAN_AUDIT flagged=$bad")
+    spark.stop()
+  }
+}
