@@ -28,25 +28,36 @@ object PlanAudit {
       "boilerplate paragraph via crossJoin(broadcast(1-row df)) — " +
       "fixture construction; the operator plan is clean (PLANS.md §13)"))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = FrontierBench.session(8)
-    spark.sparkContext.setLogLevel("ERROR")
-    var bad = 0
+  /** Run the sweep; returns (query, finding) for every NON-whitelisted
+    * flag. Used by the CLI below and by PlanAuditSpec as a gate. */
+  def audit(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      report: String => Unit = _ => ()): Seq[(String, String)] = {
+    val found = Seq.newBuilder[(String, String)]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)
         val hits = Flags.filter(plan.contains)
         if (hits.nonEmpty && ByDesign.contains(name))
-          println(f"$name%-28s by-design (${hits.mkString(", ")}) — ${ByDesign(name)}")
-        else if (hits.nonEmpty) { bad += 1; println(f"$name%-28s FLAG ${hits.mkString(", ")}") }
-        else println(f"$name%-28s ok")
+          report(f"$name%-28s by-design (${hits.mkString(", ")}) — ${ByDesign(name)}")
+        else if (hits.nonEmpty) {
+          found += name -> hits.mkString(", ")
+          report(f"$name%-28s FLAG ${hits.mkString(", ")}")
+        } else report(f"$name%-28s ok")
       } catch { case e: Throwable =>
-        bad += 1; println(f"$name%-28s ERROR ${e.getMessage.take(80)}")
+        found += name -> s"ERROR ${e.getMessage.take(80)}"
+        report(f"$name%-28s ERROR ${e.getMessage.take(80)}")
       }
     }
-    println(s"PLAN_AUDIT flagged=$bad")
+    found.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = FrontierBench.session(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val bad = audit(spark, sfDir, println)
+    println(s"PLAN_AUDIT flagged=${bad.size}")
     spark.stop()
   }
 }
