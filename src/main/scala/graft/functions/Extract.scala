@@ -76,7 +76,11 @@ object Extract extends Serializable {
     h
   }
 
-  private def normalizeSpace(s: String): String = s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  // (?U): the reference normalizes with Python str.split(), which is
+  // Unicode-whitespace-aware — java's default \s is ASCII-only and would
+  // leave a raw U+2002/U+3000 (or a decoded &#8194;) in the final text
+  private def normalizeSpace(s: String): String =
+    s.split("(?U)\\s+").filter(_.nonEmpty).mkString(" ")
 
   /** preprocess.py:125-136 — returns (title, body-soup). */
   private[functions] def preprocess(html: String, baseUrl: String): (String, Elem) = {

@@ -123,7 +123,11 @@ object Html {
       "OElig" -> "Œ", "oelig" -> "œ", "Scaron" -> "Š",
       "scaron" -> "š", "Yuml" -> "Ÿ", "fnof" -> "ƒ",
       "circ" -> "ˆ", "tilde" -> "˜",
-      "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
+      // Unicode-whitespace entities fold to plain space under the nbsp
+      // rule (Python \s folds U+2002/3/9; java ASCII \s does not).
+      // zwnj/zwj/lrm/rlm are FORMAT chars, not whitespace, in both
+      // engines - they pass through as themselves.
+      "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
       "zwnj" -> "‌", "zwj" -> "‍", "lrm" -> "‎",
       "rlm" -> "‏")
     xml ++ latin1 ++ typographic

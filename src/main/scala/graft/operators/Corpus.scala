@@ -157,9 +157,6 @@ object Corpus {
       .select(col("id").as(idCol), col("source").as(sourceCol), col("n_tokens"))
   }
 
-  /** Whitespace token array (trimmed, empties dropped) — the shared
-   *  tokenization for word n-grams; identical to the DuckDB oracle's
-   *  `list_filter(string_split_regex(trim(text), '\s+'), ...)`. */
   /** Fixed-window document chunking (the tokenize→chunk step between
    *  cleaning and shard packing): each doc's token stream is cut into
    *  windows of `chunkSize` tokens starting every `stride` tokens
@@ -194,6 +191,9 @@ object Corpus {
           .as("chunk_md5"))
   }
 
+  /** Whitespace token array (trimmed, empties dropped) — the shared
+   *  tokenization for word n-grams; identical to the DuckDB oracle's
+   *  `list_filter(string_split_regex(trim(text), '\s+'), ...)`. */
   def wordTokens(text: Column): Column =
     filter(split(trim(coalesce(text, lit(""))), "\\s+"), w => length(w) > 0)
 

@@ -103,6 +103,19 @@ class MalformedHtmlSpec extends AnyFunSuite {
     assert(Html.parse("<p>&eacute x</p>").text == "&eacute x")
   }
 
+  test("Unicode whitespace normalizes like the reference (Python .split() semantics)") {
+    // raw U+2002/U+3000 bytes and a numeric &#8194; must fold to single
+    // spaces in the FINAL extracted text — the reference normalizes with
+    // Python str.split() (Unicode-aware); java's ASCII \s would leave them
+    val para = ("lorem ipsum&#8194;dolor\u3000sit amet " * 8).trim
+    val page = s"<html><head><title>T</title></head><body>" +
+      s"<div id=main><p>$para</p></div></body></html>"
+    val text = Extract.extractText(page, "http://h/x")
+    assert(!text.exists(c => c == '\u2002' || c == '\u3000'),
+      s"Unicode whitespace survived normalization: ${text.take(120)}")
+    assert(text.contains("lorem ipsum dolor sit amet"))
+  }
+
   test("render re-escapes what parse decoded (round-trip stability)") {
     // without re-escaping, a decoded &lt;b&gt; would re-parse as markup
     val once = Html.parse("<p>&lt;b&gt;not a tag&lt;/b&gt; &amp; more</p>")

@@ -14,19 +14,21 @@ object PlanAudit {
     "SortAggregate", "CartesianProduct", "BroadcastNestedLoop",
     "Exchange SinglePartition")
 
-  /** Flags that are the QUERY's design, not a degradation — each entry
-    * must say why. A new unlisted flag is a finding. */
-  private val ByDesign: Map[String, String] = Map(
-    "embed_topk" -> ("BroadcastNestedLoop: brute-force exact top-k IS " +
-      "all-pairs by definition; queries broadcast, corpus streams"),
-    "embed_ann_lsh" -> ("BroadcastNestedLoop: the query embeds the " +
+  /** SPECIFIC flags that are the QUERY's design, not a degradation —
+    * each entry names the one flag it excuses and says why. Any OTHER
+    * flag on the same query (e.g. dedup_paragraphs regressing to a
+    * SortAggregate) is still a finding. */
+  private val ByDesign: Map[String, (String, String)] = Map(
+    "embed_topk" -> (("BroadcastNestedLoop", "brute-force exact top-k IS " +
+      "all-pairs by definition; queries broadcast, corpus streams")),
+    "embed_ann_lsh" -> (("BroadcastNestedLoop", "the query embeds the " +
       "brute-force exact baseline for its containment check; the ANN " +
-      "path itself is a bucket join (spec-pinned)"),
-    "embed_ann_ivf_probe" -> ("BroadcastNestedLoop: same embedded " +
-      "brute-force containment baseline as embed_ann_lsh"),
-    "dedup_paragraphs" -> ("BroadcastNestedLoop: the query plants a " +
+      "path itself is a bucket join (spec-pinned)")),
+    "embed_ann_ivf_probe" -> (("BroadcastNestedLoop", "same embedded " +
+      "brute-force containment baseline as embed_ann_lsh")),
+    "dedup_paragraphs" -> (("BroadcastNestedLoop", "the query plants a " +
       "boilerplate paragraph via crossJoin(broadcast(1-row df)) — " +
-      "fixture construction; the operator plan is clean (PLANS.md §13)"))
+      "fixture construction; the operator plan is clean (PLANS.md §13)")))
 
   /** Run the sweep; returns (query, finding) for every NON-whitelisted
     * flag. Used by the CLI below and by PlanAuditSpec as a gate. */
@@ -38,15 +40,16 @@ object PlanAudit {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)
         val hits = Flags.filter(plan.contains)
-        if (hits.nonEmpty && ByDesign.contains(name))
-          report(f"$name%-28s by-design (${hits.mkString(", ")}) — ${ByDesign(name)}")
-        else if (hits.nonEmpty) {
-          found += name -> hits.mkString(", ")
-          report(f"$name%-28s FLAG ${hits.mkString(", ")}")
-        } else report(f"$name%-28s ok")
+        val (excused, real) = hits.partition(h => ByDesign.get(name).exists(_._1 == h))
+        excused.foreach(h => report(f"$name%-28s by-design ($h) — ${ByDesign(name)._2}"))
+        if (real.nonEmpty) {
+          found += name -> real.mkString(", ")
+          report(f"$name%-28s FLAG ${real.mkString(", ")}")
+        } else if (excused.isEmpty) report(f"$name%-28s ok")
       } catch { case e: Throwable =>
-        found += name -> s"ERROR ${e.getMessage.take(80)}"
-        report(f"$name%-28s ERROR ${e.getMessage.take(80)}")
+        val msg = e.toString.take(120)
+        found += name -> s"ERROR $msg"
+        report(f"$name%-28s ERROR $msg")
       }
     }
     found.result()
