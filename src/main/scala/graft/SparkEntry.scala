@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
-import graft.operators.{Corpus, Dedup, Multimodal, Politeness, Robots, Similarity, TextDedup}
+import graft.operators.{Corpus, Dedup, LinkGraph, Multimodal, Politeness, Robots, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.Fixtures
 
@@ -409,6 +409,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // host-graph PageRank (importance-ordered crawl scheduling, Cho &
+    // Garcia-Molina 1998): integer fixed-point with floor division, so
+    // five iterations replay EXACTLY in any engine — no IEEE drift, no
+    // tolerance. Synthetic 200-host outlink graph derived from orders;
+    // dst uses a SECOND modulus (193, coprime to 200) so it varies
+    // within each src residue class — out/in-degrees differ and the
+    // rank vector is non-uniform (a same-modulus affine map is a
+    // permutation whose fixed point IS the initial vector: useless)
+    "pagerank_hosts" -> ((s, d) => {
+      val e = s.sql(
+        s"""SELECT DISTINCT o_orderkey % 200 AS src,
+                   o_orderkey % 193 AS dst
+            FROM parquet.`$d/orders.parquet`
+            WHERE o_orderkey % 200 <> o_orderkey % 193""")
+      LinkGraph.pageRank(e, "src", "dst", iters = 5)
+        .select(col("node").as("host_id"), col("rank"))
+    }),
+
+    // inverted index (token → postings): exact df per token; postings
+    // md5 only where df <= 32 (the reducer-memory contract — hot/stopword
+    // tokens keep exact counts but report the '' sentinel, never a
+    // corpus-sized collect_list)
+    "index_postings" -> ((s, d) =>
+      Corpus.invertedIndex(s.read.parquet(s"$d/documents.parquet"),
+        "text", "doc_id", maxDf = 32)),
+
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
@@ -544,8 +570,53 @@ object SparkEntry {
       Map("hot_only_doc_count_maxdf32" -> TextDedup.hotOnlyDocCount(sh, 32))
     }))
 
+  /** DuckDB replay of the integer PageRank update, one chained CTE per
+    * iteration (`//` is DuckDB floor division ≙ Spark `div` on the
+    * non-negative operands here). */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""it$i AS (
+            SELECT n.node,
+                   CAST(150000 + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, sum(r.rank // o.deg) AS inflow
+              FROM edges e
+              JOIN it${i - 1} r ON r.node = e.src
+              JOIN outdeg o ON o.src = e.src
+              GROUP BY e.dst) f ON f.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+          SELECT DISTINCT o_orderkey % 200 AS src,
+                 o_orderkey % 193 AS dst
+          FROM orders
+          WHERE o_orderkey % 200 <> o_orderkey % 193),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        $steps
+        SELECT node AS host_id, rank FROM it$iters"""
+  }
+
   /** DuckDB-equivalent SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
+    "pagerank_hosts" -> pagerankOracle(5),
+
+    "index_postings" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id,
+                  unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                         w -> len(w) > 0)) AS token
+           FROM documents),
+         dfq AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY token)
+         SELECT t.token, f.doc_freq,
+                md5(string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)) AS postings_md5
+         FROM tok t JOIN dfq f USING (token)
+         WHERE f.doc_freq <= 32
+         GROUP BY t.token, f.doc_freq
+         UNION ALL
+         SELECT token, doc_freq, '' AS postings_md5
+         FROM dfq WHERE doc_freq > 32""",
+
     "canon_strip_fragment" -> oracle(
       "SELECT lower(regexp_replace(url, '#.*$', '')) AS url_nofrag, seq FROM urls"),
 

@@ -197,6 +197,35 @@ object Corpus {
   def wordTokens(text: Column): Column =
     filter(split(trim(coalesce(text, lit(""))), "\\s+"), w => length(w) > 0)
 
+  /** Inverted index (token → postings), the corpus-search/attribution
+   *  primitive: one row per distinct token with its exact document
+   *  frequency and — for tokens with `doc_freq <= maxDf` — the md5 of
+   *  the comma-joined doc-id list in ascending numeric id order.
+   *
+   *  The df cap is the memory contract, not an approximation: a stopword
+   *  token's postings list is corpus-sized, and an uncapped collect_list
+   *  on it is the reducer-OOM skew case (the J5 mega-host shape). Hot
+   *  tokens (`doc_freq > maxDf`) keep their EXACT df but report the
+   *  empty-string sentinel instead of a materialized list — real systems
+   *  shard or elide exactly these. Two passes so the cap binds BEFORE
+   *  any list exists: (1) count-only df aggregate (map-side partials);
+   *  (2) cold tokens re-join (both sides already token-partitioned) and
+   *  collect ≤ maxDf ids per group — bounded by construction. */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+      maxDf: Int): DataFrame = {
+    require(maxDf > 0, s"postings df cap must be positive: $maxDf")
+    val tok = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      explode(array_distinct(wordTokens(col(textCol)))).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val cold = tok.join(dfreq.filter(col("doc_freq") <= maxDf), "token")
+      .groupBy(col("token"), col("doc_freq"))
+      .agg(md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        _.cast("string")), ",")).as("postings_md5"))
+    val hot = dfreq.filter(col("doc_freq") > maxDf)
+      .select(col("token"), col("doc_freq"), lit("").as("postings_md5"))
+    cold.unionByName(hot)
+  }
+
   /** All word n-grams of a pre-tokenized array (space-joined strings);
    *  fewer than n tokens → empty array. */
   def wordGrams(tokens: Column, n: Int): Column =

@@ -313,4 +313,60 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 2, s"corpus side must not reshuffle; got $shuffles hash exchanges:\n$plan")
   }
+
+  // ---- invertedIndex ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("invertedIndex: exact df, sorted postings digest, within-doc repeats count once") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, "alpha beta alpha"),       // alpha repeats within the doc
+      (2L, "beta gamma"),
+      (7L, "alpha"),
+      (3L, ""), (4L, "   "), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(docs, "text", "doc_id", maxDf = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet == Set("alpha", "beta", "gamma"))
+    assert(out("alpha") == ((2L, md5hex("7,10"))))   // numeric id order, not "10" < "7"
+    assert(out("beta") == ((2L, md5hex("2,10"))))
+    assert(out("gamma") == ((1L, md5hex("2"))))
+  }
+
+  test("invertedIndex: hot tokens keep exact df but report the '' sentinel") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the fox"))
+      .toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(docs, "text", "doc_id", maxDf = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("the") == ((3L, "")))                 // df > maxDf: no list
+    assert(out("cat") == ((1L, md5hex("1"))))
+  }
+
+  test("invertedIndex ≡ brute force on an LCG corpus (incl. cap boundary)") {
+    var x = 99L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docsSeq = (0L until 80L).map { id =>
+      val n = (math.floorMod(next(), 6L) + 1).toInt
+      (id, (0 until n).map(_ => vocab(math.floorMod(next(), 12L).toInt)).mkString(" "))
+    }
+    val maxDf = 20
+    val expected = docsSeq
+      .flatMap { case (id, t) => t.split("\\s+").filter(_.nonEmpty).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (tok, g) =>
+        val ids = g.map(_._2).sorted
+        tok -> ((ids.size.toLong,
+          if (ids.size <= maxDf) md5hex(ids.mkString(",")) else ""))
+      }
+    val s = spark
+    import s.implicits._
+    val got = Corpus.invertedIndex(docsSeq.toDF("doc_id", "text"), "text", "doc_id", maxDf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == expected)
+  }
 }
