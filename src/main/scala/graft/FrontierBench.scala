@@ -191,11 +191,17 @@ object FrontierBench {
         else (None, Some(seenBloomStore(spark, n, dir.toString)))
       // full-size untimed warmups: JIT, codegen, GC sizing
       (1 to warmups).foreach(_ => runWave(spark, n, seen, blooms = blooms, bloomStore = store))
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { r =>
         // let the ContextCleaner drop previous reps' shuffle files (tmpfs
         // pressure otherwise bleeds into the next measurement)
         System.gc(); Thread.sleep(1500)
-        runWave(spark, n, seen, blooms = blooms, bloomStore = store)._2
+        val t = runWave(spark, n, seen, blooms = blooms, bloomStore = store)._2
+        // stream each rep immediately: if the parent kills this child on
+        // its budget cap, completed reps are salvaged from the output
+        // file instead of the whole pair losing its sample (the r3-tail
+        // zero-rounds failure mode)
+        println(f"GRAFT_WAVE_REP $r $t%.4f"); System.out.flush()
+        t
       }
       spark.stop()
       println(f"GRAFT_WAVE_SECS ${times.min}%.4f all=${times.map(t => f"$t%.2f").mkString(",")}")
@@ -252,6 +258,26 @@ object FrontierBench {
     deleteRecursively(profileDir)
   }
 
+  /** Delete scratch a force-killed child left behind on tmpfs: its
+   *  graft-bench-seen dir and its spark.local.dir blockmgr/subdirs under
+   *  the shared /dev/shm/graft-spark-local root. Called only between
+   *  sequential children, never concurrently with a live one. */
+  private def cleanOrphanedScratch(): Unit = try {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm)) {
+      val it = java.nio.file.Files.list(shm)
+      try {
+        it.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("graft-bench-seen") || name == "graft-spark-local")
+            deleteRecursively(p)
+        }
+      } finally it.close()
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] scratch cleanup failed: ${e.getMessage}")
+  }
+
   /** Fork a fresh JVM running childMain with the same classpath/opens.
    *  Returns None if the child exceeds `timeoutS` (it is destroyed) — the
    *  caller drops the sample and stops adding rounds instead of hanging
@@ -294,7 +320,21 @@ object FrontierBench {
       val done = proc.waitFor(capMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       if (!done) {
         proc.destroyForcibly(); proc.waitFor()
-        System.err.println(f"[bench child cores=$cores] KILLED after $timeoutS%.0fs (budget)")
+        // a force-killed child never ran its cleanup: drop its orphaned
+        // tmpfs scratch NOW (children run sequentially, so nothing else
+        // holds these paths) or the leaked GBs slow every later child
+        cleanOrphanedScratch()
+        // salvage: each timed rep was streamed as a GRAFT_WAVE_REP line
+        // the moment it completed — a killed child that finished >=1 rep
+        // still contributes a valid (slightly pessimistic) sample
+        val reps = java.nio.file.Files.readString(outFile).linesIterator
+          .filter(_.startsWith("GRAFT_WAVE_REP")).map(_.split(" ")(2).toDouble).toSeq
+        if (reps.nonEmpty) {
+          System.err.println(f"[bench child cores=$cores] KILLED after $timeoutS%.0fs " +
+            f"(budget) - salvaged ${reps.size} completed rep(s), min=${reps.min}%.2fs")
+          return Some(reps.min)
+        }
+        System.err.println(f"[bench child cores=$cores] KILLED after $timeoutS%.0fs (budget), no completed reps")
         return None
       }
       val out = java.nio.file.Files.readString(outFile)

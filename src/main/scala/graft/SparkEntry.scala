@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
-import graft.operators.{Corpus, Dedup, LinkGraph, Multimodal, Politeness, Robots, Similarity, TextDedup}
+import graft.operators.{Corpus, Dedup, LinkGraph, Multimodal, Politeness, Robots, Search, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.Fixtures
 
@@ -435,6 +435,23 @@ object SparkEntry {
       Corpus.invertedIndex(s.read.parquet(s"$d/documents.parquet"),
         "text", "doc_id", maxDf = 32)),
 
+    // BM25-shaped ranked retrieval, integer fixed-point (rational idf —
+    // no log, no IEEE drift; see Search scaladoc). Four probe queries
+    // over the corpus vocabulary, incl. one with an absent term
+    "search_bm25" -> ((s, d) =>
+      Search.bm25TopK(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id",
+        queries = Bm25Queries, k = 10)),
+
+    // NFC normalization (native codegen Expression, ASCII zero-copy fast
+    // path). The synthetic corpus is pure ASCII, so a DECOMPOSED suffix
+    // (e+U+0301, A+U+030A) is appended per row — the md5 matches DuckDB's
+    // nfc_normalize only if composition actually ran on every row
+    "text_normalize" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet").select(col("doc_id"),
+        md5(graft.functions.TextNormExprs.normalizeNfc(
+          concat(coalesce(col("text"), lit("")), lit(" cafe\u0301 A\u030A"))))
+          .as("norm_md5"))),
+
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
@@ -570,6 +587,20 @@ object SparkEntry {
       Map("hot_only_doc_count_maxdf32" -> TextDedup.hotOnlyDocCount(sh, 32))
     }))
 
+  /** Probe queries for the BM25 search op — fixed vocabulary words of the
+    * synthetic corpus (stable across SFs: same generator), plus one term
+    * that appears nowhere (`qzzz`). */
+  private val Bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "spark join merge",
+    "q2" -> "window filter vector",
+    "q3" -> "customer order table scan",
+    "q4" -> "qzzz filter")
+
+  private def bm25QueryValues: String =
+    Bm25Queries.flatMap { case (qid, qtext) =>
+      qtext.trim.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"('$qid','$t')")
+    }.mkString(", ")
+
   /** DuckDB replay of the integer PageRank update, one chained CTE per
     * iteration (`//` is DuckDB floor division ≙ Spark `div` on the
     * non-negative operands here). */
@@ -600,6 +631,50 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "pagerank_hosts" -> pagerankOracle(5),
+
+    // integer BM25 replay (same fixed-point formula as Search.bm25TopK;
+    // `//` ≙ Spark `div` on these non-negative operands; CASTs keep
+    // DuckDB's HUGEINT sums out of the driver's pandas compare)
+    "search_bm25" ->
+      s"""WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                               w -> len(w) > 0) AS toks
+            FROM documents),
+          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS doclen FROM docs),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(doclen) AS BIGINT) AS tot FROM lens),
+          qt AS (SELECT * FROM (VALUES $bm25QueryValues) AS t(query_id, token)),
+          tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+          tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+                 WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+          dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT q.query_id, t.doc_id, t.tf,
+                   ((s.n - d.df + 1) * 10000) // (d.df + 1) AS idf,
+                   (l.doclen * 1000000) // ((s.tot * 1000) // s.n) AS lenratio
+            FROM tf t JOIN dfq d USING (token) JOIN qt q USING (token)
+            JOIN lens l USING (doc_id) CROSS JOIN stats s),
+          contribs AS (
+            SELECT query_id, doc_id,
+                   (idf * ((tf * 2200 * 1000) //
+                           (tf * 1000 + (1200 * (1000 - 750 + (750 * lenratio) // 1000)) // 1000))) // 1000 AS contrib
+            FROM scored),
+          agg AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+                  FROM contribs GROUP BY 1, 2)
+          SELECT query_id, doc_id, score, rank FROM (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+            FROM agg)
+          WHERE rank <= 10""",
+
+    // nfc_normalize replays UAX #15 composition; chr(769)/chr(778) are
+    // the decomposed combining acute/ring the Spark side appends
+    "text_normalize" ->
+      """SELECT doc_id,
+           md5(nfc_normalize(coalesce(text, '') || ' cafe' || chr(769) || ' A' || chr(778))) AS norm_md5
+         FROM documents""",
 
     "index_postings" ->
       """WITH tok AS (
