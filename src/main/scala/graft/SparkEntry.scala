@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
-import graft.operators.{Corpus, Dedup, LinkGraph, Multimodal, Politeness, Robots, Search, Similarity, TextDedup}
+import graft.operators.{Corpus, Dedup, LinkGraph, Multimodal, Politeness, Robots, Search, Sessions, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.Fixtures
 
@@ -442,6 +442,13 @@ object SparkEntry {
       Search.bm25TopK(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id",
         queries = Bm25Queries, k = 10)),
 
+    // gap-based sessionization over the events stream (Spark's native
+    // session_window — the same expression works under Structured
+    // Streaming with a watermark); integer-micros output, no IEEE
+    "events_sessionize" -> ((s, d) =>
+      Sessions.sessionize(s.read.parquet(s"$d/events.parquet"),
+        "user_id", "ts", "event_id", gap = "24 hours")),
+
     // NFC normalization (native codegen Expression, ASCII zero-copy fast
     // path). The synthetic corpus is pure ASCII, so a DECOMPOSED suffix
     // (e+U+0301, A+U+030A) is appended per row — the md5 matches DuckDB's
@@ -668,6 +675,31 @@ object SparkEntry {
                         ORDER BY score DESC, doc_id) AS BIGINT) AS rank
             FROM agg)
           WHERE rank <= 10""",
+
+    // lag/cumsum replay of session_window's merge rule: consecutive
+    // events merge while gap <= 24h (inclusive boundary, pinned by
+    // SessionsSpec; 24h makes sf0.01 sessions ~8 events, not singletons);
+    // session identity = min event time in micros
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         flagged AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id,
+                CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(min(event_id) AS BIGINT) AS first_event_id,
+                CAST(max(event_id) AS BIGINT) AS last_event_id,
+                CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+         FROM sess GROUP BY user_id, sid""",
 
     // nfc_normalize replays UAX #15 composition; chr(769)/chr(778) are
     // the decomposed combining acute/ring the Spark side appends
