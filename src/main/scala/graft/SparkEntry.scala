@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
-import graft.operators.{Corpus, Dedup, LinkGraph, Multimodal, Politeness, Robots, Search, Sessions, Similarity, TextDedup}
+import graft.operators.{Corpus, Dedup, Events, LinkGraph, Multimodal, Politeness, Robots, Search, Sessions, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.Fixtures
 
@@ -442,6 +442,18 @@ object SparkEntry {
       Search.bm25TopK(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id",
         queries = Bm25Queries, k = 10)),
 
+    // tumbling-window event rollup (native window() grouping, streaming-
+    // compatible); DOUBLE values fixed-pointed to cents BEFORE the sum
+    "events_window_agg" -> ((s, d) =>
+      Events.windowAgg(s.read.parquet(s"$d/events.parquet"),
+        "ts", "event_type", "user_id", "value", every = "1 hour")),
+
+    // JSON metadata promotion (codegen get_json_object, no UDF): integer
+    // field $.k rolled up per event type
+    "events_props_agg" -> ((s, d) =>
+      Events.propsAgg(s.read.parquet(s"$d/events.parquet"),
+        "event_type", "props", "$.k")),
+
     // gap-based sessionization over the events stream (Spark's native
     // session_window — the same expression works under Structured
     // Streaming with a watermark); integer-micros output, no IEEE
@@ -675,6 +687,26 @@ object SparkEntry {
                         ORDER BY score DESC, doc_id) AS BIGINT) AS rank
             FROM agg)
           WHERE rank <= 10""",
+
+    "events_window_agg" ->
+      """SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS value_cents
+         FROM events
+         WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY 1, 2""",
+
+    "events_props_agg" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_field,
+                CAST(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS field_sum,
+                CAST(coalesce(max(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS field_max
+         FROM events
+         WHERE event_type IS NOT NULL
+         GROUP BY 1""",
 
     // lag/cumsum replay of session_window's merge rule: consecutive
     // events merge while gap <= 24h (inclusive boundary, pinned by

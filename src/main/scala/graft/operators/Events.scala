@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Windowed event analytics over the events stream — the aggregation side
+ * of the crawl/clickstream surface ([[Sessions]] is the visit side).
+ * Both operators are single hash aggregates with map-side partials and
+ * emit only engine-portable integers (micros, cents, counts): a DOUBLE
+ * sum is IEEE-order-dependent across engines/parallelism, so money-like
+ * values are fixed-pointed to cents BEFORE the aggregate.
+ */
+object Events {
+
+  /** Tumbling-window rollup via Spark's native `window()` grouping
+   *  (streaming-compatible): one row per (window, event_type) with event
+   *  count, distinct users, and exact cent-sum of `value`
+   *  (round-half-up at two decimals — both java and DuckDB round() agree
+   *  on non-negative cents). Window identity = start micros. */
+  def windowAgg(events: DataFrame, tsCol: String, typeCol: String,
+      userCol: String, valueCol: String, every: String = "1 hour"): DataFrame =
+    events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .groupBy(window(col("__ts"), every).as("w"), col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"),
+        sum(round(col(valueCol) * 100).cast(LongType)).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("n_users"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+
+  /** Semi-structured metadata extraction: pull an integer field out of
+   *  the JSON `props` column (codegen `get_json_object`, no UDF) and
+   *  roll it up per event type — the metadata-column pattern of a
+   *  webtext pipeline (page meta, fetch headers, source tags ride along
+   *  as JSON and get promoted to columns on demand). Missing/malformed
+   *  values count separately instead of silently nulling the sum. */
+  def propsAgg(events: DataFrame, typeCol: String, propsCol: String,
+      jsonPath: String): DataFrame = {
+    val v = get_json_object(col(propsCol), jsonPath).cast(LongType)
+    events
+      .filter(col(typeCol).isNotNull)
+      .withColumn("__v", v)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__v")).as("n_with_field"),
+        coalesce(sum(col("__v")), lit(0L)).as("field_sum"),
+        coalesce(max(col("__v")), lit(0L)).as("field_max"))
+  }
+}
