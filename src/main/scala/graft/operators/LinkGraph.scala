@@ -43,7 +43,15 @@ object LinkGraph {
    *  Output: (node: long, rank: long), one row per node appearing as
    *  src or dst. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, scale: Long = 1000000L, damping: Int = 85): DataFrame = {
+      iters: Int, scale: Long = 1000000L, damping: Int = 85): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iters, scale, damping, materialize = true)
+
+  /** `materialize = false` skips the per-round localCheckpoint so probes
+   *  can inspect the composed update plan (R4PlanProbe / BENCH/PLANS.md).
+   *  Production callers MUST materialize: the self-referential loop
+   *  otherwise doubles the logical plan per iteration. */
+  private[graft] def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long, damping: Int, materialize: Boolean): DataFrame = {
     require(iters >= 0, s"iterations must be non-negative: $iters")
     require(scale > 0, s"scale must be positive: $scale")
     require(damping >= 0 && damping <= 100, s"damping must be in [0,100]: $damping")
@@ -72,7 +80,7 @@ object LinkGraph {
             .as("rank"))
       // eager checkpoint per round: O(1) lineage (propagateComponents'
       // plan-doubling lesson); superseded rank blocks age out via LRU
-      ranks = next.localCheckpoint(true)
+      ranks = if (materialize) next.localCheckpoint(true) else next
       i += 1
     }
     ranks
