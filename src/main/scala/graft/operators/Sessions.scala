@@ -34,15 +34,32 @@ object Sessions {
    *  touching windows — the inclusive-boundary behavior is pinned by
    *  SessionsSpec's exact-gap test). */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-      idCol: String, gap: String = "30 minutes"): DataFrame = {
-    // parquet event times are TIMESTAMP_NTZ; unix_micros/session_window
-    // want TIMESTAMP. The cast reads the naive value in the session zone
-    // — the engine pins spark.sql.session.timeZone=UTC (Verify/Bench/
-    // specs), so micros are epoch-exact and engine-portable.
-    val ts = col(tsCol).cast("timestamp")
+      idCol: String, gap: String = "30 minutes"): DataFrame =
+    aggSessions(prepare(events, userCol, tsCol), userCol, idCol, gap)
+
+  /** Streaming sessionize: the SAME aggregate over a streaming frame with
+   *  an event-time watermark on the (cast) time column — sessions emit in
+   *  Append mode once the watermark passes their close (start of a new
+   *  gap). `delay` is the out-of-order tolerance. Batch/stream parity is
+   *  pinned by StreamingSessionsSpec. */
+  def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    aggSessions(prepare(events, userCol, tsCol).withWatermark("__ts", delay),
+      userCol, idCol, gap)
+
+  /** parquet event times are TIMESTAMP_NTZ; unix_micros/session_window
+   *  want TIMESTAMP. The cast reads the naive value in the session zone
+   *  — the engine pins spark.sql.session.timeZone=UTC (Verify/Bench/
+   *  specs), so micros are epoch-exact and engine-portable. */
+  private def prepare(events: DataFrame, userCol: String, tsCol: String): DataFrame =
     events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .withColumn("__ts", ts)
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+
+  private def aggSessions(prepared: DataFrame, userCol: String,
+      idCol: String, gap: String): DataFrame =
+    prepared
       .groupBy(col(userCol).cast(LongType).as("user_id"),
         session_window(col("__ts"), gap).as("sw"))
       .agg(
@@ -54,5 +71,4 @@ object Sessions {
         unix_micros(min(col("__ts"))).as("session_start_us"))
       .select(col("user_id"), col("session_start_us"), col("n_events"),
         col("first_event_id"), col("last_event_id"), col("span_us"))
-  }
 }
