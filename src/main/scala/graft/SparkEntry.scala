@@ -427,6 +427,31 @@ object SparkEntry {
         .select(col("node").as("host_id"), col("rank"))
     }),
 
+    // anchor-text corpus: per link target, the aggregated "what the web
+    // calls this page" signal (LinkGraph.anchorSummary). Links are a
+    // deterministic synthetic feed from the frontier (vocab index seq%3
+    // is COPRIME to the dst moduli, so every target sees several anchor
+    // strings — the top-1 pick and its lexicographic tie-break are
+    // actually exercised, as are ''-anchor rows and the ws-collapse
+    // normalization). Extraction of (href, anchor) pairs from real HTML
+    // is engine-only, pinned by ExtractSpec
+    "anchor_texts" -> ((s, d) => {
+      val e = enriched(s, d)
+      val vocab = array(lit("click here"), lit("  Read   More "),
+        concat(lit("Page "), (col("seq") % 7).cast("string")))
+      val links = e.select(
+        col("host").as("src_host"),
+        concat(lit("http://t"), (col("seq") % 40).cast("string"),
+          lit(".example.com/p/"), (col("seq") % 200).cast("string")).as("dst"),
+        element_at(vocab, ((col("seq") % 3) + 1).cast("int")).as("anchor"))
+        .union(e.filter(col("seq") % 3 === 0).select(
+          col("host").as("src_host"),
+          concat(lit("http://t"), (col("seq") % 40).cast("string"),
+            lit(".example.com/p/"), ((col("seq") * 7) % 200).cast("string")).as("dst"),
+          when(col("seq") % 9 === 0, lit("")).otherwise(lit("hub")).as("anchor")))
+      LinkGraph.anchorSummary(links, "src_host", "dst", "anchor")
+    }),
+
     // inverted index (token → postings): exact df per token; postings
     // md5 only where df <= 32 (the reducer-memory contract — hot/stopword
     // tokens keep exact counts but report the '' sentinel, never a
@@ -650,6 +675,44 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "pagerank_hosts" -> pagerankOracle(5),
+
+    // replays the synthetic link feed + LinkGraph.anchorSummary: ws
+    // normalization, per-dst link/host/anchor counts, top-1 anchor by
+    // (count desc, anchor asc)
+    "anchor_texts" ->
+      s"""WITH urls AS (${urlsCte("orders")}),
+          e AS ($enrichedOracle),
+          links AS (
+            SELECT host AS src_host,
+                   concat('http://t', CAST(seq % 40 AS STRING), '.example.com/p/',
+                          CAST(seq % 200 AS STRING)) AS dst,
+                   (['click here', '  Read   More ',
+                     'Page ' || CAST(seq % 7 AS STRING)])[CAST(seq % 3 AS INT) + 1] AS anchor
+            FROM e
+            UNION ALL
+            SELECT host,
+                   concat('http://t', CAST(seq % 40 AS STRING), '.example.com/p/',
+                          CAST((seq * 7) % 200 AS STRING)),
+                   CASE WHEN seq % 9 = 0 THEN '' ELSE 'hub' END
+            FROM e WHERE seq % 3 = 0),
+          norm AS (SELECT src_host, dst,
+                          trim(regexp_replace(anchor, '\\s+', ' ', 'g')) AS anchor
+                   FROM links),
+          per_dst AS (
+            SELECT dst, count(*) AS n_links,
+                   count(DISTINCT src_host) AS n_src_hosts,
+                   count(DISTINCT CASE WHEN anchor <> '' THEN anchor END) AS n_anchors
+            FROM norm GROUP BY dst),
+          ac AS (SELECT dst, anchor, count(*) AS n FROM norm
+                 WHERE anchor <> '' GROUP BY dst, anchor),
+          top AS (SELECT dst, anchor AS top_anchor, n AS top_anchor_n FROM (
+                    SELECT dst, anchor, n,
+                           row_number() OVER (PARTITION BY dst
+                             ORDER BY n DESC, anchor ASC) AS rk
+                    FROM ac) t WHERE rk = 1)
+          SELECT p.dst, p.n_links, p.n_src_hosts, p.n_anchors,
+                 t.top_anchor, coalesce(t.top_anchor_n, 0) AS top_anchor_n
+          FROM per_dst p LEFT JOIN top t USING (dst)""",
 
     // integer BM25 replay (same fixed-point formula as Search.bm25TopK;
     // `//` ≙ Spark `div` on these non-negative operands; CASTs keep

@@ -485,4 +485,26 @@ object Extract extends Serializable {
   def extractOutlinks(html: Array[Byte], baseUrl: String): Seq[String] =
     if (html == null) Seq.empty
     else extractOutlinks(decodeHtml(html), baseUrl)
+
+  /** Outlinks WITH their anchor text: (resolved href, whitespace-
+   *  normalized inner text of the <a>), document order. The anchor is
+   *  the element's full descendant text (entities decoded by the parser,
+   *  nested markup flattened), runs of whitespace collapsed to one space
+   *  and trimmed — the normalization the anchor-corpus aggregation keys
+   *  on (LinkGraph.anchorSummary). href-less <a> are skipped like in
+   *  extractOutlinks. */
+  def extractAnchors(html: String, baseUrl: String): Seq[(String, String)] = {
+    if (html == null) return Seq.empty
+    val soup = Html.parse(removeCruftyHtml(html))
+    soup.findAll("a").flatMap { a =>
+      a.attr("href").map { h =>
+        (UrlCanon.resolve(h, baseUrl),
+          a.text.replaceAll("\\s+", " ").trim)
+      }
+    }.filter(_._1.nonEmpty).toSeq
+  }
+
+  def extractAnchors(html: Array[Byte], baseUrl: String): Seq[(String, String)] =
+    if (html == null) Seq.empty
+    else extractAnchors(decodeHtml(html), baseUrl)
 }

@@ -86,6 +86,57 @@ object LinkGraph {
     ranks
   }
 
+  /** Anchor-text corpus: per link TARGET, aggregate what the web calls
+   *  the page — the classic link-based signal (anchor text approximates a
+   *  query/title for the target; used for retrieval since WWW7's "anchor
+   *  text" results and in LLM pretraining as page-title augmentation).
+   *  Input: one row per extracted link (srcHostCol, dstCol, anchorCol —
+   *  anchor already whitespace-normalized, see Extract.extractAnchors;
+   *  this operator re-applies trim so raw feeds behave).
+   *
+   *  Output per dst: `n_links` (all links, even empty-anchor ones),
+   *  `n_src_hosts` (distinct linking hosts), `n_anchors` (distinct
+   *  non-empty anchor strings), `top_anchor` (most frequent non-empty
+   *  anchor; ties broken by lexicographically smallest — deterministic
+   *  across parallelism; null when every link is empty-anchored).
+   *
+   *  Scale (10^10-link graph): everything pre-aggregates on
+   *  (dst, anchor) FIRST — a boilerplate anchor repeated 10^6× on a hot
+   *  target ("click here" → a popular homepage) combines map-side before
+   *  its one exchange. The top-anchor pick is a rank-1 window over the
+   *  already-(dst,anchor)-sized frame, which Spark plans as
+   *  WindowGroupLimit (partial top-1 per mapper — no full sort of a hot
+   *  dst's anchor list). Distinct-host counting runs as its own two-phase
+   *  aggregate on the same shuffle key; the final join is dst-sized on
+   *  both sides (AQE picks the strategy — no unbounded broadcast hint,
+   *  the r3 O7 lesson). */
+  def anchorSummary(links: DataFrame, srcHostCol: String, dstCol: String,
+      anchorCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = links.select(
+      col(srcHostCol).cast("string").as("src_host"),
+      col(dstCol).cast("string").as("dst"),
+      trim(regexp_replace(col(anchorCol).cast("string"), "\\s+", " ")).as("anchor"))
+    val perDst = base.groupBy("dst").agg(
+      count(lit(1)).as("n_links"),
+      countDistinct(col("src_host")).as("n_src_hosts"),
+      // distinct non-empty anchors; the Expand for two count-distincts
+      // doubles rows pre-shuffle but partial-aggregates map-side
+      countDistinct(when(col("anchor") =!= "", col("anchor"))).as("n_anchors"))
+    val anchorCounts = base.filter(col("anchor").isNotNull && col("anchor") =!= "")
+      .groupBy("dst", "anchor").agg(count(lit(1)).as("n"))
+    val top = anchorCounts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("dst")).orderBy(col("n").desc, col("anchor").asc)))
+      .filter(col("rk") === 1)
+      .select(col("dst"), col("anchor").as("top_anchor"),
+        col("n").as("top_anchor_n"))
+    perDst.join(top, Seq("dst"), "left")
+      .select(col("dst"), col("n_links"), col("n_src_hosts"), col("n_anchors"),
+        col("top_anchor"),
+        coalesce(col("top_anchor_n"), lit(0L)).as("top_anchor_n"))
+  }
+
   /** Rank-prioritized frontier: joins each frontier row's host id to its
    *  PageRank and exposes `host_rank` (missing hosts rank 0) for the
    *  scheduling stage to order by. Broadcast is left to AQE — a host

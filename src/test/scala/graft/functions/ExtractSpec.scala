@@ -175,4 +175,29 @@ class ExtractSpec extends AnyFunSuite {
     val b = Fixtures.textFor(26L, V)
     assert(a == b)
   }
+
+  test("extractAnchors pairs resolved hrefs with normalized anchor text") {
+    val html =
+      """<html><body>
+        |<a href="/about">  About
+        |   Us </a>
+        |<a href="b.html"><b>Bold</b> link</a>
+        |<a name="no-href">skipped</a>
+        |<a href="http://other.example.com/x">Tom &amp; Jerry</a>
+        |<a href="/img"><img src="i.png"/></a>
+        |</body></html>""".stripMargin
+    val got = Extract.extractAnchors(html, "http://host.example.com/dir/page.html")
+    assert(got == Seq(
+      ("http://host.example.com/about", "About Us"),
+      ("http://host.example.com/dir/b.html", "Bold link"),
+      ("http://other.example.com/x", "Tom & Jerry"),
+      ("http://host.example.com/img", "")))
+  }
+
+  test("extractAnchors hrefs agree with extractOutlinks on the fixture corpus") {
+    val html = Fixtures.htmlFor(1L, V)
+    val base = Fixtures.canonUrl(1L)
+    assert(Extract.extractAnchors(html, base).map(_._1) ==
+      Extract.extractOutlinks(html, base))
+  }
 }

@@ -79,6 +79,74 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one == many)
   }
 
+  // ---- anchorSummary ----
+
+  private def linksDF(ls: Seq[(String, String, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ls.toDF("src_host", "dst", "anchor")
+  }
+
+  private def summaryMap(df: DataFrame): Map[String, (Long, Long, Long, Option[String], Long)] =
+    df.collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), r.getLong(5)))
+    }.toMap
+
+  test("anchorSummary: hand-computed — counts, normalization, tie-break, empty anchors") {
+    val links = Seq(
+      ("h1", "p", "click here"),
+      ("h2", "p", "  click \t here "),   // normalizes to the same anchor
+      ("h1", "p", "About"),
+      ("h2", "p", "about"),              // case-sensitive: distinct anchor
+      ("h1", "p", ""),                   // counted in n_links only
+      ("h1", "q", "B"),
+      ("h2", "q", "A"),                  // tie at n=1 → lexicographic min "A"
+      ("h1", "r", ""),                   // all-empty target → null top_anchor
+      ("h1", "r", "   "))
+    val got = summaryMap(LinkGraph.anchorSummary(linksDF(links), "src_host", "dst", "anchor"))
+    assert(got("p") == ((5L, 2L, 3L, Some("click here"), 2L)))
+    assert(got("q") == ((2L, 2L, 2L, Some("A"), 1L)))
+    assert(got("r") == ((2L, 1L, 0L, None, 0L)))
+  }
+
+  /** Sequential replay of the aggregate contract. */
+  private def bruteSummary(ls: Seq[(String, String, String)])
+      : Map[String, (Long, Long, Long, Option[String], Long)] = {
+    val norm = ls.map { case (s, d, a) => (s, d, a.replaceAll("\\s+", " ").trim) }
+    norm.groupBy(_._2).map { case (dst, g) =>
+      val nonEmpty = g.filter(_._3.nonEmpty)
+      val counts = nonEmpty.groupBy(_._3).map { case (a, as) => a -> as.size.toLong }
+      val top = counts.toSeq.sortBy { case (a, n) => (-n, a) }.headOption
+      dst -> ((g.size.toLong, g.map(_._1).distinct.size.toLong,
+        counts.size.toLong, top.map(_._1), top.map(_._2).getOrElse(0L)))
+    }
+  }
+
+  test("anchorSummary ≡ sequential replay on an LCG random feed; partition-independent") {
+    var x = 999L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val vocab = Vector("home", "read  more", "a", "A", "", "Page 1", " Page  1 ")
+    val ls = (0 until 400).map { _ =>
+      (s"h${math.floorMod(next(), 9L)}", s"d${math.floorMod(next(), 25L)}",
+        vocab(math.floorMod(next(), vocab.size.toLong).toInt))
+    }
+    val expect = bruteSummary(ls)
+    val one = summaryMap(LinkGraph.anchorSummary(linksDF(ls).repartition(1),
+      "src_host", "dst", "anchor"))
+    val many = summaryMap(LinkGraph.anchorSummary(linksDF(ls).repartition(7),
+      "src_host", "dst", "anchor"))
+    assert(one == expect)
+    assert(many == expect)
+  }
+
+  test("anchorSummary plans the top-anchor pick as WindowGroupLimit (partial top-1)") {
+    val ls = (0 until 50).map(i => (s"h${i % 5}", s"d${i % 3}", s"a${i % 4}"))
+    val plan = LinkGraph.anchorSummary(linksDF(ls), "src_host", "dst", "anchor")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("withHostRank: frontier rows pick up their host's rank, missing hosts rank 0") {
     val s = spark
     import s.implicits._
