@@ -343,6 +343,13 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
 
+    // per-source corpus audit (dolma-style source-mix report): doc /
+    // token / quality-keep counts, language spread, deterministic top
+    // language per source
+    "source_profile" -> ((s, d) =>
+      Corpus.sourceProfile(s.read.parquet(s"$d/documents.parquet"),
+        "source", "text", "lang")),
+
     // deterministic stratified sampling: k docs per language by keyed
     // md5 order (WindowGroupLimit partial top-k per mapper — a giant
     // stratum never materializes more than k rows per task)
@@ -1129,6 +1136,40 @@ object SparkEntry {
           SELECT s.doc_id, l.lang_pred, q.n_tokens
           FROM survivors s JOIN q USING (doc_id) JOIN l USING (doc_id)
           WHERE q.keep AND l.lang_pred <> 'und'""",
+
+    // replays Corpus.sourceProfile: token counts + quality keep per doc,
+    // then per-source rollup and row_number top-1 language
+    "source_profile" ->
+      s"""WITH t AS (
+            SELECT source, coalesce(lang, 'und') AS lang,
+                   ${tokenCountSql("text")} AS n_toks,
+                   length(text) AS chars,
+                   len(regexp_extract_all(text, '[A-Z]')) AS upper
+            FROM documents),
+          k AS (
+            SELECT source, lang, n_toks,
+                   (n_toks >= 10 AND n_toks <= 100000
+                    AND (CASE WHEN chars > 0
+                         THEN CAST(floor(1000.0 * upper / chars) AS BIGINT)
+                         ELSE 0 END) < 500
+                    AND (CASE WHEN n_toks > 0
+                         THEN CAST(floor(1000.0 * (chars - (n_toks - 1)) / n_toks) AS BIGINT)
+                         ELSE 0 END) BETWEEN 1500 AND 20000) AS keep
+            FROM t),
+          per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   count(DISTINCT lang) AS n_langs
+            FROM k GROUP BY source),
+          top AS (SELECT source, lang AS top_lang FROM (
+                    SELECT source, lang,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY count(*) DESC, lang ASC) AS rk
+                    FROM k GROUP BY source, lang) r WHERE rk = 1)
+          SELECT p.source, p.n_docs, p.n_tokens, p.n_keep, p.n_langs,
+                 t.top_lang, CAST(p.n_tokens // p.n_docs AS BIGINT) AS mean_tokens
+          FROM per_source p JOIN top t USING (source)""",
 
     // keyed-md5 stratified sample: identical hash, identical order
     "sample_stratified" ->

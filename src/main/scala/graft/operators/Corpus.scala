@@ -211,6 +211,45 @@ object Corpus {
    *  any list exists: (1) count-only df aggregate (map-side partials);
    *  (2) cold tokens re-join (both sides already token-partitioned) and
    *  collect ≤ maxDf ids per group — bounded by construction. */
+  /** Per-source corpus audit (the dolma/RedPajama source-mix report and
+   *  the input to blocklist/reweighting decisions): one row per source
+   *  with `n_docs`, `n_tokens` (whitespace tokens, summed), `n_keep`
+   *  (docs passing [[graft.functions.TextStats.qualityKeep]]),
+   *  `mean_tokens` (floor), `n_langs` (distinct), and `top_lang` (most
+   *  frequent language; ties break lexicographically — deterministic).
+   *  Null languages normalize to 'und' BEFORE grouping (Spark sorts
+   *  nulls first, most SQL engines last — normalizing sidesteps the
+   *  divergence).
+   *
+   *  Scale: per-row signals are codegen'd scalars; both aggregates
+   *  partial-combine map-side, so a 10^9-doc source arrives at its
+   *  reducer as one partial per task, and the output is source-sized
+   *  (tiny). The top-lang pick is the same (group, key) pre-aggregate +
+   *  WindowGroupLimit rank-1 shape as LinkGraph.anchorSummary. */
+  def sourceProfile(docs: DataFrame, sourceCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    import graft.functions.TextStats
+    val base = docs.select(
+      col(sourceCol).cast("string").as("source"),
+      coalesce(col(langCol).cast("string"), lit("und")).as("lang"),
+      TextStats.tokenCount(col(textCol)).cast(LongType).as("n_toks"),
+      when(TextStats.qualityKeep(col(textCol)), lit(1L)).otherwise(lit(0L)).as("keep"))
+    val perSource = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("keep")).as("n_keep"),
+      countDistinct(col("lang")).as("n_langs"))
+    val top = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n").desc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    perSource.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_keep"),
+        col("n_langs"), col("top_lang"),
+        expr("n_tokens div n_docs").as("mean_tokens"))
+  }
+
   def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
       maxDf: Int): DataFrame = {
     require(maxDf > 0, s"postings df cap must be positive: $maxDf")

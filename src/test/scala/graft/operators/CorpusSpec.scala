@@ -369,4 +369,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(got == expected)
   }
+
+  // ---- sourceProfile ----
+
+  private def profileDocs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    // srcA: 2 en + 1 fr (top en); srcB: 1 en + 1 fr → tie, lex min 'en';
+    // srcC: null lang → 'und'. Only the long doc passes qualityKeep.
+    Seq(
+      ("srcA", "en", "the quick brown fox jumps over the lazy dog again and again for the win"),
+      ("srcA", "en", "short one"),
+      ("srcA", "fr", "le chat"),
+      ("srcB", "en", "alpha beta"),
+      ("srcB", "fr", "gamma delta"),
+      ("srcC", null, "solo text here")
+    ).toDF("source", "lang", "text")
+  }
+
+  test("sourceProfile: hand-computed counts, keep gate, tie-break, null lang → und") {
+    val got = Corpus.sourceProfile(profileDocs, "source", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getLong(6)))).toMap
+    // token counts: 15 + 2 + 2 = 19 (srcA), 2 + 2 = 4 (srcB), 3 (srcC)
+    assert(got("srcA") == ((3L, 19L, 1L, 2L, "en", 6L)))
+    assert(got("srcB") == ((2L, 4L, 0L, 2L, "en", 2L)))
+    assert(got("srcC") == ((1L, 3L, 0L, 1L, "und", 3L)))
+  }
+
+  test("sourceProfile is partition-independent") {
+    def run(p: Int) = Corpus.sourceProfile(profileDocs.repartition(p),
+      "source", "text", "lang").collect().map(_.toSeq).toSet
+    assert(run(1) == run(5))
+  }
 }
