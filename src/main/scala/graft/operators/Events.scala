@@ -33,6 +33,29 @@ object Events {
         col("event_type"), col("n_events"), col("n_users"),
         coalesce(col("value_cents"), lit(0L)).as("value_cents"))
 
+  /** Streaming tumbling-window rollup: the same window() aggregate under
+   *  an event-time watermark — rows emit exactly once in Append mode when
+   *  the watermark passes the window end. Distinct-user counting is
+   *  batch-only (Structured Streaming rejects exact `countDistinct` in
+   *  an aggregate; a streaming pipeline that needs it reaches for
+   *  approx_count_distinct or a mapGroupsWithState set), so this variant
+   *  carries the streaming-expressible subset: event count + exact
+   *  cent-sum. Batch/stream parity is pinned by StreamingEventsSpec. */
+  def windowAggStream(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, every: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", delay)
+      .groupBy(window(col("__ts"), every).as("w"), col(typeCol).as("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * 100).cast(LongType)).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+
   /** Semi-structured metadata extraction: pull an integer field out of
    *  the JSON `props` column (codegen `get_json_object`, no UDF) and
    *  roll it up per event type — the metadata-column pattern of a
