@@ -343,6 +343,16 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
 
+    // CCNet-style LM scoring (log-free exact-integer deviation): unigram
+    // model trained on the EVEN-doc_id half so the odd half exercises the
+    // OOV ceiling cross-engine; keep gate at 60k milli splits the
+    // synthetic corpus (scores ~29k-110k at sf0.01)
+    "lm_score" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val model = Corpus.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      Corpus.lmScore(docs, model, "text", "doc_id", threshold = 60000L)
+    }),
+
     // per-source corpus audit (dolma-style source-mix report): doc /
     // token / quality-keep counts, language spread, deterministic top
     // language per source
@@ -1136,6 +1146,31 @@ object SparkEntry {
           SELECT s.doc_id, l.lang_pred, q.n_tokens
           FROM survivors s JOIN q USING (doc_id) JOIN l USING (doc_id)
           WHERE q.keep AND l.lang_pred <> 'und'""",
+
+    // replays Corpus.unigramModel (even half) + lmScore: inverse relative
+    // frequency per token, OOV ceiling, floor-mean per doc
+    "lm_score" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> len(w) > 0)) AS token
+           FROM documents),
+         model AS (SELECT token, count(*) AS cnt FROM tok
+                   WHERE doc_id % 2 = 0 GROUP BY token),
+         mass AS (SELECT CAST(1000 * sum(cnt) AS BIGINT) AS m FROM model),
+         surp AS (
+           SELECT t.doc_id,
+                  least(coalesce(CAST((SELECT m FROM mass) // mo.cnt AS BIGINT),
+                                 1000000), 1000000) AS surp
+           FROM tok t LEFT JOIN model mo USING (token)),
+         agg AS (SELECT doc_id, count(*) AS n_tokens,
+                        CAST(sum(surp) // count(*) AS BIGINT) AS surprisal_milli
+                 FROM surp GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.surprisal_milli, 0) AS surprisal_milli,
+                coalesce(a.surprisal_milli, 0) <= 60000 AS keep
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a USING (doc_id)""",
 
     // replays Corpus.sourceProfile: token counts + quality keep per doc,
     // then per-source rollup and row_number top-1 language

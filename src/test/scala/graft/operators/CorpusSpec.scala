@@ -398,6 +398,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("srcC") == ((1L, 3L, 0L, 1L, "und", 3L)))
   }
 
+  test("lmScore: hand-computed — frequency surprisal, OOV ceiling, empty doc scores 0") {
+    val s = spark
+    import s.implicits._
+    // model corpus: "a a a b" → cnt(a)=3, cnt(b)=1, N=4, m=4000
+    val model = Corpus.unigramModel(Seq((1L, "a a a b")).toDF("doc_id", "text"), "text")
+    val docs = Seq(
+      (10L, "a b"),      // surp(a)=4000 div 3=1333, surp(b)=4000 → mean 2666
+      (11L, "a zzz"),    // zzz is OOV → 1000000 ceiling; mean 500666
+      (12L, ""),         // empty → 0 tokens, score 0, kept
+      (13L, "a a a")     // all common → 1333, kept at threshold 2000
+    ).toDF("doc_id", "text")
+    val got = Corpus.lmScore(docs, model, "text", "doc_id", threshold = 2000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(10L) == ((2L, 2666L, false)))
+    assert(got(11L) == ((2L, 500666L, false)))
+    assert(got(12L) == ((0L, 0L, true)))
+    assert(got(13L) == ((3L, 1333L, true)))
+  }
+
+  test("lmScore is partition-independent") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, (0 to (i % 7).toInt).map(j => s"w${(i + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val model = Corpus.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+    def run(p: Int) = Corpus.lmScore(docs.repartition(p), model, "text", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(run(1) == run(6))
+  }
+
   test("sourceProfile is partition-independent") {
     def run(p: Int) = Corpus.sourceProfile(profileDocs.repartition(p),
       "source", "text", "lang").collect().map(_.toSeq).toSet
