@@ -291,6 +291,19 @@ object SparkEntry {
       TextDedup.dedupParagraphs(withBp, "text", "doc_id")
     }),
 
+    // per-host boilerplate removal (site-scoped line rule): injected nav/
+    // footer lines are hot on every >=3-doc source and cut everywhere; a
+    // sparse promo line (doc_id % 97) stays under the per-source df gate
+    // and survives — both sides of the gate exercised
+    "host_boilerplate" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          concat(lit("Nav Menu "), col("source"), lit("\n"), col("text"),
+            when(col("doc_id") % 97 === 0, lit("\nPromo Banner")).otherwise(lit("")),
+            lit("\nCopyright "), col("source")).as("text"))
+      TextDedup.hostBoilerplate(docs, "source", "text", "doc_id", minDf = 3)
+    }),
+
     // MinHash+LSH near-dup detection, verified — equals exact Jaccard ≥ 0.8
     "dedup_minhash_lsh" -> ((s, d) =>
       TextDedup.minhashLshDuplicates(
@@ -1054,6 +1067,38 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
              FROM p WHERE len(key) > 0)
            WHERE rn > 1),
+         agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_removed, list(pos) AS rmp
+                 FROM rm GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(len(list_filter(l,
+             x -> len(lower(trim(regexp_replace(x, '\s+', ' ', 'g')))) > 0)) AS INT) AS n_paras,
+           coalesce(agg.n_removed, 0) AS n_removed,
+           md5(coalesce(array_to_string(
+             [l[i + 1] FOR i IN generate_series(0, len(l) - 1)
+              IF NOT list_contains(coalesce(rmp, []), i)], chr(10)), '')) AS clean_md5
+         FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l FROM g) t
+         LEFT JOIN agg USING (doc_id)""",
+
+    // replays hostBoilerplate over the injected-line corpus: per-source
+    // distinct-doc df, >= 3 gate, cut everywhere, same rebuild digest
+    "host_boilerplate" ->
+      """WITH g AS (
+           SELECT doc_id, source,
+                  'Nav Menu ' || source || chr(10) || text ||
+                  CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'Promo Banner' ELSE '' END ||
+                  chr(10) || 'Copyright ' || source AS text
+           FROM documents),
+         p AS (
+           SELECT source, doc_id, u.i - 1 AS pos,
+                  lower(trim(regexp_replace(l[u.i], '\s+', ' ', 'g'))) AS key
+           FROM (SELECT source, doc_id, string_split(coalesce(text, ''), chr(10)) AS l FROM g) t,
+                unnest(generate_series(1, len(l))) AS u(i)),
+         hot AS (
+           SELECT source, key FROM (
+             SELECT source, key, count(DISTINCT doc_id) AS df
+             FROM p WHERE len(key) > 0 GROUP BY source, key)
+           WHERE df >= 3),
+         rm AS (SELECT doc_id, pos FROM p JOIN hot USING (source, key)),
          agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_removed, list(pos) AS rmp
                  FROM rm GROUP BY doc_id)
          SELECT t.doc_id,

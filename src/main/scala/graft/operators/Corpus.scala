@@ -242,7 +242,8 @@ object Corpus {
    *  ONE driver scalar (bounded: one row). */
   def lmScore(docs: DataFrame, model: DataFrame, textCol: String,
       idCol: String, threshold: Long = 200000L, oovMilli: Long = 1000000L): DataFrame = {
-    val n = model.agg(sum(col("cnt")).cast(LongType)).head.getLong(0)
+    // coalesce: an empty model has a null sum — every token is then OOV
+    val n = model.agg(coalesce(sum(col("cnt")), lit(0L)).cast(LongType)).head.getLong(0)
     val m = 1000L * n // fits a long below ~9·10^15 total model mass
     val toks = docs.select(col(idCol).as("__id"),
       explode(wordTokens(col(textCol))).as("token"))

@@ -508,6 +508,17 @@ object TextDedup {
       .filter(!(col(idCol) === col("__fd") && col("pos") === col("__fp")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__rm"))
+    paragraphCut(df, textCol, idCol, removed)
+  }
+
+  /** Shared rebuild for paragraph-removal operators: joins a
+   *  (idCol, __rm: array<int> removed positions) frame back onto the
+   *  corpus — affected docs only — and cuts per row with hash-based
+   *  order-preserving array_except, O(segments + removed). Output:
+   *  (idCol, n_paras, n_removed, clean_md5). */
+  private def paragraphCut(df: DataFrame, textCol: String, idCol: String,
+      removed: DataFrame): DataFrame = {
+    val segsC = split(coalesce(col(textCol), lit("")), "\n", -1)
     val rmC = coalesce(col("__rm"), array().cast("array<int>"))
     // guarded: sequence(0, -1) would count DOWN, not produce empty
     val idxAll = when(size(segsC) > 0, sequence(lit(0), size(segsC) - 1))
@@ -519,6 +530,43 @@ object TextDedup {
           .as("n_paras"),
         size(rmC).as("n_removed"),
         md5(array_join(kept, "\n")).as("clean_md5"))
+  }
+
+  /** Per-host boilerplate removal (the RefinedWeb/CCNet site-scoped line
+   *  rule): a normalized paragraph appearing on >= `minDf` DISTINCT
+   *  documents of the SAME host is boilerplate (nav, footer, cookie
+   *  banner) and is cut from EVERY page of that host — unlike
+   *  [[dedupParagraphs]]' keep-global-first, boilerplate has no first
+   *  author worth keeping. Normalization, blank handling and the output
+   *  row shape match dedupParagraphs exactly.
+   *
+   *  Scale shape: the df count runs on the (host, key, id)-distinct
+   *  stream (one hash aggregate with map-side partials — a footer
+   *  repeated on 10^6 pages of one host combines map-side on its
+   *  (host, key) cell); the hot set (rows >= minDf) is the small side of
+   *  a LEFT SEMI join back onto the paragraph stream (AQE broadcast
+   *  while small, skew-split shuffle at corpus scale); removed
+   *  positions aggregate per doc, bounded by the doc's own paragraph
+   *  count, and the rebuild is [[paragraphCut]]. */
+  def hostBoilerplate(df: DataFrame, hostCol: String, textCol: String,
+      idCol: String, minDf: Int = 3): DataFrame = {
+    require(minDf >= 2, s"minDf must be at least 2: $minDf")
+    val segsC = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val keyC = lower(trim(regexp_replace(col("para"), "\\s+", " ")))
+    val paras = df.select(col(hostCol).as("__h"), col(idCol),
+        posexplode(segsC).as(Seq("pos", "para")))
+      .withColumn("__key", keyC)
+      .filter(length(col("__key")) > 0)
+      .select(col("__h"), col(idCol), col("pos"), col("__key"))
+    val hot = paras.select(col("__h"), col("__key"), col(idCol)).distinct()
+      .groupBy(col("__h"), col("__key"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), col("__key"))
+    val removed = paras.join(hot, Seq("__h", "__key"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__rm"))
+    paragraphCut(df, textCol, idCol, removed)
   }
 
   /** Repeated-span starts (the fixed-k sliding-window reading of exact

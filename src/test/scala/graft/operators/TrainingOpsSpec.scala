@@ -174,6 +174,62 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.values.exists(v => v._2 == 0), "fixture must contain untouched docs")
   }
 
+  test("hostBoilerplate: host-scoped df gate cuts hot lines everywhere, cold survive") {
+    val sp = spark
+    import sp.implicits._
+    // "nav" is hot on hostA (3 distinct docs — within-doc repeat on doc 1
+    // counts once) and cold on hostB (1 doc). "promo" stays under the
+    // gate everywhere (df 2 on hostA).
+    val df = Seq(
+      (1L, "hostA", "NAV\nbody one\n nav \npromo"),
+      (2L, "hostA", "nav\nbody two\npromo"),
+      (3L, "hostA", "nav\nbody three"),
+      (4L, "hostB", "nav\nbody four"))
+      .toDF("doc_id", "host", "text")
+    val out = TextDedup.hostBoilerplate(df, "host", "text", "doc_id", minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4, 2, md5Hex("body one\npromo"))))
+    assert(out(2L) == ((3, 1, md5Hex("body two\npromo"))))
+    assert(out(3L) == ((2, 1, md5Hex("body three"))))
+    assert(out(4L) == ((2, 0, md5Hex("nav\nbody four"))))
+  }
+
+  test("hostBoilerplate equals brute force on a seeded LCG corpus (property)") {
+    val sp = spark
+    import sp.implicits._
+    val pool = Vector("nav menu", "NAV  MENU", "body %d", "footer", "", "promo")
+    var s = 0xB011E4B0ADL
+    def nx(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n }
+    val texts = (0 until 40).map { i =>
+      (i.toLong, s"h${nx(4)}", (0 until 1 + nx(5)).map { _ =>
+        val p = pool(nx(pool.size)); if (p.contains("%d")) p.format(nx(8)) else p
+      }.mkString("\n"))
+    }
+    def norm(p: String) = p.replaceAll("\\s+", " ").trim.toLowerCase
+    val minDf = 3
+    // .filter(...).keySet, NOT .collect{... => k}.toSet — a Map.collect
+    // producing pairs rebuilds a Map keyed on k._1 (the host), silently
+    // keeping one key per host
+    val hot = texts.flatMap { case (id, h, t) =>
+      t.split("\n", -1).collect { case p if norm(p).nonEmpty => (h, norm(p), id) } }
+      .distinct.groupBy(o => (o._1, o._2))
+      .filter(_._2.size >= minDf).keySet
+    val expected = texts.map { case (id, h, t) =>
+      val segs = t.split("\n", -1)
+      val rm = segs.zipWithIndex.collect {
+        case (p, i) if norm(p).nonEmpty && hot((h, norm(p))) => i }.toSet
+      val kept = segs.zipWithIndex.collect { case (p, i) if !rm(i) => p }
+      id -> ((segs.count(p => norm(p).nonEmpty), rm.size, md5Hex(kept.mkString("\n"))))
+    }.toMap
+    val out = TextDedup.hostBoilerplate(texts.toDF("doc_id", "host", "text"),
+        "host", "text", "doc_id", minDf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out == expected)
+    assert(expected.values.exists(_._2 > 0), "fixture must contain boilerplate cuts")
+    assert(expected.values.exists(_._2 == 0), "fixture must contain untouched docs")
+  }
+
   test("dedupParagraphs plan: map-side partial min on the key, no cartesian") {
     val plan = TextDedup.dedupParagraphs(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
