@@ -568,6 +568,14 @@ object SparkEntry {
         tables = 48, bits = 5)
     }),
 
+    // SemDeDup: cluster-scoped semantic near-dup pairs. The shipped
+    // query scopes by the corpus's own label column (any cluster
+    // assignment slots in — k-means via withKmeansCluster is spec-pinned)
+    // so DuckDB replays the whole operator exactly
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDupPairs(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", "label", minCosineMilli = 400)),
+
     // IVF ANN machinery oracle: exhaustive probing (nProbe = nClusters)
     // makes the quantize→probe→re-rank pipeline provably equal exact
     // top-k, so the DuckDB oracle pins ids AND ranks; approximation
@@ -1354,6 +1362,17 @@ object SparkEntry {
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id
            AND CAST(floor(1000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                        CAST(b.embedding AS DOUBLE[]))) AS BIGINT) >= 400""",
+
+    // replays semanticDupPairs with label clusters: same-label pairs,
+    // identical double cosine, same per-mille floor
+    "dedup_semantic" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+                CAST(floor(1000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                         CAST(b.embedding AS DOUBLE[]))) AS BIGINT) AS cos_milli
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE CAST(floor(1000 * list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                         CAST(b.embedding AS DOUBLE[]))) AS BIGINT) >= 400""",
 
     // replays Multimodal.fakeMedia byte-for-byte: the 64-bit LCG runs in

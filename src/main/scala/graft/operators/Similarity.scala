@@ -71,6 +71,51 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): semantic near-duplicate
+   * pairs scoped to a CLUSTER column — all (a, b), a < b, in the same
+   * cluster with cosine ≥ threshold (per-mille integer). The cluster
+   * column is the scale contract: the within-cluster join is
+   * deliberately quadratic PER CLUSTER (that is SemDeDup — the cluster
+   * count grows with the corpus so per-cluster size stays bounded, e.g.
+   * 10^5 clusters over 10^9 docs ≈ 10^4 docs/cluster ≈ 10^8 cosines per
+   * cluster, embarrassingly parallel across clusters). Any cluster
+   * assignment works: [[withKmeansCluster]] (deterministic k-means, the
+   * paper's choice), an LSH bucket, or a precomputed label column.
+   *
+   * Cross-cluster near-dup pairs are invisible BY DESIGN (the paper's
+   * recall trade); the spec measures that recall against the exact pair
+   * set on the fixture corpus.
+   */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, minCosineMilli: Int): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val a = df.select(col(clusterCol).as("__c"), col(idCol).as("a"),
+      vecD.as("va"), norm(vecD).as("na"))
+    val b = df.select(col(clusterCol).as("__c"), col(idCol).as("b"),
+      vecD.as("vb"), norm(vecD).as("nb"))
+    a.join(b, Seq("__c")).filter(col("a") < col("b"))
+      .withColumn("cos_milli",
+        floor(lit(1000.0) * (dot(col("va"), col("vb")) / (col("na") * col("nb")))).cast("long"))
+      .filter(col("cos_milli") >= minCosineMilli)
+      .select(col("a"), col("b"), col("cos_milli"))
+  }
+
+  /** Deterministic k-means cluster assignment for [[semanticDupPairs]]:
+   *  adds `cluster` (int) via [[trainCentroids]]' quantized Lloyd steps —
+   *  the centroid table is k×d doubles broadcast to the assign UDF, the
+   *  corpus maps once, no shuffle. */
+  def withKmeansCluster(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val vecD = col(vecCol).cast("array<double>")
+    val bc = spark.sparkContext.broadcast(
+      trainCentroids(df, idCol, vecCol, nClusters, iters))
+    val assignUdf = udf((vecSeq: Seq[Double]) => nearestCentroid(bc.value, vecSeq.toArray))
+    df.withColumn("cluster", assignUdf(vecD))
+  }
+
+  /**
    * Exact top-k neighbors for each query vector. `queries`/`corpus` both
    * need (idCol, vecCol); output (query_id, neighbor_id, rank). Ties in
    * cosine break by neighbor id (determinism across engines).

@@ -544,6 +544,49 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shipped.collect().map(_.toSeq).toSet == exact)
   }
 
+  test("semanticDupPairs: cluster-scoped — same-cluster dups found, cross-cluster invisible") {
+    val sp = spark
+    import sp.implicits._
+    // vectors 1,2 near-identical in cluster 0; vector 3 identical to 1
+    // but in cluster 1 (invisible by design); 4 in cluster 0 orthogonal
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.999f, 0.04f)),
+      (3L, 1, Seq(1.0f, 0.0f)), (4L, 0, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "cluster", "embedding")
+    val got = Similarity.semanticDupPairs(df, "vec_id", "embedding", "cluster", 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("semanticDupPairs with k-means clusters ⊆ exact pairs; recall measured on fixture") {
+    val emb = embeddings.withColumn("embedding", col("embedding").cast("array<double>"))
+    val clustered = Similarity.withKmeansCluster(emb, "vec_id", "embedding",
+      nClusters = 8, iters = 2)
+    val sem = Similarity.semanticDupPairs(clustered, "vec_id", "embedding", "cluster", 400)
+      .collect().map(_.toSeq).toSet
+    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64)
+      .collect().map(_.toSeq).toSet
+    assert(sem.subsetOf(exact), "a cluster-scoped pair must be an exact pair")
+    // measured 22/66 on this fixture at the LOOSE 400‰ threshold — 0.4
+    // cosine is far from a semantic duplicate, so cross-cluster loss is
+    // expected (the paper operates at ~0.95 where dups co-locate); the
+    // contract pinned here is subset + deterministic non-trivial recall
+    assert(exact.nonEmpty && sem.size * 5 >= exact.size,
+      s"k-means cluster scoping lost nearly all recall: ${sem.size}/${exact.size}")
+  }
+
+  test("semanticDupPairs plan: cluster equi-join, no cartesian") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 40L).map(i => (i, (i % 4).toInt,
+      Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "cluster", "embedding")
+    val plan = Similarity.semanticDupPairs(df, "vec_id", "embedding", "cluster", 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(40).mkString("\n"))
+  }
+
   // ---- Multimodal ----
 
   test("multimodal plumbing: fake media decodes to features with exact byte stats") {
