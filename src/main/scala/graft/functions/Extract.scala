@@ -475,12 +475,8 @@ object Extract extends Serializable {
   /** Outlink extraction (F1): hrefs of <a> in document order, resolved
    *  against the base URL (executor _parse → wiki parser semantics,
    *  cola/job/executor.py:308-317, app/wiki/__init__.py:122-149). */
-  def extractOutlinks(html: String, baseUrl: String): Seq[String] = {
-    if (html == null) return Seq.empty
-    val soup = Html.parse(removeCruftyHtml(html))
-    soup.findAll("a").flatMap(_.attr("href")).map(h => UrlCanon.resolve(h, baseUrl))
-      .filter(_.nonEmpty).toSeq
-  }
+  def extractOutlinks(html: String, baseUrl: String): Seq[String] =
+    extractAnchors(html, baseUrl).map(_._1)
 
   def extractOutlinks(html: Array[Byte], baseUrl: String): Seq[String] =
     if (html == null) Seq.empty

@@ -197,20 +197,6 @@ object Corpus {
   def wordTokens(text: Column): Column =
     filter(split(trim(coalesce(text, lit(""))), "\\s+"), w => length(w) > 0)
 
-  /** Inverted index (token → postings), the corpus-search/attribution
-   *  primitive: one row per distinct token with its exact document
-   *  frequency and — for tokens with `doc_freq <= maxDf` — the md5 of
-   *  the comma-joined doc-id list in ascending numeric id order.
-   *
-   *  The df cap is the memory contract, not an approximation: a stopword
-   *  token's postings list is corpus-sized, and an uncapped collect_list
-   *  on it is the reducer-OOM skew case (the J5 mega-host shape). Hot
-   *  tokens (`doc_freq > maxDf`) keep their EXACT df but report the
-   *  empty-string sentinel instead of a materialized list — real systems
-   *  shard or elide exactly these. Two passes so the cap binds BEFORE
-   *  any list exists: (1) count-only df aggregate (map-side partials);
-   *  (2) cold tokens re-join (both sides already token-partitioned) and
-   *  collect ≤ maxDf ids per group — bounded by construction. */
   /** Unigram LM table for [[lmScore]]: one row per distinct token with
    *  its corpus occurrence count (map-side-partial hash aggregate over
    *  the exploded token stream — the same shape as invertedIndex pass 1). */
@@ -278,11 +264,14 @@ object Corpus {
   def sourceProfile(docs: DataFrame, sourceCol: String, textCol: String,
       langCol: String): DataFrame = {
     import graft.functions.TextStats
+    // null text → '' (0 tokens, keep=false) — under legacy sizeOfNull
+    // (non-ANSI sessions) a raw size(null) is -1 and would corrupt the sum
+    val textC = coalesce(col(textCol), lit(""))
     val base = docs.select(
       col(sourceCol).cast("string").as("source"),
       coalesce(col(langCol).cast("string"), lit("und")).as("lang"),
-      TextStats.tokenCount(col(textCol)).cast(LongType).as("n_toks"),
-      when(TextStats.qualityKeep(col(textCol)), lit(1L)).otherwise(lit(0L)).as("keep"))
+      TextStats.tokenCount(textC).cast(LongType).as("n_toks"),
+      when(TextStats.qualityKeep(textC), lit(1L)).otherwise(lit(0L)).as("keep"))
     val perSource = base.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_toks")).as("n_tokens"),
@@ -299,6 +288,20 @@ object Corpus {
         expr("n_tokens div n_docs").as("mean_tokens"))
   }
 
+  /** Inverted index (token → postings), the corpus-search/attribution
+   *  primitive: one row per distinct token with its exact document
+   *  frequency and — for tokens with `doc_freq <= maxDf` — the md5 of
+   *  the comma-joined doc-id list in ascending numeric id order.
+   *
+   *  The df cap is the memory contract, not an approximation: a stopword
+   *  token's postings list is corpus-sized, and an uncapped collect_list
+   *  on it is the reducer-OOM skew case (the J5 mega-host shape). Hot
+   *  tokens (`doc_freq > maxDf`) keep their EXACT df but report the
+   *  empty-string sentinel instead of a materialized list — real systems
+   *  shard or elide exactly these. Two passes so the cap binds BEFORE
+   *  any list exists: (1) count-only df aggregate (map-side partials);
+   *  (2) cold tokens re-join (both sides already token-partitioned) and
+   *  collect ≤ maxDf ids per group — bounded by construction. */
   def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
       maxDf: Int): DataFrame = {
     require(maxDf > 0, s"postings df cap must be positive: $maxDf")

@@ -22,8 +22,11 @@ object Events {
   def windowAgg(events: DataFrame, tsCol: String, typeCol: String,
       userCol: String, valueCol: String, every: String = "1 hour"): DataFrame =
     events
-      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .withColumn("__ts", col(tsCol).cast("timestamp"))
+      // filter AFTER the cast: a value that casts to null (non-ANSI
+      // sessions) must not enter the aggregate under a null window —
+      // in streaming such a row's state could never be closed
+      .filter(col("__ts").isNotNull && col(typeCol).isNotNull)
       .groupBy(window(col("__ts"), every).as("w"), col(typeCol).as("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -45,8 +48,8 @@ object Events {
       valueCol: String, every: String = "1 hour",
       delay: String = "10 minutes"): DataFrame =
     events
-      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .filter(col("__ts").isNotNull && col(typeCol).isNotNull)
       .withWatermark("__ts", delay)
       .groupBy(window(col("__ts"), every).as("w"), col(typeCol).as("event_type"))
       .agg(

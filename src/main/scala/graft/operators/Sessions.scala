@@ -54,8 +54,10 @@ object Sessions {
    *  specs), so micros are epoch-exact and engine-portable. */
   private def prepare(events: DataFrame, userCol: String, tsCol: String): DataFrame =
     events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("__ts", col(tsCol).cast("timestamp"))
+      // filter AFTER the cast: a value that casts to null (non-ANSI
+      // sessions) must not open a session window no watermark can close
+      .filter(col(userCol).isNotNull && col("__ts").isNotNull)
 
   private def aggSessions(prepared: DataFrame, userCol: String,
       idCol: String, gap: String): DataFrame =

@@ -111,7 +111,10 @@ object Similarity {
     val vecD = col(vecCol).cast("array<double>")
     val bc = spark.sparkContext.broadcast(
       trainCentroids(df, idCol, vecCol, nClusters, iters))
-    val assignUdf = udf((vecSeq: Seq[Double]) => nearestCentroid(bc.value, vecSeq.toArray))
+    // null embeddings assign cluster -1 (their pairs are dropped by the
+    // null cosine downstream) instead of NPE-ing the whole job
+    val assignUdf = udf((vecSeq: Seq[Double]) =>
+      if (vecSeq == null) -1 else nearestCentroid(bc.value, vecSeq.toArray))
     df.withColumn("cluster", assignUdf(vecD))
   }
 

@@ -491,13 +491,24 @@ object TextDedup {
    *  the rebuild joins back to the corpus scan — affected docs only —
    *  cutting per row with hash-based order-preserving array_except,
    *  O(segments + removed). */
-  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Normalized non-blank paragraph stream shared by the paragraph-removal
+   *  operators: one row per non-blank segment with its doc position and
+   *  normalized key (ws-collapse + trim + lower), plus optional leading
+   *  columns (e.g. the host for [[hostBoilerplate]]) — ONE definition so
+   *  the operators can never drift in normalization or blank handling. */
+  private def paragraphStream(df: DataFrame, textCol: String, idCol: String,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
     val segsC = split(coalesce(col(textCol), lit("")), "\n", -1)
     val keyC = lower(trim(regexp_replace(col("para"), "\\s+", " ")))
-    val paras = df.select(col(idCol), posexplode(segsC).as(Seq("pos", "para")))
+    val pre = extra.map { case (n, c) => c.as(n) } :+ col(idCol)
+    df.select(pre :+ posexplode(segsC).as(Seq("pos", "para")): _*)
       .withColumn("__key", keyC)
       .filter(length(col("__key")) > 0)
-      .select(col(idCol), col("pos"), col("__key"))
+      .drop("para")
+  }
+
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val paras = paragraphStream(df, textCol, idCol)
     val perDoc = paras.groupBy(col("__key"), col(idCol))
       .agg(min(col("pos")).as("__mp"))
     val firstDoc = perDoc.groupBy(col("__key")).agg(min(col(idCol)).as("__fd"))
@@ -551,13 +562,7 @@ object TextDedup {
   def hostBoilerplate(df: DataFrame, hostCol: String, textCol: String,
       idCol: String, minDf: Int = 3): DataFrame = {
     require(minDf >= 2, s"minDf must be at least 2: $minDf")
-    val segsC = split(coalesce(col(textCol), lit("")), "\n", -1)
-    val keyC = lower(trim(regexp_replace(col("para"), "\\s+", " ")))
-    val paras = df.select(col(hostCol).as("__h"), col(idCol),
-        posexplode(segsC).as(Seq("pos", "para")))
-      .withColumn("__key", keyC)
-      .filter(length(col("__key")) > 0)
-      .select(col("__h"), col(idCol), col("pos"), col("__key"))
+    val paras = paragraphStream(df, textCol, idCol, Seq("__h" -> col(hostCol)))
     val hot = paras.select(col("__h"), col("__key"), col(idCol)).distinct()
       .groupBy(col("__h"), col("__key"))
       .agg(count(lit(1)).as("__df"))
