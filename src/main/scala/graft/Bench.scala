@@ -232,13 +232,29 @@ object Bench {
     spark.stop()
     writeMd()
 
+    // ---- stage 2.5: if the software pair reads under target, spend ONE
+    // guaranteed drift-guard round BEFORE the box pair — runs #7 and #9
+    // both starved the end-of-run guard by 20-30s because the box round's
+    // floor cap ate the reserve; this slot can't be starved and still
+    // samples a window ~30 min after stage 1's ----
+    var softSamples = softBase.samples
+    if (softBase.efficiency < 0.8 && remaining - boxReserve - tailReserve > 300.0) {
+      System.err.println(f"[bench] stage 2.5/4 early drift-guard round " +
+        f"at $elapsed%.0fs (pair reads ${softBase.efficiency}%.3f)")
+      val extra = FrontierBench.measureScaling(frontierN, 2, 8, rounds = 1,
+        remainingBudget = () => remaining - boxReserve - tailReserve,
+        mandatory = false)
+      softSamples = softSamples ++ extra.samples
+      soft = Some(FrontierBench.resultFromSamples(frontierN, 2, 8, softSamples))
+      writeMd()
+    }
+
     // ---- stage 3: box pair (absolute throughput; documented bus ceiling) ----
     System.err.println(f"[bench] stage 3/4 box pair at $elapsed%.0fs (budget ${remaining}%.0fs)")
     val coresN = math.max(cpus / 4, 1)
-    val extrasReserve = if (softBase.efficiency < 0.8) 620.0 else 0.0
     box = Some(FrontierBench.measureScaling(frontierN, coresN, cpus,
       rounds = FrontierBench.benchRounds,
-      remainingBudget = () => remaining - tailReserve - extrasReserve))
+      remainingBudget = () => remaining - tailReserve))
     writeMd()
 
     // ---- stage 4: leftover budget → drift-guard rounds on the software
@@ -250,10 +266,9 @@ object Bench {
     // child kill-cap (remainingBudget, mandatory=false) still hard-bounds
     // an attempt that would overrun, so the precheck only needs to filter
     // hopeless windows
-    var softSamples = softBase.samples
     var extras = 0
     while (soft.exists(_.efficiency < 0.8) && extras < 2 &&
-        remaining - tailReserve > 350.0) {
+        remaining - tailReserve > 300.0) {
       System.err.println(f"[bench] stage 4/4 drift-guard round ${extras + 1} " +
         f"at $elapsed%.0fs (pair reads ${soft.get.efficiency}%.3f)")
       val extra = FrontierBench.measureScaling(frontierN, 2, 8, rounds = 1,
