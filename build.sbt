@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output passes through UNPREFIXED (no sbt "[info] "
+// logger decoration): the per-round driver parses graft.Bench's single
+// headline JSON line from stdout, and the r4 artifact recorded
+// `"parsed": null` because the line arrived as `[info] {...}`.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
