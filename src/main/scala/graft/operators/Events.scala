@@ -16,9 +16,13 @@ object Events {
 
   /** Tumbling-window rollup via Spark's native `window()` grouping
    *  (streaming-compatible): one row per (window, event_type) with event
-   *  count, distinct users, and exact cent-sum of `value`
-   *  (round-half-up at two decimals — both java and DuckDB round() agree
-   *  on non-negative cents). Window identity = start micros. */
+   *  count, distinct users, and exact cent-sum of `value`. Rounding
+   *  contract: `round()` is HALF_UP — an exact half-cent rounds AWAY
+   *  FROM ZERO on both signs (−0.125 → −13 cents), which DuckDB's
+   *  round() matches; engines with banker's rounding (IEEE rint) differ
+   *  on exact half-cents. The oracled query exercises non-negative
+   *  values; the negative-sign behavior is pinned by EventsSpec's
+   *  ±0.125 vector. Window identity = start micros. */
   def windowAgg(events: DataFrame, tsCol: String, typeCol: String,
       userCol: String, valueCol: String, every: String = "1 hour"): DataFrame =
     events

@@ -40,14 +40,20 @@ import org.apache.spark.sql.types.LongType
  * N ≈ 4·10^11 documents.
  *
  * **Scale shape.** The corpus is pruned to the query vocabulary BEFORE
- * any aggregate (an `isin` on the exploded tokens — pushed into the scan
- * stage, so a 100 TB corpus reduces to the rows mentioning query terms);
- * doclen is a per-row `size()` (no explode); the global (N, Σlen) pair is
- * ONE bounded driver row; df/tf are hash aggregates with map-side
- * partials; the query-term table is bounded by the literal `queries`
- * argument (driver-supplied, broadcast by construction); and the final
- * per-query top-k compiles to WindowGroupLimit (partial top-k per mapper
- * before the single per-query exchange — the politeness-top-k shape).
+ * any aggregate — a LEFT SEMI join of the exploded token stream against
+ * the (distinct) query vocabulary, so a 100 TB corpus reduces to the
+ * rows mentioning query terms. A literal `isin` would compile a 10^4-term
+ * query batch into one giant codegen'd In predicate (VERDICT r4 hazard
+ * #2); the semi-join stays a hash probe whatever the batch size, and is
+ * broadcast when the vocabulary is bounded (the `Seq` overload — a
+ * driver-supplied literal) or AQE-sized when the queries arrive as a
+ * DataFrame of unknown cardinality (the decontaminate-ship precedent:
+ * never an unguarded broadcast hint on an unbounded input). Doclen is a
+ * per-row `size()` (no explode); the global (N, Σlen) pair is ONE
+ * bounded driver row; df/tf are hash aggregates with map-side partials;
+ * and the final per-query top-k compiles to WindowGroupLimit (partial
+ * top-k per mapper before the single per-query exchange — the
+ * politeness-top-k shape).
  */
 object Search {
 
@@ -59,17 +65,39 @@ object Search {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       queries: Seq[(String, String)], k: Int,
       k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
     require(queries.nonEmpty, "need at least one query")
-    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
-      s"k1Milli/bMilli out of range: $k1Milli/$bMilli")
     val spark = docs.sparkSession
     import spark.implicits._
+    // a literal argument is bounded by construction → broadcast hints on
+    bm25TopKImpl(docs, textCol, idCol,
+      queries.toDF("query_id", "terms"), k, k1Milli, bMilli, bounded = true)
+  }
 
-    val qTerms = queries.flatMap { case (qid, qtext) =>
-      qtext.trim.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
-    }.distinct.toDF("query_id", "token")
-    val vocab = qTerms.select("token").as[String].distinct().collect().toSeq
+  /** Query-batch form: `queries` is a DataFrame with (query_id: string,
+   *  terms: string — whitespace-separated). The scale path for real
+   *  query batches (10^3-10^6 probe queries): no driver collect, no
+   *  literal In predicate; the vocabulary joins are AQE-sized because a
+   *  DataFrame argument has unknown cardinality. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int, k1Milli: Long, bMilli: Long): DataFrame =
+    bm25TopKImpl(docs, textCol, idCol, queries, k, k1Milli, bMilli, bounded = false)
+
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int): DataFrame =
+    bm25TopKImpl(docs, textCol, idCol, queries, k, 1200L, 750L, bounded = false)
+
+  private def bm25TopKImpl(docs: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, k: Int, k1Milli: Long, bMilli: Long,
+      bounded: Boolean): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"k1Milli/bMilli out of range: $k1Milli/$bMilli")
+
+    // (query_id, token), duplicates within a query collapsed
+    val qTerms = queries.select(col("query_id"),
+      explode(Corpus.wordTokens(col("terms"))).as("token")).distinct()
+    val vocab = qTerms.select("token").distinct()
+    def maybeBroadcast(df: DataFrame): DataFrame = if (bounded) broadcast(df) else df
 
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
       Corpus.wordTokens(col(textCol)).as("toks"))
@@ -81,16 +109,17 @@ object Search {
     require(n > 0 && tot > 0, s"corpus is empty or token-free (n=$n, tot=$tot)")
     val avgLenMilli = tot * 1000L / n
 
-    // corpus pruned to the query vocabulary BEFORE the tf aggregate
+    // corpus pruned to the query vocabulary BEFORE the tf aggregate:
+    // semi-join, never an In-list (see the scale-shape note above)
     val tf = base.select(col("doc_id"), explode(col("toks")).as("token"))
-      .filter(col("token").isin(vocab: _*))
+      .join(maybeBroadcast(vocab), Seq("token"), "left_semi")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // exact df for the query terms (tf is one row per containing doc)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
 
     val scored = tf
-      .join(broadcast(dfreq), "token")  // ≤ |query vocabulary| rows
-      .join(broadcast(qTerms), "token") // bounded by the literal argument
+      .join(maybeBroadcast(dfreq), "token")  // ≤ |query vocabulary| rows
+      .join(maybeBroadcast(qTerms), "token")
       .join(doclens, "doc_id")
       .withColumn("idf", expr(s"(($n - df + 1) * 10000L) div (df + 1)"))
       .withColumn("lenratio", expr(s"(doclen * 1000000L) div ${avgLenMilli}L"))

@@ -36,25 +36,37 @@ object Similarity {
   /**
    * Embedding-cosine near-duplicate pairs: all (a, b) with a < b and
    * cosine ≥ threshold (per-mille, integer — engine/oracle-stable).
-   * The SHIPPED path (the `dedup_embedding_cosine` query) is `tables > 0`:
-   * candidates come from a hyperplane-LSH bucket equi-join (same family
-   * as [[lshTopK]]) and only candidates pay a cosine — no cartesian
-   * anywhere, and the driver oracle checks the result against the exact
-   * pair set, proving candidate coverage on the fixture. `tables = 0` is
-   * the exact all-pairs baseline, kept for verification and tiny corpora.
+   * The DEFAULT (and shipped, `dedup_embedding_cosine`) path is the LSH
+   * candidate join, `tables > 0`: candidates come from a hyperplane-LSH
+   * bucket equi-join (same family as [[lshTopK]]) and only candidates pay
+   * a cosine — no cartesian anywhere, and the driver oracle checks the
+   * result against the exact pair set, proving candidate coverage on the
+   * fixture. The exact all-pairs baseline is an EXPLICIT opt-in
+   * (`tables = 0`) for verification and tiny corpora only — it is a
+   * cartesian and must never be the path a 100 TB caller lands on by
+   * omitting an argument. Rows with a null or zero-norm embedding are
+   * excluded up front (their cosine is NaN, which some engines error on
+   * and Spark's non-ANSI cast silently folds to 0).
    */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      minCosineMilli: Int, dim: Int, tables: Int = 0, bits: Int = 5): DataFrame = {
+      minCosineMilli: Int, dim: Int, tables: Int = 48, bits: Int = 5): DataFrame = {
     // norms are per-ROW, so compute them before the pairwise join: each
     // pair then evaluates one dot product instead of dot + two norms
     // (three zip_with/transform array passes -> one)
-    val a = df.select(col(idCol).as("a"), col(vecCol).as("va"), norm(col(vecCol)).as("na"))
-    val b = df.select(col(idCol).as("b"), col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    // degenerate-embedding guard (null vector or all-zero norm): norm is
+    // null/0 there, the cosine would be null/NaN — drop the row before
+    // any pair exists (a null comparison is false, so the filter drops
+    // null norms too)
+    val clean = df.filter(col(vecCol).isNotNull)
+    val a = clean.select(col(idCol).as("a"), col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+      .filter(col("na") > 0)
+    val b = clean.select(col(idCol).as("b"), col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+      .filter(col("nb") > 0)
     val pairs =
       if (tables <= 0) a.crossJoin(b).filter(col("a") < col("b"))
       else {
         val sigUdf = signaturesUdf(dim, tables, bits)
-        val buckets = df.select(col(idCol).as("id"),
+        val buckets = clean.select(col(idCol).as("id"),
             sigUdf(col(vecCol).cast("array<double>")).as("sigs"))
           .select(col("id"), posexplode(col("sigs")).as(Seq("table", "bucket")))
         val cand = buckets.as("x").join(buckets.as("y"),
@@ -85,15 +97,21 @@ object Similarity {
    *
    * Cross-cluster near-dup pairs are invisible BY DESIGN (the paper's
    * recall trade); the spec measures that recall against the exact pair
-   * set on the fixture corpus.
+   * set on the fixture corpus. Rows with a null or zero-norm embedding
+   * are excluded up front — their cosine is NaN, and Spark's non-ANSI
+   * `floor(NaN).cast(long)` silently yields 0 (so a degenerate pair
+   * would PASS any `minCosineMilli <= 0`) while strict engines error on
+   * the cast: dropping them keeps both engines on the same rows (the
+   * same guard as [[withKmeansCluster]]'s -1 cluster for null vectors).
    */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, minCosineMilli: Int): DataFrame = {
     val vecD = col(vecCol).cast("array<double>")
-    val a = df.select(col(clusterCol).as("__c"), col(idCol).as("a"),
-      vecD.as("va"), norm(vecD).as("na"))
-    val b = df.select(col(clusterCol).as("__c"), col(idCol).as("b"),
-      vecD.as("vb"), norm(vecD).as("nb"))
+    val clean = df.filter(col(vecCol).isNotNull)
+    val a = clean.select(col(clusterCol).as("__c"), col(idCol).as("a"),
+      vecD.as("va"), norm(vecD).as("na")).filter(col("na") > 0)
+    val b = clean.select(col(clusterCol).as("__c"), col(idCol).as("b"),
+      vecD.as("vb"), norm(vecD).as("nb")).filter(col("nb") > 0)
     a.join(b, Seq("__c")).filter(col("a") < col("b"))
       .withColumn("cos_milli",
         floor(lit(1000.0) * (dot(col("va"), col("vb")) / (col("na") * col("nb")))).cast("long"))

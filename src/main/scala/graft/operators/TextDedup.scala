@@ -562,6 +562,13 @@ object TextDedup {
   def hostBoilerplate(df: DataFrame, hostCol: String, textCol: String,
       idCol: String, minDf: Int = 3): DataFrame = {
     require(minDf >= 2, s"minDf must be at least 2: $minDf")
+    // null-host docs are EXEMPT from boilerplate removal, by contract
+    // (ADVICE r4): a null host is unknown provenance — pooling such docs
+    // into one pseudo-site would cut paragraphs that merely repeat
+    // across unrelated origins. Mechanically the exemption falls out of
+    // SQL null-join semantics (a null __h never matches the semi join);
+    // it is pinned by spec, not an accident. Callers who DO want a
+    // shared pool can coalesce the host column to a sentinel first.
     val paras = paragraphStream(df, textCol, idCol, Seq("__h" -> col(hostCol)))
     val hot = paras.select(col("__h"), col("__key"), col(idCol)).distinct()
       .groupBy(col("__h"), col("__key"))

@@ -418,6 +418,36 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(13L) == ((3L, 1333L, true)))
   }
 
+  test("lmScoreLogprob: a KenLM-shaped (token, logprob_milli) table slots in — config, not code") {
+    val s = spark
+    import s.implicits._
+    // a loaded fixture model the way an ARPA unigram dump ships:
+    // integer-quantized log10 probabilities, milli units, ≤ 0
+    val kenlm = Seq(
+      ("the", -1204L),  // p ≈ 10^-1.204
+      ("cat", -2817L),
+      ("sat", -3102L))
+      .toDF("token", "logprob_milli")
+    val docs = Seq(
+      (1L, "the cat sat"),   // mean(1204, 2817, 3102) = 7123 div 3 = 2374
+      (2L, "the zzz"),       // OOV pays the 7000 cap → (1204+7000) div 2 = 4102
+      (3L, "")               // empty → 0, kept
+    ).toDF("doc_id", "text")
+    val got = Corpus.lmScoreLogprob(docs, kenlm, "text", "doc_id", threshold = 3000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((3L, 2374L, true)))
+    assert(got(2L) == ((2L, 4102L, false)))
+    assert(got(3L) == ((0L, 0L, true)))
+    // the swap is config: the SAME call shape scores under a different
+    // model table and the schema/keep-gate contract is unchanged
+    val other = Seq(("the", -100L)).toDF("token", "logprob_milli")
+    val re = Corpus.lmScoreLogprob(docs, other, "text", "doc_id", threshold = 3000L)
+    assert(re.columns.toSeq == Seq("doc_id", "n_tokens", "surprisal_milli", "keep"))
+    val reGot = re.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reGot(1L) == (100L + 7000L + 7000L) / 3) // cat/sat now OOV
+  }
+
   test("lmScore is partition-independent") {
     val s = spark
     import s.implicits._

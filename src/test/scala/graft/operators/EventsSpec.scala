@@ -49,6 +49,23 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (h0 + 3600L * 1000000L, "click", 1L, 1L, 99L)))
   }
 
+  test("windowAgg: negative money rounds half AWAY FROM ZERO (pinned contract)") {
+    val s = spark
+    import s.implicits._
+    // VERDICT r4 hazard #4: Spark round() is HALF_UP — away from zero on
+    // BOTH signs — while some engines use banker's rounding. ±0.125 is an
+    // exactly-representable half-cent, so the tie rule is actually hit:
+    // HALF_UP gives ±13 cents, banker's would give ±12.
+    val df = Seq(
+      (ts(h0), "refund", 1L, -0.125),
+      (ts(h0), "charge", 1L, 0.125),
+      (ts(h0), "refund", 2L, -2.00))
+      .toDF("ts", "event_type", "user_id", "value")
+    val got = Events.windowAgg(df, "ts", "event_type", "user_id", "value")
+      .collect().map(r => (r.getString(1), r.getLong(4))).toMap
+    assert(got == Map("refund" -> -213L, "charge" -> 13L))
+  }
+
   test("propsAgg: integer field extraction incl. missing and malformed JSON") {
     val s = spark
     import s.implicits._

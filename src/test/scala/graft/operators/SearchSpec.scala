@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -100,6 +101,42 @@ class SearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = rows(Search.bm25TopK(docsDF(ds).repartition(1), "text", "doc_id", qs, 8))
     val many = rows(Search.bm25TopK(docsDF(ds).repartition(7), "text", "doc_id", qs, 8))
     assert(one == many)
+  }
+
+  test("query-batch DataFrame form ≡ Seq form on the same queries") {
+    val s = spark
+    import s.implicits._
+    var x = 11L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val vocab = Seq("spark", "join", "merge", "scan", "filter", "table", "row", "agg")
+    val ds = (0L until 50L).map { id =>
+      val len = (math.floorMod(next(), 9L) + 1).toInt
+      (id, (0 until len).map(_ => vocab(math.floorMod(next(), 8L).toInt)).mkString(" "))
+    }
+    val qs = Seq("a" -> "spark join", "b" -> "filter agg row", "c" -> "merge")
+    val viaSeq = rows(Search.bm25TopK(docsDF(ds), "text", "doc_id", qs, k = 5))
+    val viaDf = rows(Search.bm25TopK(docsDF(ds), "text", "doc_id",
+      qs.toDF("query_id", "terms"), k = 5))
+    assert(viaDf == viaSeq && viaDf.nonEmpty)
+  }
+
+  test("10^3-query batch: no giant In predicate, corpus pruned via semi-join") {
+    val s = spark
+    import s.implicits._
+    // 1000 queries over a 2000-term vocabulary — the VERDICT r4 hazard:
+    // an isin would compile one 2000-literal In predicate into codegen
+    val ds = (0L until 80L).map(i => (i, (0 until 6).map(j => s"t${(i * 7 + j * 13) % 500}").mkString(" ")))
+    val qdf = (0 until 1000).map(q =>
+        (s"q$q", s"t${q % 500} t${(q * 3 + 1) % 2000} t${(q * 5 + 2) % 2000}"))
+      .toDF("query_id", "terms")
+    val out = Search.bm25TopK(docsDF(ds), "text", "doc_id", qdf, k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains(" IN ("), "query vocabulary leaked into an In-list predicate")
+    assert(plan.contains("LeftSemi"), s"expected a semi-join prune:\n${plan.take(2000)}")
+    // spot-check one query against the sequential replay
+    val got = rows(out.filter(col("query_id") === "q0"))
+    val want = brute(ds, Seq("q0" -> "t0 t1 t2"), k = 3)
+    assert(got == want)
   }
 
   test("plan: per-query top-k compiles to WindowGroupLimit (partial before the exchange)") {

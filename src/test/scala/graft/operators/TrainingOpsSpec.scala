@@ -86,6 +86,37 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh", 6L -> "und"))
   }
 
+  test("langIdFromModel: built-in markers as a model table reproduce langId; a swapped model redecides") {
+    val sp = spark
+    import sp.implicits._
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog of the house is to go"),
+      (2L, "el perro y los gatos de la casa es un animal"),
+      (3L, "der hund und die katze ist nicht ein tier zu sehen"),
+      (4L, "le chien et la maison est une des choses du jour"),
+      (5L, "这是 一个 中文 文档 测试"),
+      (6L, "zzz qqq www"))).toDF("id", "text")
+    // the swap is config: the SAME built-in markers, loaded as an
+    // external (lang, pattern, weight_milli) table, give langId's answers
+    val builtin = TextStats.LangMarkers.map { case (l, p) => (l, p, 1000L) }
+      .toDF("lang", "pattern", "weight_milli")
+    val fn = TextStats.langIdFromModel(builtin)
+    val out = df.select(col("id"), fn(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh", 6L -> "und"))
+    // a different model redecides: weight the fr markers 10x and doc 1
+    // ("the ... of ... is to") still wins en on hits, doc 4 stays fr,
+    // and a model that only knows "zzz" labels doc 6
+    val custom = Seq(
+      ("xx", "\\b(zzz|qqq)\\b", 1000L),
+      ("en", "\\b(the|and)\\b", 1000L))
+      .toDF("lang", "pattern", "weight_milli")
+    val fn2 = TextStats.langIdFromModel(custom)
+    val out2 = df.select(col("id"), fn2(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(6L) == "xx" && out2(1L) == "en" && out2(5L) == "und")
+  }
+
   test("quality signals are integers and qualityKeep gates junk") {
     val df = spark.createDataFrame(Seq(
       (1L, "A normal document with some sensible words, punctuation and length that should pass the gate easily."),
@@ -192,6 +223,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((3, 1, md5Hex("body two\npromo"))))
     assert(out(3L) == ((2, 1, md5Hex("body three"))))
     assert(out(4L) == ((2, 0, md5Hex("nav\nbody four"))))
+  }
+
+  test("hostBoilerplate: null-host docs are exempt from removal (pinned contract)") {
+    val sp = spark
+    import sp.implicits._
+    // "nav" would clear the df>=3 gate if null hosts pooled — the
+    // contract (ADVICE r4) says they must NOT: unknown provenance never
+    // forms a pseudo-site, so all three docs come back uncut
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "nav\nbody one"),
+      (2L, null.asInstanceOf[String], "nav\nbody two"),
+      (3L, null.asInstanceOf[String], "nav\nbody three"))
+      .toDF("doc_id", "host", "text")
+    val out = TextDedup.hostBoilerplate(df, "host", "text", "doc_id", minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2, 0, md5Hex("nav\nbody one"))))
+    assert(out(2L) == ((2, 0, md5Hex("nav\nbody two"))))
+    assert(out(3L) == ((2, 0, md5Hex("nav\nbody three"))))
   }
 
   test("hostBoilerplate equals brute force on a seeded LCG corpus (property)") {
@@ -521,7 +570,8 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("embedding-cosine near-dup pairs: LSH candidates are a subset of exact; thresholds hold") {
-    val exact = Similarity.cosineNearDups(embeddings, "vec_id", "embedding", 300, dim = 64)
+    val exact = Similarity.cosineNearDups(embeddings, "vec_id", "embedding", 300,
+        dim = 64, tables = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(exact.nonEmpty)
     assert(exact.forall { case (a, b, c) => a < b && c >= 300 })
@@ -539,9 +589,44 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.linesIterator.take(40).mkString("\n"))
     // and it still finds exactly the exact pair set on the fixture
-    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64)
+    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 400,
+        dim = 64, tables = 0)
       .collect().map(_.toSeq).toSet
     assert(shipped.collect().map(_.toSeq).toSet == exact)
+  }
+
+  test("cosineNearDups DEFAULT path is the LSH candidate join — exact all-pairs is opt-in") {
+    // VERDICT r4 hazard #1: a 100 TB caller omitting `tables` must land
+    // on the bucket join, never the cartesian verification baseline
+    val plan = Similarity.cosineNearDups(embeddings, "vec_id", "embedding", 400, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("degenerate embeddings (null / zero-norm) are excluded, never NaN-scored") {
+    val sp = spark
+    import sp.implicits._
+    // ADVICE r4: cosine(zero-norm) is NaN; Spark's non-ANSI
+    // floor(NaN).cast(long) folds to 0, so at minCosineMilli <= 0 a
+    // degenerate pair would silently pass while DuckDB errors on
+    // CAST(NaN AS BIGINT). Both operators must drop those rows up front.
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.999f, 0.04f)),
+      (3L, 0, Seq(0.0f, 0.0f)),               // zero norm
+      (4L, 0, null.asInstanceOf[Seq[Float]])) // null embedding
+      .toDF("vec_id", "cluster", "embedding")
+    val exact = Similarity.cosineNearDups(df, "vec_id", "embedding",
+        minCosineMilli = -1000, dim = 2, tables = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)), s"degenerate rows leaked into pairs: $exact")
+    val lsh = Similarity.cosineNearDups(df, "vec_id", "embedding",
+        minCosineMilli = -1000, dim = 2, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact) && !lsh.exists(p => p._1 >= 3L || p._2 >= 3L))
+    val sem = Similarity.semanticDupPairs(df, "vec_id", "embedding", "cluster", -1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem == Set((1L, 2L)), s"degenerate rows leaked into semantic pairs: $sem")
   }
 
   test("semanticDupPairs: cluster-scoped — same-cluster dups found, cross-cluster invisible") {
@@ -564,7 +649,8 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nClusters = 8, iters = 2)
     val sem = Similarity.semanticDupPairs(clustered, "vec_id", "embedding", "cluster", 400)
       .collect().map(_.toSeq).toSet
-    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64)
+    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 400,
+        dim = 64, tables = 0)
       .collect().map(_.toSeq).toSet
     assert(sem.subsetOf(exact), "a cluster-scoped pair must be an exact pair")
     // measured 22/66 on this fixture at the LOOSE 400‰ threshold — 0.4

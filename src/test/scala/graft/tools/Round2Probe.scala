@@ -29,7 +29,7 @@ object Round2Probe {
     println(s"PROBE ivf exhaustive==bf: ${ivf == bf} (${ivf.size}/${bf.size})")
 
     val embD = emb.withColumn("embedding", col("embedding").cast("array<double>"))
-    val exactPairs = Similarity.cosineNearDups(embD, "vec_id", "embedding", 400, dim = 64)
+    val exactPairs = Similarity.cosineNearDups(embD, "vec_id", "embedding", 400, dim = 64, tables = 0)
       .collect().map(_.toSeq).toSet
     println(s"PROBE exact pair cos_milli distro: min=${exactPairs.map(_(2).asInstanceOf[Long]).min} " +
       s"sorted=${exactPairs.map(_(2).asInstanceOf[Long]).toSeq.sorted.take(10)}")
