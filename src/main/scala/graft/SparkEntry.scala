@@ -207,6 +207,36 @@ object SparkEntry {
            'yyyy-MM-dd HH:mm') as edit_ts""")
     }),
 
+    // X4 zh branch (the wiki parser's Chinese edit-timestamp regex,
+    // app/wiki/__init__.py:80,111-113): `\d{4}年\d{1,2}月\d{1,2}日
+    // \(.+\) \d{1,2}:\d{1,2}` searched inside the footer, the
+    // parenthesized weekday stripped, 年/月 → '-' and 日 dropped before
+    // parsing. Month/day/hour are NON-padded (unlike the en branch), so
+    // the parse extracts 1-2 digit groups like the reference's dateutil
+    "title_date_parse_zh" -> ((s, d) => {
+      val base = urlsDF(s, d).selectExpr("seq",
+        """concat('本页面最后修订于',
+             cast(2020 + seq % 5 as string), '年',
+             cast(1 + seq % 12 as string), '月',
+             cast(1 + seq % 28 as string), '日 (星期',
+             element_at(array('日','一','二','三','四','五','六'),
+               cast(1 + seq % 7 as int)),
+             ') ', cast(seq % 24 as string), ':',
+             lpad(cast(seq % 60 as string), 2, '0'), '。') as footer""")
+      base.selectExpr("seq",
+          """regexp_extract(footer,
+               '\\d{4}年\\d{1,2}月\\d{1,2}日 \\(.+\\) \\d{1,2}:\\d{1,2}',
+               0) as zh_edited""")
+        .selectExpr("seq",
+          """date_format(make_timestamp(
+               cast(regexp_extract(zh_edited, '^(\\d{4})年', 1) as int),
+               cast(regexp_extract(zh_edited, '年(\\d{1,2})月', 1) as int),
+               cast(regexp_extract(zh_edited, '月(\\d{1,2})日', 1) as int),
+               cast(regexp_extract(zh_edited, ' (\\d{1,2}):', 1) as int),
+               cast(regexp_extract(zh_edited, ':(\\d{1,2})$', 1) as int), 0),
+             'yyyy-MM-dd HH:mm') as edit_ts_zh""")
+    }),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // token counting: whitespace + BPE-ish regex classes
@@ -955,6 +985,31 @@ object SparkEntry {
                              lpad(CAST(1 + seq % 28 AS STRING), 2, '0'), ' March ',
                              CAST(2020 + seq % 5 AS STRING)) AS edited
                FROM urls) t"""),
+
+    // zh branch: same footer construction, reference regex + make_timestamp
+    // replay (regexp groups are 1-2 digit — non-padded like the source)
+    "title_date_parse_zh" -> oracle(
+      """SELECT seq,
+                strftime(make_timestamp(
+                  CAST(regexp_extract(zh_edited, '^(\d{4})年', 1) AS INT),
+                  CAST(regexp_extract(zh_edited, '年(\d{1,2})月', 1) AS INT),
+                  CAST(regexp_extract(zh_edited, '月(\d{1,2})日', 1) AS INT),
+                  CAST(regexp_extract(zh_edited, ' (\d{1,2}):', 1) AS INT),
+                  CAST(regexp_extract(zh_edited, ':(\d{1,2})$', 1) AS INT), 0.0),
+                '%Y-%m-%d %H:%M') AS edit_ts_zh
+         FROM (SELECT seq,
+                      regexp_extract(footer,
+                        '\d{4}年\d{1,2}月\d{1,2}日 \(.+\) \d{1,2}:\d{1,2}',
+                        0) AS zh_edited
+               FROM (SELECT seq,
+                            concat('本页面最后修订于',
+                                   CAST(2020 + seq % 5 AS STRING), '年',
+                                   CAST(1 + seq % 12 AS STRING), '月',
+                                   CAST(1 + seq % 28 AS STRING), '日 (星期',
+                                   ['日','一','二','三','四','五','六'][CAST(1 + seq % 7 AS INT)],
+                                   ') ', CAST(seq % 24 AS STRING), ':',
+                                   lpad(CAST(seq % 60 AS STRING), 2, '0'), '。') AS footer
+                     FROM urls) f) t"""),
 
     "text_token_counts" ->
       s"""SELECT doc_id,
