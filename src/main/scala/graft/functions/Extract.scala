@@ -286,7 +286,13 @@ object Extract extends Serializable {
    *  re-encode when confidence > 0.5) — a deterministic chardet-lite:
    *
    *  1. strict UTF-8 validity scan (incl. pure ASCII) → "utf-8";
-   *  2. else score each CJK candidate charset (GBK, Big5, Shift_JIS —
+   *  1.5. (r5) KOI8-R Cyrillic gate — distributional, BEFORE the CJK
+   *     tier (even-run Cyrillic pairs strictly decode as plausible hanzi
+   *     under GBK): ≥ 16 decoded Cyrillic-block chars at ≥ 95% of the
+   *     non-ASCII chars with a high-byte run ≥ 4 (Russian words are
+   *     all-Cyrillic runs; accented latin sits isolated);
+   *  2. else score each CJK candidate charset (GBK, Big5, Shift_JIS,
+   *     EUC-JP, EUC-KR —
    *     the same family chardet splits with its frequency models): the
    *     bytes must strictly decode, ≥ half the decoded non-ASCII chars
    *     must be CJK-ish (the confidence>0.5 gate), and structural
@@ -306,11 +312,15 @@ object Extract extends Serializable {
    *         double-byte text always has some high-high character). This
    *         covers GBK/Big5/SJIS chars with ASCII-range trail bytes,
    *         which break run parity. Or,
-   *       - (Shift_JIS only) ≥ 3 kana at ≥ 1/3 of the non-ASCII chars —
+   *       - (Shift_JIS/EUC-JP) ≥ 3 kana at ≥ 1/3 of the non-ASCII chars —
    *         real Japanese text is kana-dominant, while the WRONG charset
    *         decoding random double-byte pairs lands in the kana block
    *         only occasionally; SJIS's single-byte katakana breaks run
-   *         parity by design, hence its own gate.
+   *         parity by design, hence its own gate. Likewise (EUC-KR)
+   *         ≥ 3 hangul at ≥ 1/3 — Korean text is hangul-dominant. The
+   *         one systematic tie (kana-dominant EUC-JP bytes decode
+   *         identically under GBK — GB2312 rows 4/5 are the kana rows)
+   *         resolves to EUC-JP by candidate order; see the code comment.
    *     Among the passing candidates the winner has the highest
    *     frequency score: each decoded CJK-ish char counts 1, plus 3 for
    *     membership in a ~150-char top-frequency table (common simplified
@@ -334,17 +344,44 @@ object Extract extends Serializable {
     if (bytes == null) return "utf-8"
     if (isValidUtf8(bytes)) return "utf-8"
     val (allEven, runCount, maxRun) = highByteRuns(bytes)
-    val scored = Seq("GBK", "Big5", "Shift_JIS").flatMap { cs =>
+    // Tier 0.5 (r5, BEFORE the CJK candidates): KOI8-R Cyrillic pages.
+    // KOI8-R is single-byte-total, so "strict decode" is no gate at all;
+    // the evidence is distributional: Russian words are all-Cyrillic
+    // (long high-byte runs, ≥ 4 — accented latin sits isolated) and
+    // KOI8-R puts its letters in 0xC0-0xFF (+ ё at 0xA3/0xB3), so ≥ 95%
+    // of the decoded non-ASCII chars landing in the Cyrillic block with
+    // ≥ 16 of them is the KOI8-R shape. It must run before the CJK tier:
+    // even-run Cyrillic byte pairs strictly decode as plausible hanzi
+    // under GBK (chardet resolves the same ambiguity with its Cyrillic
+    // model). Mixed CJK bytes fail the ratio (their 0xA1-0xBF bytes
+    // decode to KOI8-R box-drawing symbols, not letters).
+    if (maxRun >= 4) {
+      val (cyr, nonA) = koi8CyrStats(bytes)
+      if (cyr >= 16 && cyr * 20 >= nonA * 19) return "KOI8-R"
+    }
+    // Candidate order is the tie-break (score ties keep the FIRST).
+    // EUC-JP leads because of the one SYSTEMATIC tie: kana-dominant
+    // EUC-JP text decodes byte-identically under GBK (GB2312 rows 4/5
+    // ARE the kana rows at the same positions), so both candidates can
+    // score equal — and kana-dominant content is Japanese, while a real
+    // GB2312 page never ties (its common-hanzi hits out-score EUC-JP's
+    // random-kanji decode, which also cannot manufacture kana from
+    // hanzi rows). GBK precedes Big5 (the dominant zh-web legacy
+    // charset splits from Big5 by the frequency tables, spec-pinned).
+    val scored = Seq("EUC-JP", "GBK", "Big5", "Shift_JIS", "EUC-KR").flatMap { cs =>
       decodeCjkStats(bytes, cs).collect {
         case st if st.cjkish * 2 >= st.nonAscii && (
             (st.strong >= 8 && st.cjkish * 10 >= st.nonAscii * 9 && maxRun >= 2) ||
             (allEven && runCount >= 2 && st.strong >= 3) ||
-            (cs == "Shift_JIS" && st.kana >= 3 && st.kana * 3 >= st.nonAscii)) =>
-          // kana are "common" only when kana-DOMINANT (real Japanese):
-          // a wrong double-byte decode scatters a few chars into the
-          // kana block, and they must not outvote a plain-hanzi rival
+            ((cs == "Shift_JIS" || cs == "EUC-JP") &&
+              st.kana >= 3 && st.kana * 3 >= st.nonAscii) ||
+            (cs == "EUC-KR" && st.hangul >= 3 && st.hangul * 3 >= st.nonAscii)) =>
+          // kana/hangul are "common" only when DOMINANT (real Japanese /
+          // Korean): a wrong double-byte decode scatters a few chars
+          // into those blocks, and they must not outvote a hanzi rival
           val kanaCommon = if (st.kana * 3 >= st.nonAscii) st.kana else 0
-          cs -> (st.cjkish + 3 * (st.common + kanaCommon))
+          val hangulCommon = if (st.hangul * 3 >= st.nonAscii) st.hangul else 0
+          cs -> (st.cjkish + 3 * (st.common + kanaCommon + hangulCommon))
       }
     }
     if (scored.nonEmpty)
@@ -421,7 +458,27 @@ object Extract extends Serializable {
     (allEven && runs > 0, runs, maxRun)
   }
 
-  private case class CjkStats(cjkish: Int, strong: Int, kana: Int, common: Int, nonAscii: Int)
+  /** KOI8-R distribution probe: (decoded chars in the Cyrillic block,
+   *  decoded non-ASCII chars). KOI8-R maps all 256 bytes, so the decode
+   *  is total by construction. */
+  private def koi8CyrStats(bytes: Array[Byte]): (Int, Int) = {
+    val s = new String(bytes, java.nio.charset.Charset.forName("KOI8-R"))
+    var cyr = 0
+    var nonAscii = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x80) {
+        nonAscii += 1
+        if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      }
+      i += 1
+    }
+    (cyr, nonAscii)
+  }
+
+  private case class CjkStats(cjkish: Int, strong: Int, kana: Int,
+    hangul: Int, common: Int, nonAscii: Int)
 
   /** Strict decode + classification; None on any malformed/unmappable
    *  sequence or when nothing non-ASCII was decoded. cjkish counts
@@ -439,6 +496,7 @@ object Extract extends Serializable {
     var cjkish = 0
     var strong = 0
     var kana = 0
+    var hangul = 0
     var common = 0
     var nonAscii = 0
     var i = 0
@@ -451,16 +509,26 @@ object Extract extends Serializable {
         // under SJIS — counted toward the confidence ratio but never as
         // STRONG evidence (see the sniffCharset scaladoc)
         val isHalfKana = c >= 0xff61 && c <= 0xff9f
+        // hangul SYLLABLES only (EUC-KR evidence): real Korean text is
+        // syllable blocks. Compatibility/conjoining JAMO are the hangul
+        // analogue of halfwidth katakana — KS X 1001 row 4 is the jamo
+        // row at the SAME positions GB2312/JIS put kana, so a wrong
+        // EUC-KR decode of kana bytes lands exactly there; jamo count
+        // toward the confidence ratio but never as strong/hangul evidence
+        val isHangul = c >= 0xac00 && c <= 0xd7a3
+        val isJamo = (c >= 0x3130 && c <= 0x318f) || (c >= 0x1100 && c <= 0x11ff)
         val isCjk = (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3000 && c <= 0x303f) ||
-          (c >= 0xff00 && c <= 0xffef) || isKana
+          (c >= 0xff00 && c <= 0xffef) || isKana || isHangul || isJamo
         if (isCjk) cjkish += 1
-        if (isCjk && !isHalfKana) strong += 1
+        if (isCjk && !isHalfKana && !isJamo) strong += 1
         if (isKana) kana += 1
+        if (isHangul) hangul += 1
         if (!isKana && CommonHanzi.contains(c)) common += 1
       }
       i += 1
     }
-    if (nonAscii == 0) None else Some(CjkStats(cjkish, strong, kana, common, nonAscii))
+    if (nonAscii == 0) None
+    else Some(CjkStats(cjkish, strong, kana, hangul, common, nonAscii))
   }
 
   /** Decode with the sniffed charset (X3). */

@@ -20,17 +20,15 @@ import scala.collection.mutable
  * pops over still-open formatting elements REOPENS them — the common-case
  * adoption-agency repair: `<b>a<i>b</b>c</i>` puts `c` inside a reopened
  * `<i>`, like a browser), and character references (decoded in text and
- * attribute values at parse — the XML five + full latin-1 block +
- * common typographic names, numeric dec/hex with the HTML5
- * windows-1252 remap for C1 refs (`&#147;` is a curly quote on legacy
- * pages); a bare `&` that starts no valid reference stays literal, the
- * real-web leniency). Serialization re-escapes `&` `<` `>`
+ * attribute values at parse — the FULL HTML5 named table incl. the
+ * no-semicolon legacy forms (see [[HtmlEntities]]), numeric dec/hex with
+ * the HTML5 windows-1252 remap for C1 refs (`&#147;` is a curly quote on
+ * legacy pages); a bare `&` that starts no valid reference stays literal,
+ * the real-web leniency). Serialization re-escapes `&` `<` `>`
  * in text and `&` `"` in attributes (the BeautifulSoup round-trip rule —
  * without it a decoded `&lt;b&gt;` would re-parse as a real element).
- * Remaining divergence from a browser: the long tail of the ~2k-name
- * HTML5 entity table (rare Greek/math/combining names), no-semicolon
- * legacy references, the multi-step adoption agency for deeply
- * misnested formatting, and implied html/head/body synthesis.
+ * Remaining divergence from a browser: the multi-step adoption agency
+ * for deeply misnested formatting, and implied html/head/body synthesis.
  */
 object Html {
 
@@ -58,6 +56,18 @@ object Html {
 
   private val RawTextElements: Set[String] = Set("script", "style")
 
+  /** The HTML5 "special" category members this parser can encounter as
+   *  open elements (§13.2.4.2, abridged to the real-web set): the
+   *  adoption agency's candidate "furthest blocks". A close tag for a
+   *  formatting element that pops over one of these triggers the
+   *  block-adoption repair (see the parse() close-tag branch); elements
+   *  that are neither special nor formatting (span, sub, sup) are simply
+   *  popped, matching browsers. */
+  private val BlockElements: Set[String] = ParagraphClosers ++ Set(
+    "li", "dd", "dt", "td", "th", "tr", "caption", "tbody", "thead",
+    "tfoot", "body", "html", "center", "main", "nav", "figure",
+    "figcaption", "details", "summary", "dir", "menu")
+
   /** The HTML5 formatting-element set (the spec's "list of active
    *  formatting elements" members, §13.2.4.3): a close tag popping over
    *  these reopens them at the new insertion point (the one-step
@@ -70,68 +80,24 @@ object Html {
     "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
     "strike", "strong", "tt", "u")
 
-  /** Named character references decoded at parse: the XML five, the
-   *  full HTML latin-1 block (0xA1–0xFF, the HTML 3.2 names — by far
-   *  the densest real-web cluster after the XML five), and the common
-   *  typographic/symbol names (curly quotes, dashes, ellipsis, bullets,
-   *  arrows, legal marks, euro). The full HTML5 table is ~2k names;
-   *  everything beyond this set (rare Greek, combining marks, the
-   *  no-semicolon legacy forms) stays a documented divergence —
-   *  semicolon-terminated references only, a bare `&` or unknown name
-   *  stays literal. */
-  private val NamedEntities: Map[String, String] = {
-    val xml = Map(
-      "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-      // nbsp decodes to a PLAIN space, not U+00A0: the reference decodes to
-      // \xa0 but Python's whitespace normalization folds \xa0 to ' ' (str
-      // .split()/\s are Unicode-aware), while java \s is ASCII-only — going
-      // straight to ' ' yields the reference-equal FINAL text without
-      // widening every whitespace regex downstream
-      "apos" -> "'", "nbsp" -> " ")
-    // HTML 3.2 latin-1 names for 0xA1..0xFF in codepoint order (nbsp
-    // 0xA0 is special-cased above)
-    val latin1Names = Seq(
-      "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect", "uml",
-      "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
-      "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot",
-      "cedil", "sup1", "ordm", "raquo", "frac14", "frac12", "frac34",
-      "iquest", "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring",
-      "AElig", "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave",
-      "Iacute", "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute",
-      "Ocirc", "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute",
-      "Ucirc", "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute",
-      "acirc", "atilde", "auml", "aring", "aelig", "ccedil", "egrave",
-      "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
-      "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml",
-      "divide", "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute",
-      "thorn", "yuml")
-    val latin1 = latin1Names.zipWithIndex.map {
-      case (name, i) => name -> (0xA1 + i).toChar.toString
-    }.toMap
-    val typographic = Map(
-      "ndash" -> "–", "mdash" -> "—", "horbar" -> "―",
-      "lsquo" -> "‘", "rsquo" -> "’", "sbquo" -> "‚",
-      "ldquo" -> "“", "rdquo" -> "”", "bdquo" -> "„",
-      "dagger" -> "†", "Dagger" -> "‡", "bull" -> "•",
-      "hellip" -> "…", "permil" -> "‰", "prime" -> "′",
-      "Prime" -> "″", "lsaquo" -> "‹", "rsaquo" -> "›",
-      "oline" -> "‾", "frasl" -> "⁄", "euro" -> "€",
-      "trade" -> "™", "minus" -> "−", "infin" -> "∞",
-      "ne" -> "≠", "le" -> "≤", "ge" -> "≥",
-      "larr" -> "←", "uarr" -> "↑", "rarr" -> "→",
-      "darr" -> "↓", "harr" -> "↔",
-      "OElig" -> "Œ", "oelig" -> "œ", "Scaron" -> "Š",
-      "scaron" -> "š", "Yuml" -> "Ÿ", "fnof" -> "ƒ",
-      "circ" -> "ˆ", "tilde" -> "˜",
-      // Unicode-whitespace entities fold to plain space under the nbsp
-      // rule (Python \s folds U+2002/3/9; java ASCII \s does not).
-      // zwnj/zwj/lrm/rlm are FORMAT chars, not whitespace, in both
-      // engines - they pass through as themselves.
-      "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
-      "zwnj" -> "‌", "zwj" -> "‍", "lrm" -> "‎",
-      "rlm" -> "‏")
-    xml ++ latin1 ++ typographic
-  }
+  /** Named character references decoded at parse: the FULL WHATWG HTML5
+   *  table — 2125 semicolon-terminated names + the 106 no-semicolon
+   *  legacy names — generated from the public spec data into
+   *  [[HtmlEntities]] (tools/gen_html_entities.py). Matching follows the
+   *  spec's named-character-reference state (§13.2.5.73): the
+   *  semicolon-terminated name wins when present; otherwise the LONGEST
+   *  legacy prefix of the alphanumeric run decodes (`&notit;` → `¬it;`),
+   *  and inside an attribute value a legacy match followed by `=` or an
+   *  alphanumeric stays literal (so `href="?a=1&copy=2"` keeps its query
+   *  parameter). A bare `&` or unknown name stays literal — the real-web
+   *  leniency. The nbsp rule: entity values that are Python-whitespace
+   *  but not Java-ASCII-whitespace (NBSP, the U+2000 block, NNBSP, MMSP)
+   *  are pre-folded to a plain space at table generation — the reference
+   *  decodes `&nbsp;` to \xa0 but Python's Unicode-aware whitespace
+   *  normalization folds it downstream, while java \s is ASCII-only;
+   *  folding at decode yields the reference-equal FINAL text without
+   *  widening every whitespace regex. zwnj/zwj/lrm/rlm are FORMAT chars,
+   *  not whitespace, in both engines — they pass through as themselves. */
 
   /** HTML5 numeric-reference remap (§13.2.5.80): a `&#N;` in the C1
    *  range 0x80–0x9F decodes through windows-1252 — legacy pages write
@@ -148,8 +114,13 @@ object Html {
 
   /** Decode character references leniently: `&name;`, `&#123;`, `&#x1f;`
    *  become their characters; a `&` that starts no valid reference stays
-   *  literal (bare ampersands are everywhere on the real web). */
-  private[functions] def decodeEntities(s: String): String = {
+   *  literal (bare ampersands are everywhere on the real web). `inAttr`
+   *  enables the attribute-value suppression rule for legacy
+   *  no-semicolon references (see the table scaladoc above). */
+  private[functions] def decodeEntities(s: String): String =
+    decodeEntities(s, inAttr = false)
+
+  private[functions] def decodeEntities(s: String, inAttr: Boolean): String = {
     var amp = s.indexOf('&')
     if (amp < 0) return s
     val n = s.length
@@ -185,14 +156,36 @@ object Html {
           } catch { case _: NumberFormatException => }
         }
       } else {
+        // maximal alphanumeric run (HTML names are alphanumeric, always
+        // letter-first); capped one past the longest table name so a
+        // long run still distinguishes "ends exactly at ';'" from
+        // "continues past any possible name"
         var j = amp + 1
-        // letters then optional digits (sup2, frac12, Dagger): HTML names
-        // are alphanumeric, always letter-first
-        while (j < n && j - amp <= 8 && s.charAt(j).isLetterOrDigit) j += 1
-        if (j < n && s.charAt(j) == ';')
-          NamedEntities.get(s.substring(amp + 1, j)).foreach { r =>
-            sb.append(r); consumed = j + 1 - amp
+        while (j < n && j - (amp + 1) <= HtmlEntities.MaxNameLen &&
+            s.charAt(j).isLetterOrDigit) j += 1
+        if (j > amp + 1) {
+          if (j < n && s.charAt(j) == ';' && j - (amp + 1) <= HtmlEntities.MaxNameLen) {
+            val r = HtmlEntities.withSemi.get(s.substring(amp + 1, j))
+            if (r != null) { sb.append(r); consumed = j + 1 - amp }
           }
+          if (consumed == 0) {
+            // longest legacy (no-semicolon) prefix: &copy, &not, &amp …
+            // (§13.2.5.73). On an attribute-context suppression the WHOLE
+            // reference stays literal — no shorter prefix is retried.
+            var len = math.min(HtmlEntities.MaxLegacyLen, j - (amp + 1))
+            var done = false
+            while (!done && len >= 2) {
+              val r = HtmlEntities.legacy.get(s.substring(amp + 1, amp + 1 + len))
+              if (r != null) {
+                done = true
+                val nextIdx = amp + 1 + len
+                val suppressed = inAttr && nextIdx < n &&
+                  (s.charAt(nextIdx) == '=' || s.charAt(nextIdx).isLetterOrDigit)
+                if (!suppressed) { sb.append(r); consumed = 1 + len }
+              } else len -= 1
+            }
+          }
+        }
       }
       if (consumed == 0) { sb.append('&'); consumed = 1 }
       i = amp + consumed
@@ -330,24 +323,85 @@ object Html {
           else {
             val tag = s.substring(lt + 2, end).trim.toLowerCase
             // pop to the nearest matching open element; ignore if none.
-            // Formatting elements the pop passes over are REOPENED at the
-            // new insertion point (one-step adoption agency): in
-            // `<b>a<i>b</b>c</i>` the </b> pops over the open <i>, and a
-            // fresh <i> reopens so `c` lands inside it, like a browser.
             var p = cur
             while (p != null && p.name != tag) p = p.parent
             if (p != null) {
-              val reopen = mutable.ArrayBuffer.empty[Elem]
-              var q = cur
-              while (q ne p) {
-                if (FormattingElements.contains(q.name)) reopen += q
-                q = q.parent
+              def cloneShell(t: Elem): Elem = {
+                val ne = new Elem(t.name)
+                t.attrs.foreach { case (k, v) => ne.attrs(k) = v }
+                ne
               }
-              cur = if (p.parent != null) p.parent else root
-              reopen.reverseIterator.foreach { f =>
-                val ne = new Elem(f.name)
-                f.attrs.foreach { case (k, v) => ne.attrs(k) = v }
-                ne.parent = cur; cur.children += ne; cur = ne
+              // open elements strictly below p, top-down (p's child first)
+              val topDown = {
+                val buf = mutable.ArrayBuffer.empty[Elem]
+                var q = cur
+                while (q ne p) { buf += q; q = q.parent }
+                buf.reverseIterator.toVector
+              }
+              val firstBlock = topDown.indexWhere(e => BlockElements.contains(e.name))
+              if (FormattingElements.contains(tag) && firstBlock >= 0) {
+                // BLOCK ADOPTION (the multi-step adoption agency, simplified
+                // to the append-only tree this parser builds): closing a
+                // formatting element f over open special/"block" elements
+                // moves the block chain OUT of f to f's parent, wraps each
+                // block's existing children in clones of the formatting
+                // elements whose scope covered them, and leaves the cursor
+                // in the innermost block — the spec's own example
+                // `<b>1<p>2</b>3` becomes `<b>1</b><p><b>2</b>3</p>`.
+                // Formatting elements opened BEFORE the first block are
+                // consumed (removed from scope, like the spec's inner
+                // loop); ones opened AFTER it stay open — they reopen as
+                // clones for subsequent content, so `<b>1<div>2<i>3</b>4`
+                // puts 4 inside a reopened <i> within the div.
+                val wrapChain = mutable.ArrayBuffer[Elem](p)
+                topDown.take(firstBlock).foreach { e =>
+                  if (FormattingElements.contains(e.name)) wrapChain += e }
+                val reopen = mutable.ArrayBuffer.empty[Elem]
+                var container = if (p.parent != null) p.parent else root
+                var bi = firstBlock
+                while (bi < topDown.length) {
+                  val e = topDown(bi)
+                  var jn = bi + 1
+                  while (jn < topDown.length && !BlockElements.contains(topDown(jn).name)) jn += 1
+                  val nextBlock = if (jn < topDown.length) topDown(jn) else null
+                  val fmtsBetween = topDown.slice(bi + 1, jn)
+                    .filter(x => FormattingElements.contains(x.name))
+                  container.append(e)
+                  if (nextBlock != null) nextBlock.extract()
+                  if (e.children.nonEmpty) {
+                    val moved = e.children.toVector
+                    e.children.clear()
+                    var parentEl = e
+                    wrapChain.foreach { t =>
+                      val c = cloneShell(t)
+                      c.parent = parentEl; parentEl.children += c; parentEl = c
+                    }
+                    moved.foreach { ch => ch.parent = parentEl; parentEl.children += ch }
+                  }
+                  if (nextBlock != null) { nextBlock.parent = e; e.children += nextBlock }
+                  wrapChain ++= fmtsBetween
+                  reopen ++= fmtsBetween
+                  container = e
+                  cur = e
+                  bi = if (nextBlock != null) jn else topDown.length
+                }
+                reopen.foreach { t =>
+                  val c = cloneShell(t)
+                  c.parent = cur; cur.children += c; cur = c
+                }
+              } else {
+                // pop + reopen (one-step adoption agency): formatting
+                // elements the pop passes over are REOPENED at the new
+                // insertion point — in `<b>a<i>b</b>c</i>` the </b> pops
+                // over the open <i>, and a fresh <i> reopens so `c` lands
+                // inside it, like a browser.
+                cur = if (p.parent != null) p.parent else root
+                topDown.foreach { f =>
+                  if (FormattingElements.contains(f.name)) {
+                    val ne = cloneShell(f)
+                    ne.parent = cur; cur.children += ne; cur = ne
+                  }
+                }
               }
             }
             i = end + 1
@@ -425,13 +479,13 @@ object Html {
             val vStart = j + 1
             var k = vStart
             while (k < n && body.charAt(k) != q) k += 1
-            if (key.nonEmpty) attrs += key -> decodeEntities(body.substring(vStart, k))
+            if (key.nonEmpty) attrs += key -> decodeEntities(body.substring(vStart, k), inAttr = true)
             i = math.min(k + 1, n)
           } else {
             val vStart = j
             var k = vStart
             while (k < n && !body.charAt(k).isWhitespace) k += 1
-            if (key.nonEmpty) attrs += key -> decodeEntities(body.substring(vStart, k))
+            if (key.nonEmpty) attrs += key -> decodeEntities(body.substring(vStart, k), inAttr = true)
             i = k
           }
         } else {

@@ -96,6 +96,44 @@ class CharsetFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("hangul text encoded EUC-KR detects as EUC-KR (r5)") {
+    val hangul: Gen[Char] = Gen.oneOf("한국어텍스트예제입니다안녕하세요감사합서울에서글자말이다는의하고지을가를".toSeq)
+    forAll(cjkText(hangul)) { t =>
+      val got = Extract.sniffCharset(t.getBytes(Charset.forName("EUC-KR")))
+      assert(got == "EUC-KR", s"'$t' -> $got")
+    }
+  }
+
+  test("mixed kana+kanji text encoded EUC-JP detects as EUC-JP (r5)") {
+    // realistic Japanese: kana-dominant with some kanji — pure-kana text
+    // is the documented benign GBK tie (identical decoded text)
+    val jaChar: Gen[Char] = Gen.frequency(
+      5 -> kanaChar,
+      1 -> Gen.oneOf("日年時人大中文学国本語漢字含".toSeq))
+    val jaText = cjkText(jaChar).suchThat { t =>
+      t.exists(c => c >= 0x4e00 && c <= 0x9fff)
+    }
+    forAll(jaText) { t =>
+      val got = Extract.sniffCharset(t.getBytes(Charset.forName("EUC-JP")))
+      assert(got == "EUC-JP", s"'$t' -> $got")
+    }
+  }
+
+  test("Russian text encoded KOI8-R detects as KOI8-R; accented latin never does (r5)") {
+    val cyr: Gen[Char] = Gen.choose(0x0430, 0x044F).map(_.toChar)
+    val ruText: Gen[String] = Gen.choose(4, 15).flatMap(k => Gen.listOfN(k,
+      Gen.choose(4, 9).flatMap(m => Gen.listOfN(m, cyr).map(_.mkString))))
+      .map(_.mkString(" "))
+    forAll(ruText) { t =>
+      val got = Extract.sniffCharset(t.getBytes(Charset.forName("KOI8-R")))
+      assert(got == "KOI8-R", s"'$t' -> $got")
+    }
+    // and the Cyrillic gate never claims the latin accent shape
+    forAll(latinAccentText, 500) { t =>
+      assert(Extract.sniffCharset(t.getBytes(cp1252)) == "windows-1252")
+    }
+  }
+
   test("any unicode text encoded UTF-8 detects as utf-8 (validity wins)") {
     val anyText = Gen.choose(1, 40).flatMap(k =>
       Gen.listOfN(k, Gen.frequency(
@@ -106,8 +144,9 @@ class CharsetFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("arbitrary bytes: the sniffer is total — one of the 5 charsets, decode never throws") {
-    val charsets = Set("utf-8", "windows-1252", "GBK", "Big5", "Shift_JIS")
+  test("arbitrary bytes: the sniffer is total — one of the 8 charsets, decode never throws") {
+    val charsets = Set("utf-8", "windows-1252", "GBK", "Big5", "Shift_JIS",
+      "EUC-JP", "EUC-KR", "KOI8-R")
     val anyBytes = Gen.choose(0, 64).flatMap(k =>
       Gen.listOfN(k, Gen.choose(0, 255).map(_.toByte)).map(_.toArray))
     forAll(anyBytes, 500) { bs =>

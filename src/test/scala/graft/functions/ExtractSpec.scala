@@ -144,6 +144,34 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.decodeHtml("中文 test".getBytes(StandardCharsets.UTF_8)) == "中文 test")
   }
 
+  test("charset sniffing (X3) r5 long tail: EUC-JP, EUC-KR and KOI8-R pages") {
+    val eucJp = java.nio.charset.Charset.forName("EUC-JP")
+    val eucKr = java.nio.charset.Charset.forName("EUC-KR")
+    val koi8 = java.nio.charset.Charset.forName("KOI8-R")
+    // mixed kana+kanji Japanese (the realistic shape): EUC-JP — the same
+    // bytes strictly decode under GBK into random hanzi, the kana
+    // dominance + true-kanji common hits must pick EUC-JP
+    val ja = "日本語のテキストです、漢字も仮名も含みます。どうぞよろしく。"
+    assert(Extract.sniffCharset(ja.getBytes(eucJp)) == "EUC-JP")
+    // hangul-dominant Korean: EUC-KR (GBK decodes the pairs as random
+    // hanzi; the hangul-dominance boost must out-score it)
+    val ko = "한국어 텍스트 예제입니다 안녕하세요 감사합니다 서울에서"
+    assert(Extract.sniffCharset(ko.getBytes(eucKr)) == "EUC-KR")
+    // Russian in KOI8-R: single-byte total codec, detected by the
+    // Cyrillic distribution gate BEFORE the CJK tier (its even-length
+    // runs would otherwise decode as plausible hanzi)
+    val ru = "привет мир это русский текст в кодировке пример страницы"
+    assert(Extract.sniffCharset(ru.getBytes(koi8)) == "KOI8-R")
+    // short accented latin stays windows-1252 (the KOI8-R gate needs
+    // ≥16 Cyrillic chars in runs of ≥4)
+    val cp1252b = java.nio.charset.Charset.forName("windows-1252")
+    assert(Extract.sniffCharset("déjà vu — crème brûlée".getBytes(cp1252b)) == "windows-1252")
+    // end-to-end: each page decodes through its sniffed charset
+    assert(Extract.decodeHtml(ko.getBytes(eucKr)) == ko)
+    assert(Extract.decodeHtml(ru.getBytes(koi8)) == ru)
+    assert(Extract.decodeHtml(ja.getBytes(eucJp)) == ja)
+  }
+
   test("charset sniffing (X3): Big5 and Shift-JIS pages split from GBK by the frequency table") {
     // traditional Chinese (Big5): the same bytes often strictly decode as
     // GBK too, into rare random hanzi — the common-character score must

@@ -70,9 +70,10 @@ class MalformedHtmlSpec extends AnyFunSuite {
   test("character references decode in text; bare '&' stays literal") {
     assert(Html.parse("<p>Tom &amp; Jerry &lt;3 &#65;&#x42;</p>").text
       == "Tom & Jerry <3 AB")
-    // the real-web leniency: an '&' that starts no valid reference is text
+    // the real-web leniency: an '&' that starts no valid reference is
+    // text (&copy IS a valid reference — the legacy no-semicolon form)
     assert(Html.parse("<p>fish & chips &nosuch; &#; at &copy</p>").text
-      == "fish & chips &nosuch; &#; at &copy")
+      == "fish & chips &nosuch; &#; at \u00a9")
     assert(Html.parse("<p>a&nbsp;b</p>").text == "a b")
     // attribute values decode too
     assert(Html.parse("""<a href="/x?a=1&amp;b=2">l</a>""")
@@ -96,11 +97,72 @@ class MalformedHtmlSpec extends AnyFunSuite {
     assert(Html.parse("<p>a&#129;b</p>").text == "a\u0081b")
     // numeric nbsp folds to plain space like the named form
     assert(Html.parse("<p>a&#160;b&#xA0;c</p>").text == "a b c")
-    // digit-bearing names resolve; a name NOT in the table stays literal
+    // digit-bearing names resolve; an unknown name falls back to its
+    // longest LEGACY prefix (&not) per the spec's named-reference state
     assert(Html.parse("<p>&frac34; &sup2; &notinthetable;</p>").text
-      == "¾ ² &notinthetable;")
-    // semicolon still required (documented divergence from no-semicolon legacy)
-    assert(Html.parse("<p>&eacute x</p>").text == "&eacute x")
+      == "¾ ² ¬inthetable;")
+    // no-semicolon legacy names decode in text (HTML5 §13.2.5.73)
+    assert(Html.parse("<p>&eacute x</p>").text == "é x")
+  }
+
+  test("block adoption: formatting closed over an open block (multi-step adoption agency, r5)") {
+    // THE spec example (HTML5 §13.2.9 "misnested tags: <b><p></b></p>"):
+    // <b>1<p>2</b>3</p> must become <b>1</b><p><b>2</b>3</p>
+    val d1 = Html.parse("<body><b>1<p>2</b>3</p></body>")
+    assert(d1.find("body").get.render
+      == "<body><b>1</b><p><b>2</b>3</p></body>")
+    // two nested blocks: every block's prefix is wrapped, the tail text
+    // lands in the innermost block unwrapped
+    val d2 = Html.parse("<body><b>1<div>2<div>3</b>4</div></div></body>")
+    assert(d2.find("body").get.render
+      == "<body><b>1</b><div><b>2</b><div><b>3</b>4</div></div></body>")
+    // a formatting element opened INSIDE the block stays open: it wraps
+    // the deeper content and reopens for the tail
+    // (the trailing empty <i></i> after the div is the documented
+    // eager-reopen artifact — the i was still open when </div> popped it,
+    // so it reopens in body; invisible to text extraction)
+    val d3 = Html.parse("<body><b>1<div>2<i>3</b>4</div></body>")
+    assert(d3.find("body").get.render
+      == "<body><b>1</b><div><b>2<i>3</i></b><i>4</i></div><i></i></body>")
+    // a formatting element opened BEFORE the block is consumed by the
+    // close (spec inner loop): it wraps the block content but does NOT
+    // reopen for the tail
+    val d4 = Html.parse("<body><b>1<i>2<div>3</b>4</div></body>")
+    assert(d4.find("body").get.render
+      == "<body><b>1<i>2</i></b><div><b><i>3</i></b>4</div></body>")
+    // text order is always preserved, whatever the repair
+    Seq("<b>1<p>2</b>3", "<b>1<div>2<div>3</b>4", "<b>1<div>2<i>3</b>4",
+        "<b>1<i>2<div>3</b>4", "<a x=y>1<li>2<b>3<li>4</a>5").foreach { h =>
+      val txt = Html.parse(s"<body>$h</body>").text
+      assert(txt == txt.filter(_.isDigit).sorted.mkString, s"order broke for $h: $txt")
+    }
+  }
+
+  test("full HTML5 entity table + no-semicolon legacy rules (r5 widening)") {
+    // deep-table names far beyond the latin-1/typographic set
+    assert(Html.parse("<p>&alpha;&beta; &forall;x &nleqslant; &CounterClockwiseContourIntegral;</p>").text
+      == "\u03b1\u03b2 \u2200x \u2a7d\u0338 \u2233")
+    // multi-codepoint values (combining solidus pairs)
+    assert(Html.parse("<p>&acE;</p>").text == "\u223e\u0333")
+    assert(Html.parse("<p>&bnequiv;</p>").text == "\u2261\u20e5")
+    // whitespace-valued entities fold to plain space (the nbsp rule)
+    assert(Html.parse("<p>a&hairsp;b&MediumSpace;c&NonBreakingSpace;d</p>").text
+      == "a b c d")
+    // longest-prefix legacy fallback: &notit; is not a name; &not is
+    assert(Html.parse("<p>&notit; &timesx &ampy</p>").text == "¬it; ×x &y")
+    // uppercase legacy forms
+    assert(Html.parse("<p>&AMP &COPY &GT</p>").text == "& © >")
+    // a semicolon name that shares a legacy prefix still wins outright
+    assert(Html.parse("<p>&notin; &times;</p>").text == "\u2209 ×")
+    // ATTRIBUTE context: a legacy ref followed by '=' or alphanumeric
+    // stays literal (the query-parameter rule), others decode
+    val a = Html.parse("""<a href="/q?a=1&copy=2&not=3&lang=en" title="5&times4 &copy 2024">l</a>""").find("a").get
+    assert(a.attr("href").contains("/q?a=1&copy=2&not=3&lang=en"))
+    assert(a.attr("title").contains("5&times4 © 2024"))
+    // but in TEXT the same bytes decode through the legacy rule
+    assert(Html.parse("<p>/q?a=1&copy=2</p>").text == "/q?a=1©=2")
+    // unknown short names stay literal
+    assert(Html.parse("<p>&xy; &q;</p>").text == "&xy; &q;")
   }
 
   test("Unicode whitespace normalizes like the reference (Python .split() semantics)") {

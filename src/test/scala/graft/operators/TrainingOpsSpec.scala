@@ -694,4 +694,73 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(spark, 5).unionByName(bad))
     assert(feats.count() == 5)
   }
+
+  /** Hand-built 3×2 24-bit bottom-up BMP: top row red/green/blue, bottom
+   *  row white/black/mid-gray. */
+  private def bmp3x2: Array[Byte] = {
+    val rowSize = 12 // ((3*3 + 3)/4)*4
+    val b = java.nio.ByteBuffer.allocate(54 + 2 * rowSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + 2 * rowSize)
+    b.putInt(0).putInt(54)          // reserved, data offset
+    b.putInt(40).putInt(3).putInt(2) // BITMAPINFOHEADER, w=3, h=2 (bottom-up)
+    b.putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+    b.position(54)
+    // stored bottom-up, BGR: bottom row first
+    b.put(Array[Byte](-1, -1, -1, 0, 0, 0, -128, -128, -128, 0, 0, 0))
+    b.put(Array[Byte](0, 0, -1, 0, -1, 0, -1, 0, 0, 0, 0, 0))
+    b.array()
+  }
+
+  test("multimodal REAL decode: 24-bit BMP to exact integer luma features (r5)") {
+    // luma (BT.601 integer): red 76, green 149, blue 29 / white 255,
+    // black 0, gray 128 → top-down body [76,149,29,255,0,128]
+    val media = spark.createDataFrame(Seq((7L, bmp3x2, "bmp", 3, 2)))
+      .toDF("doc_id", "media", "format", "width", "height")
+    val r = Multimodal.extractFeatures(spark, media).collect().head
+    assert(r.getLong(0) == 7L && r.getString(1) == "bmp")
+    assert(r.getInt(2) == 78) // 54-byte header + 2 padded rows
+    assert(r.getLong(3) == 637L * 1000 / (6 * 255)) // 416
+    val hist = r.getSeq[Long](4)
+    assert(hist.sum == 6)
+    assert(Seq(0, 1, 4, 8, 9, 15).forall(i => hist(i) == 1L), hist.toString)
+    assert(r.getInt(5) == 1 && r.getInt(6) == 1)
+    // the decoder itself: top-down luma order is pinned
+    val Some((w, h, body)) = Multimodal.decodeBmp(bmp3x2)
+    assert((w, h) == ((3, 2)))
+    assert(body.toSeq.map(_ & 0xFF) == Seq(76, 149, 29, 255, 0, 128))
+    // truncated pixel data → dropped, not thrown
+    assert(Multimodal.decodeBmp(bmp3x2.take(60)).isEmpty)
+  }
+
+  test("multimodal REAL decode: P6 PPM with header comment (r5)") {
+    val header = "P6\n# fixture\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array[Byte](10, 20, 30, 0, 0, 0, -1, -1, -1, 100, 100, 100)
+    val ppm = header ++ px
+    val Some((w, h, body)) = Multimodal.decodePpm(ppm)
+    assert((w, h) == ((2, 2)))
+    assert(body.toSeq.map(_ & 0xFF) == Seq(18, 0, 255, 100))
+    val media = spark.createDataFrame(Seq((8L, ppm, "ppm", 2, 2)))
+      .toDF("doc_id", "media", "format", "width", "height")
+    val r = Multimodal.extractFeatures(spark, media).collect().head
+    assert(r.getInt(2) == ppm.length)
+    assert(r.getLong(3) == 373L * 1000 / (4 * 255)) // 365
+    val hist = r.getSeq[Long](4)
+    assert(hist(0) == 1 && hist(1) == 1 && hist(6) == 1 && hist(15) == 1 && hist.sum == 4)
+    // maxval > 255 / truncated raster / bad magic all drop cleanly
+    assert(Multimodal.decodePpm("P6 2 2 65535 ".getBytes ++ px).isEmpty)
+    assert(Multimodal.decodePpm(header ++ px.take(11)).isEmpty)
+    assert(Multimodal.decodePpm("P5 2 2 255 ".getBytes ++ px).isEmpty)
+  }
+
+  test("multimodal: mixed real + fixture formats in one pass, corrupt rows dropped") {
+    val mixed = Multimodal.mediaTable(spark, 3)
+      .unionByName(spark.createDataFrame(Seq(
+        (100L, bmp3x2, "bmp", 3, 2),
+        (101L, Array[Byte]('B', 'M', 1), "bmp", 1, 1))) // corrupt
+        .toDF("doc_id", "media", "format", "width", "height"))
+    val feats = Multimodal.extractFeatures(spark, mixed)
+    assert(feats.count() == 4)
+    assert(feats.filter(col("doc_id") === 100L).count() == 1)
+  }
 }
