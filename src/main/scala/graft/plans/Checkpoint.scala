@@ -37,6 +37,16 @@ import org.apache.spark.sql.types.StructType
  * partition transforms; the runtime has no iceberg jars (checked), so
  * this parquet+manifest+bucketed-table fallback per SURVEY §7.4-5.
  *
+ * r5: the table format is now a SWITCH — `tableFormat = "iceberg"` (or
+ * env GRAFT_TABLE_FORMAT=iceberg) emits the Iceberg DDL variant
+ * ([[Checkpoint.bucketedDdl]]: `USING iceberg PARTITIONED BY (wave,
+ * bucket(n, url_hash))`, no RECOVER PARTITIONS) against whatever catalog
+ * the session configures; on a cluster with iceberg-runtime jars and
+ * `spark.sql.sources.v2.bucketing.enabled=true` the seen-side anti-join
+ * keeps the same exchange-free plan shape. This runtime cannot EXECUTE
+ * that DDL (no jars), so the iceberg arm is pinned at the DDL level by
+ * CheckpointSpec and the rest of the mapping below stays documentation:
+ *
  * Porting to a cluster WITH iceberg-runtime jars (the drop-in map — each
  * concept here is deliberately snapshot-shaped so the swap is local to
  * this class):
@@ -53,7 +63,11 @@ import org.apache.spark.sql.types.StructType
  *  - `readBucketedWave(name, w)` → time-travel or the `wave` partition
  *    column, unchanged semantics.
  */
-final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 32) {
+final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 32,
+    tableFormat: String = sys.env.getOrElse("GRAFT_TABLE_FORMAT", "parquet")) {
+
+  require(tableFormat == "parquet" || tableFormat == "iceberg",
+    s"unsupported tableFormat '$tableFormat' (parquet | iceberg)")
 
   private val manifestDir: Path = Paths.get(dir, "manifest")
   Files.createDirectories(manifestDir)
@@ -96,14 +110,13 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
         s"resuming with numBuckets=$numBuckets would corrupt its storage-partitioned joins")
     }
     if (reset) spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql(s"""CREATE TABLE IF NOT EXISTS $t ($dataColsDdl, wave INT)
-      USING parquet PARTITIONED BY (wave)
-      CLUSTERED BY (url_hash, url_canon) SORTED BY (url_hash, url_canon)
-      INTO $numBuckets BUCKETS LOCATION '$dir/$name'""")
+    spark.sql(Checkpoint.bucketedDdl(t, dataColsDdl, numBuckets, s"$dir/$name", tableFormat))
     // the marker lands only after CREATE succeeded: a failed registration
     // must not leave a bucket-count claim behind
     if (!Files.exists(marker)) Files.writeString(marker, numBuckets.toString)
-    spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+    // Iceberg tracks its files through snapshot metadata — RECOVER
+    // PARTITIONS is a Hive-layout concept and unsupported there
+    if (tableFormat == "parquet") spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
   }
 
   /** Is the bucketed table registered in this session's catalog? */
@@ -200,6 +213,31 @@ final class Checkpoint(spark: SparkSession, val dir: String, numBuckets: Int = 3
 }
 
 object Checkpoint {
+  /** DDL for the bucketed big-side store under each table format — the
+   *  r5 Iceberg switch, unit-testable without executing (this runtime
+   *  has no iceberg jars). Both forms co-locate on (url_hash, …): the
+   *  parquet form via Spark catalog bucketing, the Iceberg form via the
+   *  `bucket(n, url_hash)` partition transform (its bucket function
+   *  hashes the FIRST column only — single-key, which still co-partitions
+   *  the anti-join probes since url_hash determines url_canon
+   *  modulo the 64-bit hash; the SORTED BY locality moves to a write
+   *  `sortWithinPartitions`, applied by writeBucketed's repartition+sort
+   *  shape either way). */
+  def bucketedDdl(table: String, dataColsDdl: String, numBuckets: Int,
+      location: String, format: String): String = format match {
+    case "parquet" =>
+      s"""CREATE TABLE IF NOT EXISTS $table ($dataColsDdl, wave INT)
+      USING parquet PARTITIONED BY (wave)
+      CLUSTERED BY (url_hash, url_canon) SORTED BY (url_hash, url_canon)
+      INTO $numBuckets BUCKETS LOCATION '$location'"""
+    case "iceberg" =>
+      s"""CREATE TABLE IF NOT EXISTS $table ($dataColsDdl, wave INT)
+      USING iceberg PARTITIONED BY (wave, bucket($numBuckets, url_hash))
+      LOCATION '$location'"""
+    case other =>
+      throw new IllegalArgumentException(s"unsupported table format '$other'")
+  }
+
   /** Recursive delete that closes its directory streams (Files.list
    *  leaks an fd per directory if left to finalization). */
   def deleteRecursively(p: Path): Unit = {
