@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
 import graft.operators.{Corpus, Dedup, Events, LinkGraph, Multimodal, Politeness, Robots, Search, Sessions, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
-import graft.sources.Fixtures
+import graft.sources.{Fixtures, Warc}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §B.
   *
@@ -162,6 +162,26 @@ object SparkEntry {
       val ex = udf((html: Array[Byte], u: String) =>
         graft.functions.Extract.extractText(html, u))
       pages.select(col("url"), length(ex(col("html"), col("url"))).as("n_chars"))
+    }),
+
+    // WARC ingestion (S-side source for Common-Crawl-style dumps): the
+    // REAL streaming parser over the deterministic fixture file (one
+    // gzip member per record — CC layout — with warcinfo/request records
+    // interleaved and angle-bracketed URIs); DuckDB regenerates every
+    // expected response row from range() alone, so the oracle pins the
+    // whole parse end to end (framing, gzip members, HTTP split, md5 of
+    // the extracted body bytes)
+    "warc_parse" -> ((s, _) => {
+      import s.implicits._
+      val bin = Seq(("mem://fixture.warc.gz", Fixtures.warcFile(200))).toDF("path", "content")
+      Warc.recordsFromBinary(bin)
+        .filter(col("warc_type") === "response")
+        .select(col("url"),
+          col("warc_date"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type").as("mime"),
+          length(col("body")).cast("long").as("n_bytes"),
+          md5(col("body")).as("body_md5"))
     }),
 
     // robots.txt gate: broadcast host rules + prefix check
@@ -959,6 +979,21 @@ object SparkEntry {
     "skew_salt" -> oracle(
       s"""SELECT host, CAST(seq % 8 AS INT) AS salt, count(*) AS n
           FROM ($enrichedOracle) e GROUP BY host, CAST(seq % 8 AS INT)"""),
+
+    // regenerates the fixture WARC's response rows purely from range():
+    // same url/date/status/body construction as Fixtures.warcFile
+    "warc_parse" ->
+      """SELECT concat('http://host', CAST(seq % 20 AS STRING), '.example.com/w/',
+                       CAST(seq AS STRING)) AS url,
+                concat('2024-03-', lpad(CAST(1 + seq % 28 AS STRING), 2, '0'), 'T',
+                       lpad(CAST(seq % 24 AS STRING), 2, '0'), ':05:00Z') AS warc_date,
+                CAST(CASE WHEN seq % 13 = 0 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+                'text/html; charset=UTF-8' AS mime,
+                CAST(length(body) AS BIGINT) AS n_bytes,
+                md5(body) AS body_md5
+         FROM (SELECT seq, repeat('Body ' || CAST(seq AS STRING) || '. ',
+                                  CAST(1 + seq % 5 AS INT)) AS body
+               FROM range(200) t(seq)) b""",
 
     "robots_filter" -> oracle(
       s"""SELECT url_canon, host, seq FROM (

@@ -189,6 +189,62 @@ $paras
    * deterministic duplicates (~1/3 of rows repeat an earlier URL, the
    * dedup exercise) and the same skewed host distribution.
    */
+  /** Deterministic fixture WARC file (gzipped, one gzip MEMBER per
+   *  record — Common Crawl's layout) for the `warc_parse` oracle and
+   *  WarcSpec: a warcinfo header record, then per seq a `response`
+   *  record (HTTP 200, or 404 when seq % 13 == 0) whose body is the
+   *  ASCII string `repeat('Body <seq>. ', 1 + seq % 5)`, plus a
+   *  `request` record every 7th seq (parse-visible, filtered by the
+   *  pages/oracle projection). Every field is a pure function of seq so
+   *  DuckDB regenerates the expected rows from `range(n)` alone. */
+  def warcFile(n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    def gzMember(record: Array[Byte]): Unit = {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(record); gz.finish(); gz.close()
+    }
+    def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      (headers :+ ("Content-Length" -> payload.length.toString)).foreach {
+        case (k, v) => sb.append(k).append(": ").append(v).append("\r\n")
+      }
+      sb.append("\r\n")
+      sb.toString.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    gzMember(record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:graft-warcinfo>",
+      "WARC-Date" -> "2024-03-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-fixture\r\n".getBytes("US-ASCII")))
+    (0 until n).foreach { seq =>
+      val url = s"http://host${seq % 20}.example.com/w/$seq"
+      val date = f"2024-03-${1 + seq % 28}%02dT${seq % 24}%02d:05:00Z"
+      if (seq % 7 == 0) {
+        val req = s"GET /w/$seq HTTP/1.1\r\nHost: host${seq % 20}.example.com\r\n\r\n"
+          .getBytes("US-ASCII")
+        gzMember(record(Seq(
+          "WARC-Type" -> "request",
+          "WARC-Record-ID" -> s"<urn:uuid:graft-req-$seq>",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> date,
+          "Content-Type" -> "application/http; msgtype=request"), req))
+      }
+      val body = (s"Body $seq. " * (1 + seq % 5)).getBytes("US-ASCII")
+      val status = if (seq % 13 == 0) "404 Not Found" else "200 OK"
+      val http = (s"HTTP/1.1 $status\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+      gzMember(record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:graft-resp-$seq>",
+        "WARC-Target-URI" -> s"<$url>", // angle-bracketed variant (spec errata)
+        "WARC-Date" -> date,
+        "Content-Type" -> "application/http; msgtype=response"), http))
+    }
+    out.toByteArray
+  }
+
   def frontierUrls(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(0L, n)
