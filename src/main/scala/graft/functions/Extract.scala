@@ -286,11 +286,15 @@ object Extract extends Serializable {
    *  re-encode when confidence > 0.5) — a deterministic chardet-lite:
    *
    *  1. strict UTF-8 validity scan (incl. pure ASCII) → "utf-8";
-   *  1.5. (r5) KOI8-R Cyrillic gate — distributional, BEFORE the CJK
-   *     tier (even-run Cyrillic pairs strictly decode as plausible hanzi
+   *  1.5. (r5) Cyrillic gate — distributional, BEFORE the CJK tier
+   *     (even-run Cyrillic pairs strictly decode as plausible hanzi
    *     under GBK): ≥ 16 decoded Cyrillic-block chars at ≥ 95% of the
    *     non-ASCII chars with a high-byte run ≥ 4 (Russian words are
-   *     all-Cyrillic runs; accented latin sits isolated);
+   *     all-Cyrillic runs; accented latin sits isolated). The gate then
+   *     DISAMBIGUATES windows-1251 / KOI8-R / ISO-8859-5 by a
+   *     common-lowercase-letter frequency score (chardet's Cyrillic
+   *     language-model move): all three map high bytes into U+04xx, but
+   *     only the true charset decodes case-correct common letters;
    *  2. else score each CJK candidate charset (GBK, Big5, Shift_JIS,
    *     EUC-JP, EUC-KR —
    *     the same family chardet splits with its frequency models): the
@@ -356,8 +360,24 @@ object Extract extends Serializable {
     // model). Mixed CJK bytes fail the ratio (their 0xA1-0xBF bytes
     // decode to KOI8-R box-drawing symbols, not letters).
     if (maxRun >= 4) {
-      val (cyr, nonA) = koi8CyrStats(bytes)
-      if (cyr >= 16 && cyr * 20 >= nonA * 19) return "KOI8-R"
+      val (cyr, _, nonA) = cyrStats(bytes, "KOI8-R")
+      if (cyr >= 16 && cyr * 20 >= nonA * 19) {
+        // The gate trips for ANY single-byte Cyrillic page: KOI8-R,
+        // windows-1251 and ISO-8859-5 all map the high bytes into the
+        // U+04xx block, just with shuffled identities and flipped case
+        // (cp1251's lowercase 0xE0-0xFF is KOI8-R's UPPERcase row).
+        // Disambiguate chardet-style with a frequency model: real
+        // Russian text is lowercase-dominant and ~3/4 of its letters
+        // come from the top-frequency set, while the WRONG charset's
+        // decode scrambles identities and case so its common-lowercase
+        // count collapses to near-chance. windows-1251 leads the
+        // candidate order (the dominant Cyrillic web charset wins
+        // exact ties).
+        return Seq("windows-1251", "KOI8-R", "ISO-8859-5").map { cs =>
+          val (_, common, _) = cyrStats(bytes, cs)
+          cs -> common
+        }.maxBy(_._2)._1 // maxBy keeps the FIRST max → candidate-order ties
+      }
     }
     // Candidate order is the tie-break (score ties keep the FIRST).
     // EUC-JP leads because of the one SYSTEMATIC tie: kana-dominant
@@ -461,20 +481,33 @@ object Extract extends Serializable {
   /** KOI8-R distribution probe: (decoded chars in the Cyrillic block,
    *  decoded non-ASCII chars). KOI8-R maps all 256 bytes, so the decode
    *  is total by construction. */
-  private def koi8CyrStats(bytes: Array[Byte]): (Int, Int) = {
-    val s = new String(bytes, java.nio.charset.Charset.forName("KOI8-R"))
+  /** Top-frequency LOWERCASE Russian letters (~75% of running text);
+   *  the Cyrillic analogue of [[CommonHanzi]]. Scoring the decoded text
+   *  against this set is what splits KOI8-R from windows-1251 from
+   *  ISO-8859-5 — the wrong single-byte Cyrillic decode flips case and
+   *  scrambles identities, so only the true charset scores high. */
+  private val CommonCyrLower: Set[Char] = "оеаинтсрвлкмдпуяыьгзб".toSet
+
+  /** (cyrillic chars, common-lowercase hits, non-ASCII chars) of the
+   *  bytes decoded under `charset`. */
+  private def cyrStats(bytes: Array[Byte], charset: String): (Int, Int, Int) = {
+    val s = new String(bytes, java.nio.charset.Charset.forName(charset))
     var cyr = 0
+    var common = 0
     var nonAscii = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c >= 0x80) {
         nonAscii += 1
-        if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+        if (c >= 0x0400 && c <= 0x04FF) {
+          cyr += 1
+          if (CommonCyrLower.contains(c)) common += 1
+        }
       }
       i += 1
     }
-    (cyr, nonAscii)
+    (cyr, common, nonAscii)
   }
 
   private case class CjkStats(cjkish: Int, strong: Int, kana: Int,

@@ -117,6 +117,13 @@ object Html {
    *  literal (bare ampersands are everywhere on the real web). `inAttr`
    *  enables the attribute-value suppression rule for legacy
    *  no-semicolon references (see the table scaladoc above). */
+  /** HTML5 §13.2.5.73 "ASCII alphanumeric" — entity names and the
+   *  legacy-reference suppression check are ASCII-only by spec;
+   *  Character.isLetterOrDigit would wrongly treat 'é' or '٣' as part
+   *  of a name / as a suppressing character. */
+  private def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
   private[functions] def decodeEntities(s: String): String =
     decodeEntities(s, inAttr = false)
 
@@ -162,7 +169,7 @@ object Html {
         // "continues past any possible name"
         var j = amp + 1
         while (j < n && j - (amp + 1) <= HtmlEntities.MaxNameLen &&
-            s.charAt(j).isLetterOrDigit) j += 1
+            isAsciiAlnum(s.charAt(j))) j += 1
         if (j > amp + 1) {
           if (j < n && s.charAt(j) == ';' && j - (amp + 1) <= HtmlEntities.MaxNameLen) {
             val r = HtmlEntities.withSemi.get(s.substring(amp + 1, j))
@@ -180,7 +187,7 @@ object Html {
                 done = true
                 val nextIdx = amp + 1 + len
                 val suppressed = inAttr && nextIdx < n &&
-                  (s.charAt(nextIdx) == '=' || s.charAt(nextIdx).isLetterOrDigit)
+                  (s.charAt(nextIdx) == '=' || isAsciiAlnum(s.charAt(nextIdx)))
                 if (!suppressed) { sb.append(r); consumed = 1 + len }
               } else len -= 1
             }

@@ -54,9 +54,16 @@ object TextStats {
    *  arrives as a (lang: string, pattern: string, weight_milli: long)
    *  table — e.g. a distilled fastText marker list — instead of the
    *  built-in [[LangMarkers]]. Per language, score = Σ weight_milli ×
-   *  regex hits; the argmax wins, ties broken by the model's ROW ORDER
-   *  (first lang wins, matching langId's fixed marker order); zero total
-   *  score → "und". A language may contribute several rows.
+   *  regex hits; the argmax wins; zero total score → "und". A language
+   *  may contribute several rows.
+   *
+   *  Tie-break is part of the MODEL's content, never its physical
+   *  layout (a collect() over a multi-partition table has
+   *  partition-order semantics — rewriting the same logical model could
+   *  reorder rows): an optional `priority` column (long, ascending)
+   *  orders the languages explicitly; without one they are ordered
+   *  lexicographically by lang name. The built-in-parity spec ships a
+   *  priority column reproducing langId's zh > en > es > de > fr order.
    *
    *  The model is a bounded driver artifact (the broadcast-centroid
    *  precedent, not a corpus-sized table): it is collected once and
@@ -66,15 +73,26 @@ object TextStats {
    *  (spec-pinned: the built-in markers as a model table reproduce
    *  langId exactly). */
   def langIdFromModel(model: DataFrame): Column => Column = {
-    val rows = model.select(col("lang"), col("pattern"), col("weight_milli"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val hasPriority = model.columns.contains("priority")
+    val rows =
+      if (hasPriority)
+        model.select(col("lang"), col("pattern"), col("weight_milli"), col("priority"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      else
+        model.select(col("lang"), col("pattern"), col("weight_milli"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), 0L))
     require(rows.nonEmpty, "language-ID model table is empty")
-    // per-lang score terms, first-appearance order preserved
-    val langOrder = rows.map(_._1).distinct.toSeq
+    // lang order = tie-break order: min priority per lang (then lang
+    // name), or plain lexicographic without a priority column — a pure
+    // function of the model's content, independent of collect() order
+    val langOrder = rows.groupBy(_._1).toSeq
+      .map { case (lang, rs) => (rs.map(_._4).min, lang) }
+      .sorted.map(_._2)
     (text: Column) => {
       val scores = langOrder.map { lang =>
-        lang -> rows.filter(_._1 == lang).map { case (_, re, w) =>
+        lang -> rows.filter(_._1 == lang).map { case (_, re, w, _) =>
           size(regexp_extract_all(text, lit(re), lit(0))).cast("long") * lit(w)
         }.reduce(_ + _)
       }

@@ -105,8 +105,11 @@ object Multimodal {
     val bpp = bb.getShort(28)
     val compression = bb.getInt(30)
     if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 || compression != 0) return None
-    val h = math.abs(hRaw)
-    if (w.toLong * h > MaxPixels) return None
+    // abs in LONG: math.abs(Int.MinValue) is still negative and would
+    // slip past the products below into a negative array allocation
+    val hL = math.abs(hRaw.toLong)
+    if (hL > MaxPixels || w.toLong * hL > MaxPixels) return None
+    val h = hL.toInt
     val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
     if (dataOffset < 54 || dataOffset.toLong + rowSize.toLong * h > b.length) return None
     val topDown = hRaw < 0

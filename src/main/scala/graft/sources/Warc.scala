@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.io.{ByteArrayInputStream, EOFException, IOException, InputStream}
 import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -134,7 +134,11 @@ object Warc {
           else (-1, null: String, payload)
         nextRec = Record(warcType, recordId, uri, date, status, mime, body)
       } catch {
-        case _: EOFException => done = true
+        // EOFException: clean truncation mid-record. Any other IOException
+        // (ZipException from a bit-flipped gzip member, stream corruption)
+        // must ALSO end iteration, not fail the Spark task — the contract
+        // is "the complete prefix of records, malformed tail dropped".
+        case _: IOException => done = true
       }
     }
 

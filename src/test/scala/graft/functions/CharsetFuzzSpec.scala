@@ -120,13 +120,29 @@ class CharsetFuzzSpec extends AnyFunSuite {
   }
 
   test("Russian text encoded KOI8-R detects as KOI8-R; accented latin never does (r5)") {
-    val cyr: Gen[Char] = Gen.choose(0x0430, 0x044F).map(_.toChar)
+    // real-Russian letter shape: dominated by the top-frequency letters
+    // (uniform-random Cyrillic is not a language; the charset split —
+    // like chardet's — is a frequency model and needs frequency-shaped
+    // input to be meaningful)
+    val cyr: Gen[Char] = Gen.frequency(
+      8 -> Gen.oneOf("оеаинтсрвлкмдпуяыьгзб".toSeq),
+      2 -> Gen.choose(0x0430, 0x044F).map(_.toChar))
     val ruText: Gen[String] = Gen.choose(4, 15).flatMap(k => Gen.listOfN(k,
       Gen.choose(4, 9).flatMap(m => Gen.listOfN(m, cyr).map(_.mkString))))
       .map(_.mkString(" "))
     forAll(ruText) { t =>
       val got = Extract.sniffCharset(t.getBytes(Charset.forName("KOI8-R")))
       assert(got == "KOI8-R", s"'$t' -> $got")
+    }
+    // the SAME text in the other legacy Cyrillic charsets must resolve
+    // to them, not KOI8-R (r5 review fix: case+identity frequency split)
+    forAll(ruText) { t =>
+      val got = Extract.sniffCharset(t.getBytes(Charset.forName("windows-1251")))
+      assert(got == "windows-1251", s"'$t' -> $got")
+    }
+    forAll(ruText) { t =>
+      val got = Extract.sniffCharset(t.getBytes(Charset.forName("ISO-8859-5")))
+      assert(got == "ISO-8859-5", s"'$t' -> $got")
     }
     // and the Cyrillic gate never claims the latin accent shape
     forAll(latinAccentText, 500) { t =>
@@ -144,9 +160,9 @@ class CharsetFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("arbitrary bytes: the sniffer is total — one of the 8 charsets, decode never throws") {
+  test("arbitrary bytes: the sniffer is total — one of the 10 charsets, decode never throws") {
     val charsets = Set("utf-8", "windows-1252", "GBK", "Big5", "Shift_JIS",
-      "EUC-JP", "EUC-KR", "KOI8-R")
+      "EUC-JP", "EUC-KR", "KOI8-R", "windows-1251", "ISO-8859-5")
     val anyBytes = Gen.choose(0, 64).flatMap(k =>
       Gen.listOfN(k, Gen.choose(0, 255).map(_.toByte)).map(_.toArray))
     forAll(anyBytes, 500) { bs =>

@@ -162,6 +162,15 @@ class ExtractSpec extends AnyFunSuite {
     // runs would otherwise decode as plausible hanzi)
     val ru = "привет мир это русский текст в кодировке пример страницы"
     assert(Extract.sniffCharset(ru.getBytes(koi8)) == "KOI8-R")
+    // the same Russian text in the OTHER legacy Cyrillic charsets must
+    // NOT be called KOI8-R (r5 review fix): all three land in U+04xx,
+    // only the true charset decodes case-correct common letters
+    val cp1251 = java.nio.charset.Charset.forName("windows-1251")
+    val iso5 = java.nio.charset.Charset.forName("ISO-8859-5")
+    assert(Extract.sniffCharset(ru.getBytes(cp1251)) == "windows-1251")
+    assert(Extract.sniffCharset(ru.getBytes(iso5)) == "ISO-8859-5")
+    assert(Extract.decodeHtml(ru.getBytes(cp1251)) == ru)
+    assert(Extract.decodeHtml(ru.getBytes(iso5)) == ru)
     // short accented latin stays windows-1252 (the KOI8-R gate needs
     // ≥16 Cyrillic chars in runs of ≥4)
     val cp1252b = java.nio.charset.Charset.forName("windows-1252")

@@ -159,6 +159,12 @@ class MalformedHtmlSpec extends AnyFunSuite {
     val a = Html.parse("""<a href="/q?a=1&copy=2&not=3&lang=en" title="5&times4 &copy 2024">l</a>""").find("a").get
     assert(a.attr("href").contains("/q?a=1&copy=2&not=3&lang=en"))
     assert(a.attr("title").contains("5&times4 © 2024"))
+    // suppression is ASCII-alphanumeric-only per §13.2.5.73: a non-ASCII
+    // letter or non-ASCII digit after the legacy name does NOT suppress
+    // (r5 review fix — Character.isLetterOrDigit was Unicode-aware)
+    val i18n = Html.parse("""<a href="r&ampé" title="&copy٣">l</a>""").find("a").get
+    assert(i18n.attr("href").contains("r&é"), i18n.attr("href").toString)
+    assert(i18n.attr("title").contains("©٣"), i18n.attr("title").toString)
     // but in TEXT the same bytes decode through the legacy rule
     assert(Html.parse("<p>/q?a=1&copy=2</p>").text == "/q?a=1©=2")
     // unknown short names stay literal

@@ -98,8 +98,11 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, "zzz qqq www"))).toDF("id", "text")
     // the swap is config: the SAME built-in markers, loaded as an
     // external (lang, pattern, weight_milli) table, give langId's answers
-    val builtin = TextStats.LangMarkers.map { case (l, p) => (l, p, 1000L) }
-      .toDF("lang", "pattern", "weight_milli")
+    // priority column reproduces langId's zh > en > es > de > fr
+    // tie-break order as model CONTENT (row order is not a contract)
+    val builtin = TextStats.LangMarkers.zipWithIndex
+      .map { case ((l, p), i) => (l, p, 1000L, i.toLong) }
+      .toDF("lang", "pattern", "weight_milli", "priority")
     val fn = TextStats.langIdFromModel(builtin)
     val out = df.select(col("id"), fn(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -115,6 +118,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out2 = df.select(col("id"), fn2(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out2(6L) == "xx" && out2(1L) == "en" && out2(5L) == "und")
+    // tie-break is model CONTENT, not collect() layout (r5 review fix):
+    // both langs score identically on "foo"; priority puts zz first,
+    // dropping priority falls back to lexicographic → aa first
+    val tiedPri = Seq(("zz", "\\bfoo\\b", 1000L, 0L), ("aa", "\\bfoo\\b", 1000L, 1L))
+      .toDF("lang", "pattern", "weight_milli", "priority")
+    val one = spark.createDataFrame(Seq(Tuple1("foo bar"))).toDF("text")
+    assert(one.select(TextStats.langIdFromModel(tiedPri)(col("text")))
+      .collect().head.getString(0) == "zz")
+    assert(one.select(TextStats.langIdFromModel(tiedPri.drop("priority"))(col("text")))
+      .collect().head.getString(0) == "aa")
   }
 
   test("quality signals are integers and qualityKeep gates junk") {
@@ -731,6 +744,12 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.toSeq.map(_ & 0xFF) == Seq(76, 149, 29, 255, 0, 128))
     // truncated pixel data → dropped, not thrown
     assert(Multimodal.decodeBmp(bmp3x2.take(60)).isEmpty)
+    // adversarial header: height = Int.MinValue survives Int abs() as a
+    // negative value — must drop cleanly, never allocate (r5 review fix)
+    val evil = bmp3x2.clone()
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(Multimodal.decodeBmp(evil).isEmpty)
   }
 
   test("multimodal REAL decode: P6 PPM with header comment (r5)") {

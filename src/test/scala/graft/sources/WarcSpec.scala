@@ -63,6 +63,16 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Warc.parseBytes(ascii("not a warc at all")).isEmpty)
     assert(Warc.parseBytes(Array[Byte]()).isEmpty)
     assert(Warc.parseBytes(null).isEmpty)
+    // bit-flipped gzip member mid-stream: ZipException is swallowed like
+    // EOF — the complete prefix comes back, the task never fails (r5
+    // review fix: catch IOException, not just EOFException)
+    val corrupt = full.clone()
+    var i = full.length * 2 / 3
+    while (i < full.length * 2 / 3 + 40 && i < corrupt.length) {
+      corrupt(i) = (corrupt(i) ^ 0x5A).toByte; i += 1
+    }
+    val prefix = Warc.parseBytes(corrupt).toVector
+    assert(prefix.size < 13) // strictly fewer than the intact 13
   }
 
   test("non-HTTP payloads come back whole with status -1") {
