@@ -43,6 +43,7 @@ object Bench {
   @volatile private var box: Option[FrontierBench.ScalingResult] = None
   @volatile private var sfDirV: String = ""
   @volatile private var frontierNV: Long = 0L
+  private val defaultFrontierN = 32000000L
   @volatile private var cpusV: Int = 32
   private val printed = new AtomicBoolean(false)
 
@@ -166,11 +167,19 @@ object Bench {
     ss.map { case (a, b) => f"($a%.1f, $b%.1f)" }.mkString(" ")
 
   /** BASELINE.md §3 evidence — rewritten after every stage so a kill never
-    * erases measured rounds. */
+    * erases measured rounds. A run at a NON-default wave size (a smoke or
+    * rehearsal via SPARK_GRAFT_FRONTIER_N) writes BASELINE_smoke.md
+    * instead: tiny waves are fixed-overhead-dominated, so their pair
+    * ratios are meaningless for the north rule, and a rehearsal must
+    * never clobber the binding artifact (this happened once — two 400k
+    * smoke runs left BASELINE.md reading 0.422). History rows are still
+    * appended (they carry `n` and the estimator filters on it). */
   private def writeMd(): Unit = try {
     persistHistory()
     val benchDir = Paths.get("BENCH")
     Files.createDirectories(benchDir)
+    val mdName =
+      if (frontierNV == defaultFrontierN) "BASELINE.md" else "BASELINE_smoke.md"
     val s = box.getOrElse(zero(math.max(cpusV / 4, 1), cpusV))
     val lo = soft.getOrElse(zero(2, 8))
     val (e2, e8, eff, nCh) = estimator()
@@ -260,7 +269,7 @@ object Bench {
         queryTimes.map { case (k, v) =>
           f"$k=$v%.2fs(x${queryRepsUsed.getOrElse(k, 1)})" }.mkString(", ")}
          |""".stripMargin
-    Files.writeString(benchDir.resolve("BASELINE.md"), md)
+    Files.writeString(benchDir.resolve(mdName), md)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] BASELINE.md write failed: ${e.getMessage}")
   }
@@ -268,7 +277,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val frontierN = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "32000000").toLong
+    val frontierN =
+      sys.env.get("SPARK_GRAFT_FRONTIER_N").map(_.toLong).getOrElse(defaultFrontierN)
     sfDirV = sfDir
     frontierNV = frontierN
     cpusV = cpus

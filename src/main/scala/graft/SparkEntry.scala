@@ -87,6 +87,29 @@ object SparkEntry {
       Dedup.firstSeenInBatch(enriched(s, d).drop("url"), Seq(col("seq")))
         .select(col("url_canon"), col("seq"))),
 
+    // D2 via the cuckoo seen-filter (north rule "bloom/cuckoo"): the
+    // store-filtered anti-join with kind=cuckoo must be output-identical
+    // to the exact NOT IN — the filter only routes rows, never decides
+    // membership (superset rule; CuckooSpec pins the store mechanics,
+    // this oracle pins end-to-end row equality against DuckDB)
+    "dedup_anti_cuckoo" -> ((s, d) => {
+      val e = enriched(s, d)
+        .withColumn("url_hash", xxhash64(col("url_canon")))
+      // seen keyed on the CANON id (seq % 5000 is the url identity in the
+      // fixture derivation) — a seq-keyed split would cover every distinct
+      // canon and leave a vacuous 0-row result
+      val seen = e.filter(col("seq") % 5000 % 3 === 0)
+        .select("url_hash", "url_canon").distinct()
+      val cands = e.filter(col("seq") % 2 === 0)
+        .select("url_hash", "url_canon", "seq")
+      val dir = java.nio.file.Files.createTempDirectory("graft-cuckoo-q").toString
+      val store = new graft.operators.BloomStore(s, dir, numBuckets = 8,
+        bucketCapacity = 8192, kind = "cuckoo")
+      store.rebuild(seen, 0)
+      Dedup.antiJoinSeenWithBloomStore(cands, seen, store)
+        .select(col("url_canon"), col("seq"))
+    }),
+
     // O6: per-host top-k politeness quota
     "politeness_topk" -> ((s, d) =>
       Politeness.hostEligible(enriched(s, d), 3)
@@ -915,6 +938,13 @@ object SparkEntry {
 
     "dedup_anti" -> oracle(
       s"""SELECT url_canon, min(seq) AS seq FROM ($enrichedOracle) e GROUP BY url_canon"""),
+
+    "dedup_anti_cuckoo" -> oracle(
+      s"""SELECT url_canon, seq FROM ($enrichedOracle) e
+          WHERE seq % 2 = 0
+            AND url_canon NOT IN (
+              SELECT url_canon FROM ($enrichedOracle) s
+              WHERE (seq % 5000) % 3 = 0)"""),
 
     "politeness_topk" -> oracle(
       s"""SELECT host, priority, seq, url_canon FROM (

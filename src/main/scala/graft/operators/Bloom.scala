@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions
  * of the bloom-on vs bloom-off pipelines is asserted by DedupSpec).
  */
 final class BloomFilter(val numBits: Int, val numHashes: Int, val words: Array[Long])
-    extends Serializable {
+    extends SeenFilter {
 
   def this(numBits: Int, numHashes: Int) =
     this(numBits, numHashes, new Array[Long]((numBits + 63) / 64))

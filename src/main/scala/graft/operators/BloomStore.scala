@@ -52,7 +52,11 @@ final class BloomStore(
     val dir: String,
     val numBuckets: Int,
     bucketCapacity: Long,
-    fpr: Double = 0.01) extends Serializable {
+    fpr: Double = 0.01,
+    val kind: String = "bloom") extends Serializable {
+
+  require(kind == "bloom" || kind == "cuckoo",
+    s"seen-filter kind must be bloom|cuckoo: $kind")
 
   import BloomStore._
 
@@ -96,6 +100,23 @@ final class BloomStore(
    *  debris of a crashed rebuild and must not be trusted). */
   def isEmpty: Boolean = !fs.exists(markerPath)
 
+  /** True when the store must be rebuilt before probing: no committed
+   *  state, or the on-disk filters are of the OTHER kind (a checkpoint
+   *  written with kind=bloom resumed under kind=cuckoo or vice versa —
+   *  merging across kinds is impossible and probing a mismatched file
+   *  would throw; a rebuild from the exact seen table re-establishes the
+   *  superset rule under the configured kind). Reads one current file's
+   *  4-byte header (the [[SeenFilter.fromBytes]] sign dispatch). */
+  def needsRebuild: Boolean = {
+    if (isEmpty) return true
+    currentFiles().values.headOption.exists { path =>
+      val in = fs.open(new Path(path))
+      val head = try in.readInt() finally in.close()
+      val onDisk = if (head < 0) "cuckoo" else "bloom"
+      onDisk != kind
+    }
+  }
+
   /** Fold one wave's NEW urls (url_hash, url_canon) into the per-bucket
    *  filters, executor-side: aggregate delta filters per bucket (a tiny
    *  shuffle of numBuckets bloom blobs), then each task merges its
@@ -103,10 +124,10 @@ final class BloomStore(
    *  versions. No bloom bytes ever pass through the driver. Call BEFORE
    *  the wave manifest commit (superset rule above). */
   def writeDelta(delta: DataFrame, wave: Int): Unit = {
-    val d = dir; val cap = bucketCapacity; val f = fpr
+    val d = dir; val cap = bucketCapacity; val f = fpr; val k = kind
     delta
       .groupBy(bucketIdCol(col("url_hash"), col("url_canon")).as("bucket"))
-      .agg(BloomFilter.bloomAggCol(col("url_hash"), cap, f).as("bytes"))
+      .agg(SeenFilter.aggCol(k, col("url_hash"), cap, f).as("bytes"))
       .select(col("bucket"), col("bytes"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val fsLocal = new Path(d).getFileSystem(new Configuration())
@@ -156,9 +177,9 @@ object BloomStore {
    *  path hit can never be stale). Bounded by the buckets an executor
    *  actually probes — with the aligned repartition that is its own
    *  partition slice of the state, never the full set. */
-  private val cache = new ConcurrentHashMap[Int, (String, BloomFilter)]()
+  private val cache = new ConcurrentHashMap[Int, (String, SeenFilter)]()
 
-  private[operators] def cachedFilter(bucket: Int, path: String): BloomFilter = {
+  private[operators] def cachedFilter(bucket: Int, path: String): SeenFilter = {
     val hit = cache.get(bucket)
     if (hit != null && hit._1 == path) return hit._2
     val fs = new Path(path).getFileSystem(new Configuration())
@@ -166,7 +187,7 @@ object BloomStore {
     val bytes =
       try in.readAllBytes()
       finally in.close()
-    val filter = BloomFilter.fromBytes(bytes)
+    val filter = SeenFilter.fromBytes(bytes)
     cache.put(bucket, (path, filter))
     filter
   }
@@ -190,7 +211,7 @@ object BloomStore {
       case Some((_, cur)) =>
         val in = fs.open(cur)
         val curBytes = try in.readAllBytes() finally in.close()
-        BloomFilter.mergeBytes(curBytes, deltaBytes)
+        SeenFilter.mergeBytes(curBytes, deltaBytes)
       case None => deltaBytes
     }
     val target = new Path(bloomDir, s"b$b-w$w.bloom")

@@ -46,8 +46,13 @@ import graft.operators.{Dedup, ParserDispatch, ParserRule, Politeness}
  *                    urls.py:62-73): first match dispatches, no match
  *                    drops the URL; see [[graft.operators.ParserDispatch]]
  * @param salts       politeness salting shards for mega-hosts (J5)
- * @param useBloom    per-bucket Bloom pre-filter in front of the exact
+ * @param useBloom    per-bucket seen pre-filter in front of the exact
  *                    anti-join (D2) — output provably identical either way
+ * @param seenFilter  pre-filter sketch kind: "bloom" (reference-sized
+ *                    Bloom) or "cuckoo" (Fan et al. 2014 — deletable,
+ *                    ~0.012% fpr; see [[graft.operators.CuckooFilter]]);
+ *                    switching kinds on an existing checkpoint triggers
+ *                    one filter rebuild from the exact seen table
  * @param extract     run text extraction on fetched pages (the X1/X2 work);
  *                    off for pure frontier-throughput benchmarks
  */
@@ -69,6 +74,7 @@ case class CrawlSettings(
     salts: Int = 1,
     numBuckets: Int = 32,
     useBloom: Boolean = true,
+    seenFilter: String = "bloom", // bloom | cuckoo (north rule: "bloom/cuckoo URL-seen")
     bloomCapacity: Long = 1000000L, // D3 floor (cola/job/__init__.py:48)
     extract: Boolean = true,
     hostMetrics: Boolean = false, // O7 evidence: write per-(wave, host) fetch outcomes
@@ -287,9 +293,12 @@ class CrawlJob(
     val bloomStore: Option[graft.operators.BloomStore] =
       if (settings.useBloom)
         Some(new graft.operators.BloomStore(spark, workDir, settings.numBuckets,
-          math.max(settings.bloomCapacity / settings.numBuckets, 1024)))
+          math.max(settings.bloomCapacity / settings.numBuckets, 1024),
+          kind = settings.seenFilter))
       else None
-    bloomStore.foreach(st => if (st.isEmpty) st.rebuild(seenUpTo(wave), wave))
+    // rebuild on first run, crashed-rebuild debris, OR a seen-filter kind
+    // switch against the checkpoint's on-disk state (bloom ↔ cuckoo)
+    bloomStore.foreach(st => if (st.needsRebuild) st.rebuild(seenUpTo(wave), wave))
 
     // O7 budgets: materialize ONCE for the whole run — the politeness
     // gate's broadcast guard counts the table every wave, and the decayed
