@@ -451,6 +451,17 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(job.seenTable.count() == fullRun._1.seenTable.count())
   }
 
+  test("cuckoo seen-filter changes nothing (identical schedule to bloom and to off)") {
+    // the end-to-end counterpart of CuckooSpec's store equivalence: the
+    // whole wave loop with kind=cuckoo must schedule EXACTLY what the
+    // filterless run schedules (the pre-filter only routes rows)
+    val (job, _) = runEngine(
+      base.copy(useBloom = true, seenFilter = "cuckoo", bloomCapacity = 4096, salts = 4),
+      tmpDir("cuckoosalt"))
+    assert(scheduleTuples(job) == scheduleTuples(fullRun._1))
+    assert(job.seenTable.count() == fullRun._1.seenTable.count())
+  }
+
   test("multi-priority quotas ∝ 2^-i match the simulator (priorities=3)") {
     val settings = base.copy(nPriorities = 3, waveCap = 30, size = 90)
     val pExprEngine = (c: Column) =>
@@ -669,6 +680,7 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
         maxWaves = 25,
         salts = 1 + nx(3),
         useBloom = nx(2) == 1, bloomCapacity = 4096,
+        seenFilter = if (nx(2) == 1) "cuckoo" else "bloom",
         incPasses = nx(2),
         parsers = if (nx(2) == 1) twoRules else Seq.empty,
         bundles = if (nx(2) == 1) Some(bs) else None)
