@@ -216,6 +216,43 @@ object SparkEntry {
         .select(col("url_canon"), col("host"), col("seq"))
     }),
 
+    // robots.txt crawl-delay → per-host politeness caps (O6 variable
+    // form): a 60s wave window grants floor(60/delay) fetches clamped to
+    // [1, 8]; hosts without a *-group delay get the default quota of 3.
+    // host1: 30s → 2; host2: 10s → 6; host5: 0.5s → 120 → clamped 8;
+    // host4 names only googlebot → default; host6's 90s exceeds the
+    // window → floor 0 → clamped 1.
+    "robots_crawl_delay" -> ((s, d) => {
+      val delays = Robots.delaysFromTxt(s, Seq(
+        "host1.example.com" -> "User-agent: *\nCrawl-delay: 30\nDisallow:",
+        "host2.example.com" -> "User-agent: *\nCrawl-delay: 10",
+        "host4.example.com" -> "User-agent: googlebot\nCrawl-delay: 1",
+        "host5.example.com" -> "User-agent: *\nCrawl-delay: 0.5",
+        "host6.example.com" -> "User-agent: *\nCrawl-delay: 90"))
+      Politeness.hostEligibleCapped(enriched(s, d),
+          Robots.capsFromDelays(delays, windowSecs = 60.0, maxK = 8),
+          defaultK = 3, maxK = 8)
+        .select(col("host"), col("priority"), col("seq"), col("url_canon"))
+    }),
+
+    // sitemap XML ingestion: deterministic per-row sitemap bodies (two
+    // <url> entries — one fully attributed, one whitespace-padded
+    // loc-only — plus a loc-less entry that must drop) parsed by the
+    // codegen regexp pipeline into (loc, lastmod, sm_priority) rows
+    "sitemap_parse" -> ((s, d) => {
+      val sm = enriched(s, d).select(col("host"), col("seq"),
+        concat(
+          lit("<urlset><url><loc>"), col("url_canon"),
+          lit("</loc><lastmod>202"), expr("cast(seq % 5 as string)"),
+          lit("-0"), expr("cast(1 + seq % 9 as string)"),
+          lit("-15</lastmod><priority>0."), expr("cast(seq % 10 as string)"),
+          lit("</priority></url><url>\n  <loc>"), col("url_canon"),
+          lit("/alt</loc>\n</url><url><lastmod>2020-01-01</lastmod></url></urlset>"))
+          .as("body"))
+      Robots.parseSitemapXml(sm, "body")
+        .select(col("host"), col("seq"), col("loc"), col("lastmod"), col("sm_priority"))
+    }),
+
     // A3-A5 counter aggregators: Uniq (sorted set) + Overwrite (last-write)
     "counters_uniq_overwrite" -> ((s, d) =>
       enriched(s, d).groupBy(col("host")).agg(
@@ -1032,6 +1069,40 @@ object SparkEntry {
             FROM ($enrichedOracle) e) t
           WHERE NOT (host = 'host0.example.com' AND path LIKE '/o/1%')
             AND NOT (host = 'host3.example.com' AND path LIKE '/o/%')"""),
+
+    // the caps replay the crawl-delay arithmetic: floor(60/delay) in [1,8]
+    "robots_crawl_delay" -> oracle(
+      s"""SELECT host, priority, seq, url_canon FROM (
+            SELECT host, priority, seq, url_canon,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY priority, seq) AS rn
+            FROM ($enrichedOracle) e) t
+          WHERE rn <= CASE host
+                        WHEN 'host1.example.com' THEN 2
+                        WHEN 'host2.example.com' THEN 6
+                        WHEN 'host5.example.com' THEN 8
+                        WHEN 'host6.example.com' THEN 1
+                        ELSE 3 END"""),
+
+    "sitemap_parse" -> oracle(
+      s"""SELECT host, seq,
+                 trim(regexp_extract(entry, '<loc>([^<]*)</loc>', 1)) AS loc,
+                 nullif(coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), ''), '') AS lastmod,
+                 CAST(nullif(coalesce(regexp_extract(entry, '<priority>([^<]*)</priority>', 1), ''), '') AS DOUBLE) AS sm_priority
+          FROM (
+            SELECT host, seq,
+                   unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS entry
+            FROM (
+              SELECT host, seq,
+                     '<urlset><url><loc>' || url_canon ||
+                     '</loc><lastmod>202' || CAST(seq % 5 AS STRING) ||
+                     '-0' || CAST(1 + seq % 9 AS STRING) ||
+                     '-15</lastmod><priority>0.' || CAST(seq % 10 AS STRING) ||
+                     '</priority></url><url>' || chr(10) || '  <loc>' || url_canon ||
+                     '/alt</loc>' || chr(10) || '</url><url><lastmod>2020-01-01</lastmod></url></urlset>'
+                       AS body
+              FROM ($enrichedOracle) e) sm) entries
+          WHERE length(trim(regexp_extract(entry, '<loc>([^<]*)</loc>', 1))) > 0"""),
 
     "counters_uniq_overwrite" -> oracle(
       s"""SELECT host,

@@ -51,6 +51,38 @@ object Politeness {
   }
 
   /**
+   * Step 1 with PER-HOST caps (robots.txt crawl-delay, O6 variable form):
+   * hosts in `caps` (host, cap — already clamped ≤ maxK, see
+   * [[Robots.capsFromDelays]]) keep their top `cap` rows; absent hosts
+   * keep `defaultK`. Output ordering rule identical to [[hostEligible]].
+   *
+   * Plan shape: the rank predicate keeps the LITERAL bound
+   * `__hr <= max(maxK, defaultK)` alongside the per-row cap so Spark's
+   * InferWindowGroupLimit still inserts a partial top-k below the
+   * window sort — each mapper pre-prunes to the literal ceiling and the
+   * per-host cap filters after; a cap-only (per-row) predicate would
+   * disable the pushdown and sort every candidate of every host. The
+   * caps side carries no broadcast hint for the same reason as
+   * [[Robots.filterAllowed]]: AQE broadcasts a measured-small table and
+   * falls back to the host-keyed exchange the window pays anyway.
+   */
+  def hostEligibleCapped(
+      candidates: DataFrame,
+      caps: DataFrame,
+      defaultK: Int,
+      maxK: Int): DataFrame = {
+    require(defaultK >= 1 && maxK >= 1)
+    val ceiling = math.max(maxK, defaultK)
+    val w = Window.partitionBy(col("host")).orderBy(col("priority").asc, col("seq").asc)
+    candidates
+      .join(caps.select(col("host"), col("cap").as("__cap")), Seq("host"), "left")
+      .withColumn("__hr", row_number().over(w))
+      .filter(col("__hr") <= lit(ceiling) &&
+        col("__hr") <= coalesce(col("__cap"), lit(defaultK)))
+      .drop("__hr", "__cap")
+  }
+
+  /**
    * Step 1 at scale: two-phase salted top-k. A mega-host (J5 skew) would
    * serialize the window's single per-host partition; instead rank within
    * (host, salt) shards first — each shard keeps at most hostBudget rows,

@@ -14,15 +14,30 @@ import org.apache.spark.sql.functions._
  */
 object Robots {
 
-  /** Parse a robots.txt body for the `*` agent → disallowed path prefixes.
-   *  Standard semantics: group by User-agent, collect Disallow lines of
-   *  groups containing `*`; empty Disallow means allow-all; comments (#)
-   *  stripped; `Allow` lines ignored (prefix-disallow model only). */
-  def parseRobotsTxt(content: String): Seq[String] = {
-    if (content == null) return Seq.empty
+  /** Everything the engine reads out of one robots.txt body:
+   *  `*`-group disallow prefixes, the `*`-group crawl-delay (seconds;
+   *  the MINIMUM across `*` groups when a site repeats it — the
+   *  conservative read), and the file-global `Sitemap:` URLs (the
+   *  de-facto standard scopes sitemaps to the whole file, not a
+   *  group). */
+  final case class Policy(
+      disallows: Seq[String],
+      crawlDelaySecs: Option[Double],
+      sitemaps: Seq[String])
+
+  /** Parse a robots.txt body for the `*` agent. Standard semantics:
+   *  group by consecutive User-agent lines, collect Disallow /
+   *  Crawl-delay of groups containing `*`; empty Disallow means
+   *  allow-all; comments (#) stripped; `Allow` lines ignored
+   *  (prefix-disallow model only); non-numeric or non-positive
+   *  crawl-delays ignored. */
+  def parsePolicy(content: String): Policy = {
+    if (content == null) return Policy(Nil, None, Nil)
     var groupAgents = Set.empty[String]
     var inHeader = false // reading the consecutive User-agent lines of a group
     val out = Seq.newBuilder[String]
+    val maps = Seq.newBuilder[String]
+    var delay: Option[Double] = None
     content.linesIterator.foreach { raw =>
       val line = { val i = raw.indexOf('#'); if (i >= 0) raw.substring(0, i) else raw }.trim
       if (line.nonEmpty) {
@@ -37,14 +52,27 @@ object Robots {
             case "disallow" =>
               inHeader = false
               if (groupAgents.contains("*") && value.nonEmpty) out += value
-            case _ => // allow / crawl-delay / sitemap / unknown end the header
+            case "crawl-delay" =>
+              inHeader = false
+              if (groupAgents.contains("*"))
+                value.toDoubleOption.filter(d => d > 0 && !d.isInfinite).foreach { d =>
+                  delay = Some(delay.fold(d)(math.min(_, d)))
+                }
+            case "sitemap" =>
+              inHeader = false
+              if (value.nonEmpty) maps += value
+            case _ => // allow / unknown end the header
               inHeader = false
           }
         }
       }
     }
-    out.result()
+    Policy(out.result(), delay, maps.result())
   }
+
+  /** `*`-group disallowed path prefixes (see [[parsePolicy]]). */
+  def parseRobotsTxt(content: String): Seq[String] =
+    parsePolicy(content).disallows
 
   /** Build the rules table from (host, robots.txt body) rows. */
   def rulesFromTxt(spark: SparkSession, robots: Seq[(String, String)]): DataFrame = {
@@ -52,6 +80,56 @@ object Robots {
     robots.flatMap { case (host, txt) => parseRobotsTxt(txt).map(p => (host, p)) }
       .toDF("host", "prefix")
   }
+
+  /** Per-host crawl-delay table (host, delay_secs) from (host, body) rows;
+   *  hosts whose robots.txt names no `*`-group crawl-delay are absent. */
+  def delaysFromTxt(spark: SparkSession, robots: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    robots.flatMap { case (host, txt) =>
+      parsePolicy(txt).crawlDelaySecs.map(d => (host, d)) }
+      .toDF("host", "delay_secs")
+  }
+
+  /** File-global sitemap URL table (host, sitemap_url) from (host, body). */
+  def sitemapsFromTxt(spark: SparkSession, robots: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    robots.flatMap { case (host, txt) =>
+      parsePolicy(txt).sitemaps.map(u => (host, u)) }
+      .toDF("host", "sitemap_url")
+  }
+
+  /** Turn crawl-delays into per-wave politeness caps: a host granting one
+   *  fetch every `delay_secs` gets `floor(windowSecs / delay)` fetches of
+   *  a wave's politeness window, clamped to [1, maxK] (a delay longer
+   *  than the window still grants ONE fetch — the crawl must progress;
+   *  the cap ceiling keeps the quota inside the top-k the politeness
+   *  window already ranks). Feeds [[Politeness.hostEligibleCapped]]. */
+  def capsFromDelays(delays: DataFrame, windowSecs: Double, maxK: Int): DataFrame = {
+    require(windowSecs > 0 && maxK >= 1)
+    delays.select(col("host"),
+      least(greatest(floor(lit(windowSecs) / col("delay_secs")), lit(1L)),
+        lit(maxK.toLong)).cast("int").as("cap"))
+  }
+
+  /** Parse sitemap XML bodies into one row per `<url>` entry: appends
+   *  `loc` (trimmed; entries without one are dropped — loc is the spec's
+   *  only required field), nullable `lastmod`, nullable `sm_priority`.
+   *  Pure codegen expressions (regexp_extract_all + explode over the
+   *  `(?s)`-dotall entry pattern) — no UDF, so a 10^6-sitemap ingest
+   *  stays inside whole-stage codegen; entries explode map-side with no
+   *  shuffle. Input needs a string column `bodyCol`. */
+  def parseSitemapXml(sitemaps: DataFrame, bodyCol: String): DataFrame =
+    sitemaps
+      .withColumn("__entry",
+        explode(expr(s"regexp_extract_all($bodyCol, '(?s)<url>(.*?)</url>', 1)")))
+      .withColumn("loc", trim(regexp_extract(col("__entry"), "<loc>([^<]*)</loc>", 1)))
+      .filter(length(col("loc")) > 0)
+      .withColumn("lastmod",
+        nullif(regexp_extract(col("__entry"), "<lastmod>([^<]*)</lastmod>", 1), lit("")))
+      .withColumn("sm_priority",
+        nullif(regexp_extract(col("__entry"), "<priority>([^<]*)</priority>", 1), lit(""))
+          .cast("double"))
+      .drop("__entry")
 
   /** Path component of a canonical URL ('' → '/'). */
   def pathOf(urlCanon: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -42,6 +42,94 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Robots.parseRobotsTxt(null) == Seq.empty)
   }
 
+  test("parsePolicy: *-group crawl-delay (min across groups), sitemaps are file-global") {
+    val txt =
+      """User-agent: googlebot
+        |Crawl-delay: 1
+        |Sitemap: http://a.com/sitemap-a.xml
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 4.5
+        |
+        |User-agent: bingbot
+        |Crawl-delay: bogus
+        |Sitemap: http://a.com/sitemap-b.xml
+        |""".stripMargin
+    val p = Robots.parsePolicy(txt)
+    assert(p.crawlDelaySecs.contains(4.5), "min across *-groups; non-* ignored")
+    assert(p.disallows == Seq("/x"))
+    assert(p.sitemaps ==
+      Seq("http://a.com/sitemap-a.xml", "http://a.com/sitemap-b.xml"),
+      "sitemap lines are global, regardless of the surrounding group")
+    // non-numeric / non-positive / missing delays yield None
+    assert(Robots.parsePolicy("User-agent: *\nCrawl-delay: bogus").crawlDelaySecs.isEmpty)
+    assert(Robots.parsePolicy("User-agent: *\nCrawl-delay: -2").crawlDelaySecs.isEmpty)
+    assert(Robots.parsePolicy("User-agent: *\nCrawl-delay: 0").crawlDelaySecs.isEmpty)
+    assert(Robots.parsePolicy(null).crawlDelaySecs.isEmpty)
+  }
+
+  test("capsFromDelays: floor(window/delay) clamped to [1, maxK]") {
+    val delays = Robots.delaysFromTxt(spark, Seq(
+      "slow.com" -> "User-agent: *\nCrawl-delay: 30",   // 60/30 = 2
+      "mid.com" -> "User-agent: *\nCrawl-delay: 10",    // 6
+      "fast.com" -> "User-agent: *\nCrawl-delay: 0.5",  // 120 -> 8
+      "glacial.com" -> "User-agent: *\nCrawl-delay: 90", // 0 -> 1
+      "nodelay.com" -> "User-agent: *\nDisallow: /x"))  // absent
+    val caps = Robots.capsFromDelays(delays, windowSecs = 60.0, maxK = 8)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(caps == Map("slow.com" -> 2, "mid.com" -> 6, "fast.com" -> 8, "glacial.com" -> 1))
+  }
+
+  test("hostEligibleCapped: per-host caps bind, absent hosts get the default") {
+    val cands = spark.createDataFrame(
+      for (h <- Seq("slow.com", "free.com"); i <- 0 until 10)
+        yield (h, i % 2, i.toLong, s"http://$h/p/$i")
+    ).toDF("host", "priority", "seq", "url_canon")
+    val caps = spark.createDataFrame(Seq(("slow.com", 2))).toDF("host", "cap")
+    val got = Politeness.hostEligibleCapped(cands, caps, defaultK = 3, maxK = 8)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("seq"))).toSet
+    // slow.com keeps its top 2 by (priority, seq): seqs 0,2; free.com top 3: 0,2,4
+    assert(got == Set(("slow.com", 0L), ("slow.com", 2L),
+      ("free.com", 0L), ("free.com", 2L), ("free.com", 4L)))
+  }
+
+  test("hostEligibleCapped plan: the literal ceiling keeps WindowGroupLimit (partial top-k)") {
+    // the per-row cap alone would disable the rank pushdown and fully
+    // sort every host; the conjoined literal bound must keep the
+    // partial top-k below the window sort
+    val cands = spark.range(0, 1000).selectExpr(
+      "concat('h', id % 50, '.com') as host",
+      "cast(id % 3 as int) as priority", "id as seq",
+      "concat('http://h', id % 50, '.com/p/', id) as url_canon")
+    val caps = spark.createDataFrame(Seq(("h0.com", 1))).toDF("host", "cap")
+    val plan = Politeness.hostEligibleCapped(cands, caps, defaultK = 3, maxK = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("parseSitemapXml: loc required, dotall entries, trim, nullable lastmod/priority") {
+    val body =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>http://a.com/1</loc><lastmod>2024-01-15</lastmod><priority>0.8</priority></url>
+        |<url>
+        |  <loc>  http://a.com/2  </loc>
+        |</url>
+        |<url><lastmod>2020-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val rows = Robots.parseSitemapXml(
+      spark.createDataFrame(Seq(("a.com", body))).toDF("host", "body"), "body")
+      .select("loc", "lastmod", "sm_priority")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows == Seq(
+      ("http://a.com/1", Some("2024-01-15"), Some(0.8)),
+      ("http://a.com/2", None, None)), s"got $rows")
+  }
+
   test("filterAllowed drops disallowed paths per host only") {
     val cands = spark.createDataFrame(Seq(
       ("http://a.com/private/x", "a.com"),
