@@ -32,6 +32,25 @@ object SparkEntry {
   private def urlsDF(spark: SparkSession, sfDir: String): DataFrame =
     spark.sql(urlsCte(s"parquet.`$sfDir/orders.parquet`"))
 
+  /** Trap-shaped frontier (engine-portable like [[urlsCte]]): two distinct
+    * base segments, a repeated-segment tail of 0–5 copies (repetition AND
+    * depth vary together but trip at different bounds), and a query string
+    * of 1+(k%10) params on every 4th URL. */
+  private def trapUrlsCte(from: String): String = s"""
+    SELECT concat('http://trap', CAST(o_orderkey % 40 AS STRING), '.example.com',
+                  '/a', CAST(o_orderkey % 7 AS STRING),
+                  '/b', CAST(o_orderkey % 3 AS STRING),
+                  repeat(concat('/loop', CAST(o_orderkey % 4 AS STRING)),
+                         CAST(o_orderkey % 6 AS INT)),
+                  CASE WHEN o_orderkey % 4 = 0
+                       THEN concat('?q=1', repeat('&p=2', CAST(o_orderkey % 10 AS INT)))
+                       ELSE '' END) AS url,
+           o_orderkey AS seq
+    FROM $from"""
+
+  private def trapUrlsDF(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(trapUrlsCte(s"parquet.`$sfDir/orders.parquet`"))
+
   private def oracle(body: String): String =
     s"WITH urls AS (${urlsCte("orders")}) $body"
 
@@ -752,6 +771,34 @@ object SparkEntry {
           concat_ws(",", col("histogram")).as("hist_csv"),
           col("thumb_w"), col("thumb_h"))),
 
+    // spider-trap detection (Heritrix pathological-path/depth/param rules)
+    // over the trap-shaped frontier — a pure map-side projection
+    "url_trap_detect" -> ((s, d) =>
+      operators.Traps.detect(trapUrlsDF(s, d))
+        .select(col("url"), col("seq"), col("depth"), col("seg_repeat"),
+          col("n_params"), col("is_trap"))),
+
+    // freshness-driven re-crawl schedule (Cho & Garcia-Molina 2003):
+    // revisit history derived from lineitem (one snapshot per line item,
+    // url keyed like the frontier fixture, signature = integer quantity);
+    // change-rate estimate per url, then top-3 per host by rate
+    "recrawl_schedule" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val snaps = li.select(
+        concat(lit("http://host"), ((col("l_orderkey") % 5000) % 50).cast("string"),
+          lit(".example.com/o/"), (col("l_orderkey") % 5000).cast("string")).as("url"),
+        // l_shipdate reads as TIMESTAMP_NTZ; the session TZ is pinned UTC
+        // so the LTZ cast is the identity wall-clock DuckDB's epoch_us sees
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("day"),
+        col("l_quantity").cast("int").as("sig"),
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"))
+      val rates = operators.Recrawl.changeRates(snaps, tieCols = Seq("okey", "lnum"))
+        .withColumn("host", regexp_extract(col("url"), "^http://([^/]+)", 1))
+      operators.Recrawl.schedule(rates, 3)
+        .select(col("host"), col("url"), col("n_obs"), col("changes"),
+          col("span_days"), col("rate_milli"))
+    }),
+
     // O1-O12 wave loop end-to-end (engine-only → rows-only)
     "crawl_schedule" -> ((s, _) => {
       val v = 150L
@@ -1103,6 +1150,59 @@ object SparkEntry {
                        AS body
               FROM ($enrichedOracle) e) sm) entries
           WHERE length(trim(regexp_extract(entry, '<loc>([^<]*)</loc>', 1))) > 0"""),
+
+    // the trap rules replayed on RE2+list lambdas (no backreferences by
+    // design — see Traps scaladoc); thresholds 5/2/6 mirror the defaults
+    "url_trap_detect" ->
+      s"""WITH urls AS (${trapUrlsCte("orders")})
+          SELECT url, seq, depth, seg_repeat, n_params,
+                 CAST(CASE WHEN depth > 5 OR seg_repeat > 2 OR n_params > 6
+                      THEN 1 ELSE 0 END AS INT) AS is_trap
+          FROM (
+            SELECT url, seq,
+                   CAST(len(segs) AS INT) AS depth,
+                   CAST(coalesce(list_aggregate(list_transform(segs,
+                          x -> len(list_filter(segs, y -> y = x))), 'max'), 0) AS INT) AS seg_repeat,
+                   CAST(CASE WHEN q = '' THEN 0
+                        ELSE len(string_split(q, '&')) END AS INT) AS n_params
+            FROM (
+              SELECT url, seq,
+                     list_filter(string_split(
+                       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
+                       '/'), s -> s <> '') AS segs,
+                     regexp_extract(url, '[?]([^#]*)', 1) AS q
+              FROM urls) a) b""",
+
+    // lag/groupBy replay of the change-rate estimate + per-host top-3;
+    // all-integer arithmetic (epoch days, milli-rate floor division)
+    "recrawl_schedule" ->
+      """WITH snaps AS (
+           SELECT 'http://host' || CAST((l_orderkey % 5000) % 50 AS STRING) ||
+                  '.example.com/o/' || CAST(l_orderkey % 5000 AS STRING) AS url,
+                  epoch_us(l_shipdate) // 86400000000 AS day,
+                  CAST(l_quantity AS INT) AS sig,
+                  l_orderkey AS okey, l_linenumber AS lnum
+           FROM lineitem),
+         flagged AS (
+           SELECT url, day,
+                  CASE WHEN lag(sig) OVER w IS NOT NULL AND lag(sig) OVER w <> sig
+                       THEN 1 ELSE 0 END AS chg
+           FROM snaps WINDOW w AS (PARTITION BY url ORDER BY day, okey, lnum)),
+         rated AS (
+           SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+                  CAST(sum(chg) AS BIGINT) AS changes,
+                  CAST(max(day) - min(day) AS BIGINT) AS span_days
+           FROM flagged GROUP BY url),
+         rates AS (
+           SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+                  url, n_obs, changes, span_days,
+                  CAST(CASE WHEN span_days > 0 THEN (changes * 1000) // span_days
+                       ELSE 0 END AS BIGINT) AS rate_milli
+           FROM rated)
+         SELECT host, url, n_obs, changes, span_days, rate_milli FROM (
+           SELECT *, row_number() OVER (PARTITION BY host
+                        ORDER BY rate_milli DESC, url) AS rn
+           FROM rates) t WHERE rn <= 3""",
 
     "counters_uniq_overwrite" -> oracle(
       s"""SELECT host,
