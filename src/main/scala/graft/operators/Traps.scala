@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
  * Java-regex backreferences) replayable on RE2-family engines, which is
  * what keeps the rule DuckDB-oracle-able.
  */
+/** Trap-rule thresholds, bundled so the gate can ride in job settings
+  * ([[graft.plans.CrawlSettings.trapGuard]]). Defaults mirror
+  * [[Traps.detect]]. */
+case class TrapRules(maxDepth: Int = 5, maxRepeat: Int = 2, maxParams: Int = 6)
+
 object Traps {
 
   /** Path component of `url` ('' when the URL has no path). */
@@ -49,6 +54,23 @@ object Traps {
   /** Non-empty path segments. */
   private def segsOf(url: Column): Column =
     filter(split(pathOf(url), "/"), s => s =!= "")
+
+  /** Single boolean predicate form of the three rules — lets the gate
+    * compose into an existing admission filter as one codegen'd
+    * expression (no withColumn round trip). Canonicalization preserves
+    * path segments and parameter count, so gating the RAW discovered URL
+    * (Heritrix's candidate-URI stage) is equivalent to gating the
+    * canonical form. */
+  def isTrap(u: Column, rules: TrapRules): Column = {
+    val segs = segsOf(u)
+    val q = queryOf(u)
+    val segRepeat = coalesce(
+      array_max(transform(segs, x => size(filter(segs, y => y === x)))),
+      lit(0))
+    val nParams = when(q === "", lit(0)).otherwise(size(split(q, "&")))
+    size(segs) > rules.maxDepth || segRepeat > rules.maxRepeat ||
+      nParams > rules.maxParams
+  }
 
   /**
    * Annotate `df` with the trap metrics and verdict:

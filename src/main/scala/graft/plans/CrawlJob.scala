@@ -81,7 +81,11 @@ case class CrawlSettings(
     inc: Boolean = true, // O9 incremental queue (job.inc, main.yaml:22)
     incPasses: Int = 0, // O9 automated re-crawl passes once the frontier drains
     parsers: Seq[ParserRule] = Seq.empty,
-    bundles: Option[graft.operators.BundleSpec] = None) // F2/F3 labeled bundles
+    bundles: Option[graft.operators.BundleSpec] = None, // F2/F3 labeled bundles
+    // spider-trap admission gate (Traps): applied to seeds and discovered
+    // outlinks BEFORE enrich/dedup, so trap URLs never cost a shuffle or a
+    // seen-set write. None (default) keeps reference-equivalent admission.
+    trapGuard: Option[graft.operators.TrapRules] = None)
 
 case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
     scheduledTotal: Long, seenTotal: Long, deadTotal: Long)
@@ -206,6 +210,14 @@ class CrawlJob(
       offsets.last - start)
   }
 
+  /** Trap admission gate (settings.trapGuard): a pure map-side predicate
+   *  over the raw URL column — same stage as the P1/P2 regex filter, so
+   *  an infinite URL space (calendar loops, faceted-search explosions)
+   *  is cut before it reaches the dedup shuffle or the seen set. */
+  private def trapGate(urlCol: String)(df: DataFrame): DataFrame =
+    settings.trapGuard.fold(df)(r =>
+      df.filter(!graft.operators.Traps.isTrap(col(urlCol), r)))
+
   /** Candidate enrichment: url → (canon, hash, host); robots gate applied
    *  at discovery (disallowed urls never enter frontier or seen set). */
   private def enrich(df: DataFrame): DataFrame = {
@@ -226,6 +238,7 @@ class CrawlJob(
     val raw = seeds.zipWithIndex.toDF("url", "__idx")
       .filter(length(trim(col("url"))) > 0) // P4 blank drop (store.py:249-250)
       .filter(ParserDispatch.accepts(col("url"), parserRules)) // P1/P2
+      .transform(trapGate("url")) // structural trap rules (off by default)
     val entries = enrich(raw)
       .withColumn("priority", Politeness.clampPriority(priorityExpr(col("url_canon")), settings.nPriorities))
       .withColumn("depth", lit(0))
@@ -517,7 +530,9 @@ class CrawlJob(
           col("url_canon").as("parent_canon"), col("seq").as("parent_seq"),
           col("depth").as("parent_depth"),
           posexplode(col("outs")).as(Seq("link_idx", "out_url")))
-        val acceptedLinks = outlinks.filter(ParserDispatch.accepts(col("out_url"), parserRules))
+        val acceptedLinks = outlinks
+          .filter(ParserDispatch.accepts(col("out_url"), parserRules))
+          .transform(trapGate("out_url"))
         // discovery decoration shared by plain outlinks and bundle members
         def decorate(df: DataFrame): DataFrame = df
           .withColumn("priority", Politeness.clampPriority(priorityExpr(col("url_canon")), settings.nPriorities))

@@ -834,6 +834,47 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("trapGuard: trap-shaped outlinks and seeds never enter frontier/seen; clean URLs unaffected") {
+    val root = "http://trap.example.com/p/0"
+    val ok = "http://trap.example.com/p/1"
+    val deep = "http://trap.example.com/a/b/c/d/e/f/g"   // depth 7 > 5
+    val cyc = "http://trap.example.com/a/b/a/b/a"         // 'a' ×3 > 2
+    val boom = "http://trap.example.com/p/2?a=1&b=2&c=3&d=4&e=5&f=6&g=7" // 7 params > 6
+    val seedTrap = "http://trap.example.com/s/s/s/s"      // trap seed: 's' ×4
+    def page(u: String, links: Seq[String]): graft.sources.Page = {
+      val html = "<html><head><title>t</title></head><body>" +
+        links.map(l => s"""<a href="$l">x</a>""").mkString(" ") +
+        "<p>Some body text for the extractor.</p></body></html>"
+      graft.sources.Page(u, new java.sql.Timestamp(0L), html.getBytes("UTF-8"), "", "en")
+    }
+    val s0 = spark
+    import s0.implicits._
+    val trapPages = Seq(
+      page(root, Seq(ok, deep, cyc, boom)),
+      page(ok, Nil), page(deep, Nil), page(cyc, Nil), page(boom, Nil),
+      page(seedTrap, Nil)).toDS.toDF
+    val settings = base.copy(size = 50, hostBudget = 10, waveCap = 50,
+      maxWaves = 4, numBuckets = 4,
+      urlPattern = "^http://trap\\.example\\.com/.*$")
+    val seeds = Seq(root, seedTrap)
+    def seenOf(trapGuard: Option[graft.operators.TrapRules]): Set[String] = {
+      val job = new CrawlJob(spark, trapPages, settings.copy(trapGuard = trapGuard), tmpDir("trap"))
+      job.run(seeds)
+      job.seenTable.select("url_canon").collect().map(_.getString(0)).toSet
+    }
+    val unguarded = seenOf(None)
+    // without the guard every link and seed is admitted (sanity baseline)
+    assert(Set(root, ok, deep, cyc, seedTrap).subsetOf(unguarded))
+    val guarded = seenOf(Some(graft.operators.TrapRules()))
+    assert(guarded.contains(root) && guarded.contains(ok),
+      "guard must not drop clean URLs")
+    Seq(deep, cyc, seedTrap).foreach(u =>
+      assert(!guarded.contains(u), s"trap URL leaked into the seen set: $u"))
+    // the param-explosion link is keyed by its canonical (sorted-query) form
+    assert(!guarded.exists(_.startsWith("http://trap.example.com/p/2?")),
+      "param-explosion URL leaked into the seen set")
+  }
+
   test("pipeline extraction matches the pages golden text (input_hint invariant)") {
     val settings = base.copy(extract = true, size = 20, waveCap = 20)
     val (job, _) = runEngine(settings, tmpDir("ex"))
