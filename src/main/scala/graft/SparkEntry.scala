@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextStats, UrlCanon}
-import graft.operators.{Corpus, Dedup, Events, LinkGraph, Multimodal, Politeness, Robots, Search, Sessions, Similarity, TextDedup}
+import graft.operators.{Blocklist, Corpus, Dedup, Events, LinkGraph, Multimodal, Politeness, Robots, Search, Sessions, Similarity, TextDedup}
 import graft.plans.{CrawlJob, CrawlSettings}
 import graft.sources.{Fixtures, Warc}
 
@@ -799,6 +799,66 @@ object SparkEntry {
           col("span_days"), col("rate_milli"))
     }),
 
+    // newest-revision-wins collapse (the Common-Crawl revisit shape):
+    // same lineitem-derived snapshot stream as recrawl_schedule; keep
+    // the latest capture per url, version order (day, okey, lnum) —
+    // unique within a url — via the WindowGroupLimit rank-1 filter
+    "url_latest_revision" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val snaps = li.select(
+        concat(lit("http://host"), ((col("l_orderkey") % 5000) % 50).cast("string"),
+          lit(".example.com/o/"), (col("l_orderkey") % 5000).cast("string")).as("url"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("day"),
+        col("l_quantity").cast("int").as("sig"),
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"))
+      Dedup.latestRevision(snaps, "url", Seq("day", "okey", "lnum"))
+    }),
+
+    // deterministic content-keyed train/val/test split (980/10/10 over
+    // 1000 buckets): a pure projection whose verdict survives any
+    // re-sharding or append, unlike positional randomSplit
+    "split_assign" -> ((s, d) =>
+      Corpus.hashSplit(s.read.parquet(s"$d/documents.parquet"),
+          "doc_id", Seq("train" -> 980, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    // domain-blocklist verdict over a depth-varied host dimension:
+    // nation-derived exact-host entries (host0..host24.example.com)
+    // must block the bare host AND its www subdomain; the example.net
+    // suffix entry blocks the 3-label cdn.img hosts; host25..39 pass
+    "host_blocklist" -> ((s, d) => {
+      val hosts = s.sql(
+        s"""SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM (
+              SELECT CASE CAST(o_orderkey % 3 AS INT)
+                       WHEN 0 THEN concat('www.host', CAST(o_orderkey % 40 AS STRING), '.example.com')
+                       WHEN 1 THEN concat('host', CAST(o_orderkey % 40 AS STRING), '.example.com')
+                       ELSE concat('cdn.img.host', CAST(o_orderkey % 40 AS STRING), '.example.net')
+                     END AS host
+              FROM parquet.`$d/orders.parquet`) h
+            GROUP BY host""")
+      val bl = s.read.parquet(s"$d/nation.parquet")
+        .select(concat(lit("host"), col("n_nationkey").cast("string"),
+          lit(".example.com")).as("entry"))
+        .union(s.range(1).select(lit("example.net").as("entry")))
+      Blocklist.verdict(hosts, "host", bl, "entry")
+        .select(col("host"), col("n_urls"), col("is_blocked"))
+    }),
+
+    // OPIC online page importance (Abiteboul et al. 2003) after 5
+    // synchronous waves: integer cash/history with the virtual-root
+    // topup, exactly replayable. The src range (0..119) is a strict
+    // subset of the dst range (0..199), so nodes 120..199 are dangling
+    // — their cash drains to the virtual root and re-deals to everyone,
+    // exercising the conservation path, not just the happy loop
+    "opic_hosts" -> ((s, d) => {
+      val e = s.sql(
+        s"""SELECT DISTINCT o_orderkey % 120 AS src, (o_orderkey * 7) % 200 AS dst
+            FROM parquet.`$d/orders.parquet`
+            WHERE o_orderkey % 120 <> (o_orderkey * 7) % 200""")
+      LinkGraph.opic(e, "src", "dst", iters = 5)
+        .select(col("node").as("host_id"), col("cash"), col("hist"))
+    }),
+
     // O1-O12 wave loop end-to-end (engine-only → rows-only)
     "crawl_schedule" -> ((s, _) => {
       val v = 150L
@@ -867,9 +927,96 @@ object SparkEntry {
         SELECT node AS host_id, rank FROM it$iters"""
   }
 
+  /** DuckDB replay of the integer OPIC update (same chained-CTE pattern
+    * as [[pagerankOracle]]): per iteration an eff CTE applies the
+    * virtual-root topup — the virtual balance recovered by conservation
+    * as mass - sum(cash), exactly the engine's arithmetic — and a state
+    * CTE banks history and re-deals cash along the edges. */
+  private def opicOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""eff$i AS (
+            SELECT node,
+                   cash + ((SELECT mass FROM tot) - (SELECT sum(cash) FROM it${i - 1}))
+                     // (SELECT n FROM tot) AS eff,
+                   hist
+            FROM it${i - 1}),
+          it$i AS (
+            SELECT e.node,
+                   CAST(coalesce(f.inflow, 0) AS BIGINT) AS cash,
+                   CAST(e.hist + e.eff AS BIGINT) AS hist
+            FROM eff$i e LEFT JOIN (
+              SELECT ed.dst AS node, sum(ef.eff // o.deg) AS inflow
+              FROM edges ed
+              JOIN eff$i ef ON ef.node = ed.src
+              JOIN outdeg o ON o.src = ed.src
+              GROUP BY ed.dst) f ON f.node = e.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+          SELECT DISTINCT o_orderkey % 120 AS src, (o_orderkey * 7) % 200 AS dst
+          FROM orders
+          WHERE o_orderkey % 120 <> (o_orderkey * 7) % 200),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        tot AS (SELECT count(*) AS n, count(*) * 1000000 AS mass FROM nodes),
+        it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS cash,
+                       CAST(0 AS BIGINT) AS hist FROM nodes),
+        $steps
+        SELECT node AS host_id, cash, hist FROM it$iters"""
+  }
+
   /** DuckDB-equivalent SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "pagerank_hosts" -> pagerankOracle(5),
+    "opic_hosts" -> opicOracle(5),
+
+    // newest-capture-per-url replay: the engine's WindowGroupLimit
+    // rank-1 is a plain row_number window at oracle scale
+    "url_latest_revision" ->
+      """WITH snaps AS (
+           SELECT 'http://host' || CAST((l_orderkey % 5000) % 50 AS STRING) ||
+                  '.example.com/o/' || CAST(l_orderkey % 5000 AS STRING) AS url,
+                  epoch_us(l_shipdate) // 86400000000 AS day,
+                  CAST(l_quantity AS INT) AS sig,
+                  l_orderkey AS okey, l_linenumber AS lnum
+           FROM lineitem)
+         SELECT url, day, sig, okey, lnum FROM (
+           SELECT *, row_number() OVER (PARTITION BY url
+                       ORDER BY day DESC, okey DESC, lnum DESC) AS rn
+           FROM snaps) t WHERE rn = 1""",
+
+    // identical md5-keyed bucket arithmetic: 60-bit hex prefix as an
+    // integer ('0x' cast ≙ Spark conv(_,16,10)), mod 1000, range CASE
+    "split_assign" ->
+      """SELECT doc_id, bucket,
+                CASE WHEN bucket < 980 THEN 'train'
+                     WHEN bucket < 990 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15))
+                   AS BIGINT) % 1000 AS bucket
+               FROM documents) t""",
+
+    // label-bounded suffix matching replayed with list_slice over the
+    // dot-split host, joined to the nation-derived + literal entries
+    "host_blocklist" ->
+      """WITH hostsq AS (
+           SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM (
+             SELECT CASE CAST(o_orderkey % 3 AS INT)
+                      WHEN 0 THEN concat('www.host', CAST(o_orderkey % 40 AS STRING), '.example.com')
+                      WHEN 1 THEN concat('host', CAST(o_orderkey % 40 AS STRING), '.example.com')
+                      ELSE concat('cdn.img.host', CAST(o_orderkey % 40 AS STRING), '.example.net')
+                    END AS host
+             FROM orders) h GROUP BY host),
+         bl AS (SELECT concat('host', CAST(n_nationkey AS STRING), '.example.com') AS entry
+                FROM nation
+                UNION ALL SELECT 'example.net'),
+         sfx AS (SELECT host,
+                        array_to_string(list_slice(parts, CAST(u.i AS INT), len(parts)), '.') AS s
+                 FROM (SELECT host, string_split(host, '.') AS parts FROM hostsq) p,
+                      unnest(generate_series(1, len(parts))) AS u(i)),
+         blocked AS (SELECT DISTINCT s2.host FROM sfx s2 JOIN bl ON s2.s = bl.entry)
+         SELECT h.host, h.n_urls, (b.host IS NOT NULL) AS is_blocked
+         FROM hostsq h LEFT JOIN blocked b ON b.host = h.host""",
 
     // replays the synthetic link feed + LinkGraph.anchorSummary: ws
     // normalization, per-dst link/host/anchor counts, top-1 anchor by

@@ -237,7 +237,7 @@ object Corpus {
   def lmScore(docs: DataFrame, model: DataFrame, textCol: String,
       idCol: String, threshold: Long = 200000L, oovMilli: Long = 1000000L): DataFrame = {
     // coalesce: an empty model has a null sum — every token is then OOV
-    val n = model.agg(coalesce(sum(col("cnt")), lit(0L)).cast(LongType)).head.getLong(0)
+    val n = model.agg(coalesce(sum(col("cnt")), lit(0L)).cast(LongType)).head().getLong(0)
     val m = 1000L * n // fits a long below ~9·10^15 total model mass
     val toks = docs.select(col(idCol).as("__id"),
       explode(wordTokens(col(textCol))).as("token"))
@@ -409,4 +409,50 @@ object Corpus {
       contaminationHits(docs, bench, textCol, idCol, n)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Deterministic train/validation/test assignment by keyed hash — the
+   *  split every training pipeline needs and `randomSplit` cannot give at
+   *  scale: `randomSplit` is positional (a repartition, an appended file,
+   *  or a different partition count silently reassigns rows across
+   *  splits, leaking eval data into train), while a content-keyed hash is
+   *  a pure per-row projection whose verdict is stable under ANY
+   *  re-sharding, re-run, append, or engine. bucket =
+   *  md5(key ':' salt) taken as a 60-bit integer mod `buckets`; splits
+   *  claim contiguous bucket ranges in order. The same md5-keyed-order
+   *  trick as [[sampleStratified]] / [[mixSources]], so DuckDB replays it
+   *  exactly.
+   *
+   *  `splits` are (name, weight-in-buckets) and must sum to `buckets` —
+   *  a partial cover would silently drop rows from every split, the one
+   *  mistake a split assigner must not allow. A null key gets a null
+   *  bucket and split (unknown identity cannot be placed stably);
+   *  callers wanting a fallback coalesce the key first.
+   *
+   *  Scale (10^10 docs): shuffle-free — one codegen'd projection, no
+   *  exchange, no state; changing `salt` re-deals every bucket for a
+   *  fresh split without touching the data layout. */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+      buckets: Int = 1000, salt: String = ""): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(splits.nonEmpty, "at least one split required")
+    splits.foreach { case (n, w) =>
+      require(w > 0, s"split '$n' must claim at least one bucket: $w") }
+    require(splits.map(_._2).sum == buckets,
+      s"split weights ${splits.map(_._2).sum} must sum to buckets=$buckets " +
+        "(a partial cover silently drops rows)")
+    val bucket = (conv(substring(
+        md5(concat(col(keyCol).cast("string"), lit(":" + salt))), 1, 15),
+      16, 10).cast("long") % buckets).as("bucket")
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    // ranges are cumulative, so a chained when(bucket < upper) assigns
+    // the first (lowest-bound) claiming split; a null bucket falls
+    // through every branch to the null default
+    val split = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), upper), acc) =>
+        when(col("bucket") < upper, lit(name)).otherwise(acc)
+    }
+    // two selects so `split` can reference the bucket column by name;
+    // CollapseProject folds them into one codegen'd projection
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
 }

@@ -216,4 +216,33 @@ object Dedup {
     }
     fresh.unionByName(forced)
   }
+
+  /** Newest-revision-wins collapse: keep exactly one row per key — the
+   *  one greatest under `versionCols` (compared left to right,
+   *  descending). The Common-Crawl revisit shape: a URL re-fetched
+   *  across monthly dumps appears once per capture, and the corpus wants
+   *  only the latest snapshot (complement of [[firstSeenInBatch]], which
+   *  keeps the FIRST discovery of a frontier candidate).
+   *
+   *  CALLER CONTRACT: `versionCols` must totally order rows within a key
+   *  (append a unique tiebreaker like a record id after the timestamp) —
+   *  on a tie, which duplicate survives would depend on partitioning.
+   *
+   *  Scale (10^10 captures, hot URLs re-fetched 10^3×): the rank-1
+   *  row_number filter compiles to WindowGroupLimit — each map task
+   *  pre-selects its own top-1 per key BEFORE the exchange, so the
+   *  shuffle carries at most one row per (key, input-partition) and a
+   *  hot URL's thousand captures collapse map-side. Unlike a max_by
+   *  aggregate, arbitrary payload columns (strings, structs, binary
+   *  html) ride along without demoting anything to SortAggregate. */
+  def latestRevision(df: DataFrame, keyCol: String,
+      versionCols: Seq[String]): DataFrame = {
+    require(versionCols.nonEmpty, "versionCols must order revisions")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
 }

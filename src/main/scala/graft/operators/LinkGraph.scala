@@ -137,6 +137,76 @@ object LinkGraph {
         coalesce(col("top_anchor_n"), lit(0L)).as("top_anchor_n"))
   }
 
+  /** OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+   *  Preda & Cobena, WWW 2003), the importance measure DESIGNED for
+   *  crawl scheduling: unlike PageRank it needs no converged global
+   *  solve — every node carries `cash` (importance-in-flight) and
+   *  `hist` (importance accrued), a visited node banks its cash into
+   *  history and deals it equally to its outlinks, and the running
+   *  `hist` ranking is usable after ANY number of rounds. This is the
+   *  synchronous (whole-frontier-per-wave) reading, which matches the
+   *  engine's wave loop; the paper's per-page asynchronous variant
+   *  converges to the same fixpoint.
+   *
+   *  Virtual root: dangling cash and floor-division remainders belong
+   *  to the paper's virtual page, which redistributes equally to every
+   *  node at the next round (`topup = virtual div n`). The virtual
+   *  balance is recovered by CONSERVATION — total cash in the system is
+   *  invariant at `n * scale` — so each round needs exactly one 1-row
+   *  driver action (the circulating-cash sum), never per-row remainder
+   *  tracking. All arithmetic is integer floor division: exactly
+   *  replayable in any engine, no IEEE drift, no tolerance.
+   *
+   *  Scale (10^8-host graph): same shape as [[pageRank]] — the
+   *  edges⋈outdeg frame is iteration-constant and materialized once,
+   *  inflow partial-aggregates map-side before its one exchange, and
+   *  the per-round localCheckpoint keeps lineage O(1). `n * scale` and
+   *  `iters * n * scale` must fit a long (guarded). */
+  def opic(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0, s"iterations must be non-negative: $iters")
+    require(scale > 0, s"scale must be positive: $scale")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val n = nodes.count() // one bounded driver scalar (the node count)
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("cash"), lit(0L).as("hist"))
+    require(n <= Long.MaxValue / scale / (iters.max(1)),
+      s"n*scale*iters overflows long: n=$n scale=$scale iters=$iters")
+    val mass = n * scale
+    var ranks = nodes
+      .select(col("node"), lit(scale).as("cash"), lit(0L).as("hist"))
+      .localCheckpoint(true)
+    var virtualCash = 0L
+    var i = 0
+    while (i < iters) {
+      val topup = virtualCash / n
+      val eff = ranks.select(col("node"),
+        (col("cash") + topup).as("eff"),
+        (col("hist") + col("cash") + topup).as("hist"))
+      val inflow = edgesDeg
+        .join(eff.select(col("node").as("src"), col("eff")), "src")
+        .select(col("dst").as("node"), expr("eff div deg").as("share"))
+        .groupBy("node").agg(sum("share").as("inflow"))
+      val next = eff.join(inflow, Seq("node"), "left")
+        .select(col("node"), coalesce(col("inflow"), lit(0L)).as("cash"),
+          col("hist"))
+      // eager checkpoint per round: O(1) lineage (the pageRank lesson)
+      ranks = next.localCheckpoint(true)
+      // conservation recovers the virtual balance: one 1-row action
+      val circulating = ranks.agg(coalesce(sum("cash"), lit(0L)))
+        .head().getLong(0)
+      virtualCash = mass - circulating
+      i += 1
+    }
+    ranks
+  }
+
   /** Rank-prioritized frontier: joins each frontier row's host id to its
    *  PageRank and exposes `host_rank` (missing hosts rank 0) for the
    *  scheduling stage to order by. Broadcast is left to AQE — a host

@@ -147,6 +147,73 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  /** Exact sequential replay of the integer OPIC update with the
+    * conservation-recovered virtual root. */
+  private def bruteOpic(es: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val outdeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val n = nodes.size.toLong
+    val mass = n * scale
+    var cash = nodes.map(_ -> scale).toMap
+    var hist = nodes.map(_ -> 0L).toMap
+    var virtual = 0L
+    (0 until iters).foreach { _ =>
+      val topup = virtual / n
+      val eff = nodes.map(x => x -> (cash(x) + topup)).toMap
+      hist = nodes.map(x => x -> (hist(x) + eff(x))).toMap
+      val inflow = es.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => eff(s) / outdeg(s) }.sum
+      }
+      cash = nodes.map(x => x -> inflow.getOrElse(x, 0L)).toMap
+      virtual = mass - cash.values.sum
+    }
+    nodes.map(x => x -> ((cash(x), hist(x)))).toMap
+  }
+
+  private def opicMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("opic: hand-computed 2-node chain — the sink accrues history via the virtual root") {
+    // 1→2; node 2 dangles, its cash drains to the virtual root and
+    // re-deals to both nodes next round (computed by hand, scale 100):
+    // r1: cash (0,100) hist (100,100); r2: cash (0,50) hist (150,250);
+    // r3: cash (0,75) hist (225,375)
+    val out = opicMap(LinkGraph.opic(edgesDF(Seq((1L, 2L))), "src", "dst",
+      iters = 3, scale = 100L))
+    assert(out === Map(1L -> ((0L, 225L)), 2L -> ((75L, 375L))))
+  }
+
+  test("opic: zero iterations returns initial cash, zero history") {
+    val out = opicMap(LinkGraph.opic(edgesDF(Seq((1L, 2L), (7L, 9L))),
+      "src", "dst", iters = 0))
+    assert(out === Map(1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L)),
+      7L -> ((1000000L, 0L)), 9L -> ((1000000L, 0L))))
+  }
+
+  test("opic ≡ sequential brute replay on a mixed graph (cycles + dangling + hub)") {
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (2L, 4L), (5L, 4L),
+      (5L, 1L), (6L, 6L), (6L, 2L))
+    (1 to 4).foreach { k =>
+      val got = opicMap(LinkGraph.opic(edgesDF(es), "src", "dst", iters = k,
+        scale = 1000L))
+      assert(got === bruteOpic(es, k, 1000L), s"diverged at iters=$k")
+    }
+  }
+
+  test("opic conserves total importance: sum(cash) + virtual == n*scale every round") {
+    val es = Seq((1L, 2L), (2L, 3L), (4L, 2L))
+    val out = opicMap(LinkGraph.opic(edgesDF(es), "src", "dst", iters = 5,
+      scale = 1000L))
+    val mass = 4L * 1000L
+    val circulating = out.values.map(_._1).sum
+    assert(circulating >= 0L && circulating <= mass)
+    // history grows by at most mass per round (equality iff the virtual
+    // remainder is zero), and is positive once anything circulates
+    val totalHist = out.values.map(_._2).sum
+    assert(totalHist > 0L && totalHist <= 5L * mass)
+  }
+
   test("withHostRank: frontier rows pick up their host's rank, missing hosts rank 0") {
     val s = spark
     import s.implicits._
