@@ -859,6 +859,45 @@ object SparkEntry {
         .select(col("node").as("host_id"), col("cash"), col("hist"))
     }),
 
+    // redirect-chain resolution by pointer doubling (5 rounds cover the
+    // 32-hop horizon): id-decade chains 0→1→…→7 (7 terminal, so hops
+    // run 7 down to 1) plus the planted 8⇄9 two-cycle per decade; the
+    // cycle keeps every round live, so the engine's early-stop replays
+    // the oracle's full unroll exactly
+    "redirect_resolve" -> ((s, d) => {
+      val e = s.sql(
+        s"""SELECT DISTINCT concat('http://r.example.com/u/', CAST(k AS STRING)) AS src,
+                   concat('http://r.example.com/u/',
+                          CAST(CASE WHEN k % 10 = 9 THEN k - 1 ELSE k + 1 END AS STRING)) AS dst
+            FROM (SELECT o_orderkey % 5000 AS k FROM parquet.`$d/orders.parquet`) t
+            WHERE k % 10 <> 7""")
+      operators.Redirects.resolve(e, "src", "dst", maxHops = 32)
+    }),
+
+    // page-level REP directives (meta robots + rel=canonical): six html
+    // shapes — name-first / content-first / uppercase / single-quoted /
+    // root-relative / protocol-relative / the token-boundary trap
+    // ('noindexing' must NOT read as noindex) — parsed by the codegen
+    // regexp columns, canonical resolved against the page's own origin
+    "page_directives" -> ((s, d) => {
+      val e = enriched(s, d)
+      val canonAbs = concat(lit("http://t"), (col("seq") % 40).cast("string"),
+        lit(".example.com/c/"), (col("seq") % 200).cast("string"))
+      val html = when(col("seq") % 6 === 0, concat(
+          lit("<head><meta name=\"robots\" content=\"noindex, nofollow\">" +
+            "<link rel=\"canonical\" href=\""), canonAbs, lit("\"></head>")))
+        .when(col("seq") % 6 === 1, lit("<META CONTENT=\"NOFOLLOW\" NAME=\"robots\">"))
+        .when(col("seq") % 6 === 2, concat(lit("<link href='/c/"),
+          (col("seq") % 200).cast("string"), lit("' rel='canonical'>")))
+        .when(col("seq") % 6 === 3, lit("<meta name=\"robots\" content=\"noindexing,all\">"))
+        .when(col("seq") % 6 === 4, lit("<p>plain</p>"))
+        .otherwise(lit("<link rel=\"canonical\" href=\"//cdn.example.com/x\">"))
+      e.select(col("seq"),
+        Robots.metaRobotsHas(html, "noindex").as("noindex"),
+        Robots.metaRobotsHas(html, "nofollow").as("nofollow"),
+        Robots.canonicalUrl(html, col("url_canon")).as("canonical"))
+    }),
+
     // O1-O12 wave loop end-to-end (engine-only → rows-only)
     "crawl_schedule" -> ((s, _) => {
       val v = 150L
@@ -964,10 +1003,81 @@ object SparkEntry {
         SELECT node AS host_id, cash, hist FROM it$iters"""
   }
 
+  /** DuckDB replay of the pointer-doubling redirect resolution: each CTE
+    * self-joins the previous mapping (2^k hops after k rounds), then the
+    * final projection flags still-jumpable pointers as cycles. */
+  private def redirectOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""s$i AS (
+            SELECT a.src, coalesce(b.target, a.target) AS target,
+                   a.hops + coalesce(b.hops, 0) AS hops
+            FROM s${i - 1} a LEFT JOIN s${i - 1} b ON b.src = a.target)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+          SELECT DISTINCT concat('http://r.example.com/u/', CAST(k AS STRING)) AS src,
+                 concat('http://r.example.com/u/',
+                        CAST(CASE WHEN k % 10 = 9 THEN k - 1 ELSE k + 1 END AS STRING)) AS dst
+          FROM (SELECT o_orderkey % 5000 AS k FROM orders) t
+          WHERE k % 10 <> 7),
+        s0 AS (SELECT src, dst AS target, CAST(1 AS BIGINT) AS hops FROM edges),
+        $steps
+        SELECT a.src, a.target, CAST(a.hops AS BIGINT) AS hops,
+               (b.src IS NOT NULL) AS is_cycle
+        FROM s$rounds a LEFT JOIN (SELECT DISTINCT src FROM edges) b
+          ON b.src = a.target"""
+  }
+
   /** DuckDB-equivalent SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "pagerank_hosts" -> pagerankOracle(5),
     "opic_hosts" -> opicOracle(5),
+    "redirect_resolve" -> redirectOracle(5),
+
+    // replays the directive regexps (RE2-safe: no backreferences) +
+    // token-bounded comma-list check + origin-resolved canonical; note
+    // DuckDB regexp_replace needs the explicit 'g' flag Spark implies
+    "page_directives" ->
+      s"""WITH urls AS (${urlsCte("orders")}),
+          e AS ($enrichedOracle),
+          pages AS (
+            SELECT seq, url_canon,
+              CASE CAST(seq % 6 AS INT)
+                WHEN 0 THEN '<head><meta name="robots" content="noindex, nofollow">' ||
+                            '<link rel="canonical" href="http://t' || CAST(seq % 40 AS STRING) ||
+                            '.example.com/c/' || CAST(seq % 200 AS STRING) || '"></head>'
+                WHEN 1 THEN '<META CONTENT="NOFOLLOW" NAME="robots">'
+                WHEN 2 THEN '<link href=''/c/' || CAST(seq % 200 AS STRING) || ''' rel=''canonical''>'
+                WHEN 3 THEN '<meta name="robots" content="noindexing,all">'
+                WHEN 4 THEN '<p>plain</p>'
+                ELSE '<link rel="canonical" href="//cdn.example.com/x">'
+              END AS html
+            FROM e),
+          m AS (
+            SELECT seq, url_canon,
+              CASE WHEN regexp_extract(lower(html),
+                     '(?s)<meta[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1) <> ''
+                   THEN regexp_extract(lower(html),
+                     '(?s)<meta[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1)
+                   ELSE regexp_extract(lower(html),
+                     '(?s)<meta[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*name\\s*=\\s*["'']robots["'']', 1)
+              END AS mc,
+              trim(CASE WHEN regexp_extract(lower(html),
+                     '(?s)<link[^>]*rel\\s*=\\s*["'']canonical["''][^>]*href\\s*=\\s*["'']([^"'']*)', 1) <> ''
+                   THEN regexp_extract(lower(html),
+                     '(?s)<link[^>]*rel\\s*=\\s*["'']canonical["''][^>]*href\\s*=\\s*["'']([^"'']*)', 1)
+                   ELSE regexp_extract(lower(html),
+                     '(?s)<link[^>]*href\\s*=\\s*["'']([^"'']*)["''][^>]*rel\\s*=\\s*["'']canonical["'']', 1)
+              END) AS href
+            FROM pages)
+          SELECT seq,
+            position(',noindex,' IN ',' || regexp_replace(mc, '\\s+', '', 'g') || ',') > 0 AS noindex,
+            position(',nofollow,' IN ',' || regexp_replace(mc, '\\s+', '', 'g') || ',') > 0 AS nofollow,
+            CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                 WHEN href LIKE '//%' THEN NULL
+                 WHEN href LIKE '/%' AND regexp_extract(url_canon, '^(https?://[^/?#]+)', 1) <> ''
+                   THEN regexp_extract(url_canon, '^(https?://[^/?#]+)', 1) || href
+                 ELSE NULL END AS canonical
+          FROM m""",
 
     // newest-capture-per-url replay: the engine's WindowGroupLimit
     // rank-1 is a plain row_number window at oracle scale

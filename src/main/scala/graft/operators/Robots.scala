@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -153,4 +153,71 @@ object Robots {
         !exists(col("__prefixes"), p => col("__path").startsWith(p)))
       .drop("__prefixes", "__path")
   }
+
+  // ---- page-level directives (REP's in-document half) ----
+  //
+  // robots.txt governs FETCHING; <meta name="robots"> and rel=canonical
+  // govern what a crawler may KEEP and how it keys the page. Production
+  // pipelines honor noindex (drop from the corpus), nofollow (drop the
+  // page's outlinks), and canonical (re-key onto the site-declared URL —
+  // the CC-News/sitemap dedup trick). All three are codegen'd
+  // regexp/string Columns — no UDF, per-row map-side, replayable in any
+  // RE2-compatible engine (no backreferences, no lookaround). The regex
+  // surface targets well-formed directives (both attribute orders, either
+  // quote style, any casing); pathological soup falls back to the full
+  // Html parser pipeline, which treats an unreadable directive as absent
+  // — the same fail-open reading a fetch-side crawler applies.
+
+  private def tokenIn(listCol: Column, token: String): Column =
+    concat(lit(","), regexp_replace(listCol, "\\s+", ""), lit(","))
+      .contains("," + token + ",")
+
+  private def metaRobotsContent(htmlCol: Column): Column = {
+    val h = lower(htmlCol)
+    // attribute order varies in the wild: name-first and content-first
+    val nameFirst = regexp_extract(h,
+      """(?s)<meta[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*["']([^"']*)""", 1)
+    val contentFirst = regexp_extract(h,
+      """(?s)<meta[^>]*content\s*=\s*["']([^"']*)["'][^>]*name\s*=\s*["']robots["']""", 1)
+    when(nameFirst =!= "", nameFirst).otherwise(contentFirst)
+  }
+
+  /** True when the page's robots meta declares the token (`noindex`,
+   *  `nofollow`, `noarchive`, ...) — token-bounded on the comma list, so
+   *  `noindexing` never matches `noindex`. Absent/unparseable meta →
+   *  false (fail-open, like a fetcher). */
+  def metaRobotsHas(htmlCol: Column, token: String): Column =
+    tokenIn(metaRobotsContent(htmlCol), token.toLowerCase)
+
+  /** The page's declared canonical URL, resolved against its own URL:
+   *  absolute hrefs pass through, root-relative (`/p/1`) resolve on the
+   *  page's scheme+host, anything else (protocol-relative, dot-relative,
+   *  absent) is null — full RFC 3986 resolution is UrlCanon.absolutize,
+   *  an engine-side step; this Column is the SQL-replayable core. */
+  def canonicalUrl(htmlCol: Column, urlCol: Column): Column = {
+    val h = lower(htmlCol)
+    val relFirst = regexp_extract(h,
+      """(?s)<link[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)""", 1)
+    val hrefFirst = regexp_extract(h,
+      """(?s)<link[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']""", 1)
+    val href = trim(when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+    val origin = regexp_extract(urlCol, "^(https?://[^/?#]+)", 1)
+    when(href.startsWith("http://") || href.startsWith("https://"), href)
+      .when(href.startsWith("//"), lit(null).cast("string"))
+      .when(href.startsWith("/") && origin =!= "", concat(origin, href))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Page-keep gate + canonical re-keying in one pass: drops noindex
+   *  pages, re-keys the survivors onto their canonical URL (null
+   *  canonical → own URL), and exposes `nofollow` for the outlink stage
+   *  to honor. Pure projection + filter — composes into the extraction
+   *  stage at 10^10 pages with no shuffle. */
+  def applyPageDirectives(pages: DataFrame, htmlCol: String,
+      urlCol: String): DataFrame =
+    pages
+      .filter(!metaRobotsHas(col(htmlCol), "noindex"))
+      .withColumn("corpus_url",
+        coalesce(canonicalUrl(col(htmlCol), col(urlCol)), col(urlCol)))
+      .withColumn("nofollow", metaRobotsHas(col(htmlCol), "nofollow"))
 }

@@ -194,6 +194,60 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over(("g1", "a")) == 2L) // last write by ord
   }
 
+  // ---- page-level directives (meta robots + rel=canonical) ----
+
+  private def directiveRows(htmls: Seq[(String, String)]) = {
+    val s = spark
+    import s.implicits._
+    htmls.toDF("url", "html")
+  }
+
+  test("metaRobotsHas: both attribute orders, any casing, token-bounded") {
+    val df = directiveRows(Seq(
+      ("u1", """<meta name="robots" content="noindex, nofollow">"""),
+      ("u2", """<META CONTENT="NOFOLLOW" NAME="robots">"""),
+      ("u3", """<meta name='robots' content='noindexing,all'>"""),
+      ("u4", "<p>no meta</p>")))
+    val out = df.select(col("url"),
+      Robots.metaRobotsHas(col("html"), "noindex").as("ni"),
+      Robots.metaRobotsHas(col("html"), "nofollow").as("nf"))
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out("u1") === ((true, true)))
+    assert(out("u2") === ((false, true)))
+    // 'noindexing' must not read as noindex — token boundary
+    assert(out("u3") === ((false, false)))
+    assert(out("u4") === ((false, false)))
+  }
+
+  test("canonicalUrl: absolute passes, root-relative resolves, protocol-relative/absent null") {
+    val df = directiveRows(Seq(
+      ("http://a.com/p", """<link rel="canonical" href="http://b.com/x">"""),
+      ("http://a.com/p", """<link href='/c/1' rel='canonical'>"""),
+      ("http://a.com/p", """<link rel="canonical" href="//cdn.com/x">"""),
+      ("http://a.com/p", "<p>none</p>")))
+    val out = df.select(Robots.canonicalUrl(col("html"), col("url")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out === Seq(Some("http://b.com/x"), Some("http://a.com/c/1"), None, None))
+  }
+
+  test("applyPageDirectives drops noindex, re-keys canonical, flags nofollow — shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("http://a.com/1", """<meta name="robots" content="noindex">""", "gone"),
+      ("http://a.com/2", """<link rel="canonical" href="http://a.com/2c"><meta name="robots" content="nofollow">""", "rekeyed"),
+      ("http://a.com/3", "<p>plain</p>", "kept"))
+      .toDF("url", "html", "tag")
+    val out = Robots.applyPageDirectives(pages, "html", "url")
+    val rows = out.select("tag", "corpus_url", "nofollow").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(!rows.contains("gone"))
+    assert(rows("rekeyed") === (("http://a.com/2c", true)))
+    assert(rows("kept") === (("http://a.com/3", false)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
+  }
+
   test("CounterAccumulator merges executor partials") {
     val acc = new CounterAccumulator()
     spark.sparkContext.register(acc, "spec_counters")
