@@ -235,6 +235,35 @@ object SparkEntry {
         .select(col("url_canon"), col("host"), col("seq"))
     }),
 
+    // RFC 9309 longest-match admission (the modern REP reading the
+    // legacy any-prefix gate cannot express): host0 = Allow carves the
+    // /o/1 subtree out of a Disallow /o/; host3 = exact Allow/Disallow
+    // tie (Allow wins) over a Disallow-everything floor; host7 = allow
+    // floor with one disallowed subtree; other hosts rule-free
+    "robots_filter_rfc" -> ((s, d) => {
+      val rules = Robots.rfcRulesFromTxt(s, Seq(
+        "host0.example.com" -> "User-agent: *\nDisallow: /o/\nAllow: /o/1",
+        "host3.example.com" -> "User-agent: *\nDisallow: /o/3\nAllow: /o/3\nDisallow: /",
+        "host7.example.com" -> "User-agent: *\nAllow: /\nDisallow: /o/7"))
+      Robots.filterAllowedRfc(enriched(s, d), rules)
+        .select(col("url_canon"), col("host"), col("seq"))
+    }),
+
+    // sitemap INDEX ingestion (the nesting level above sitemap_parse):
+    // two <sitemap> entries — one with lastmod, one whitespace-padded
+    // loc-only — plus a loc-less entry that must drop
+    "sitemap_index_parse" -> ((s, d) => {
+      val sm = enriched(s, d).select(col("host"), col("seq"),
+        concat(
+          lit("<sitemapindex><sitemap><loc>"), col("url_canon"),
+          lit("/s1.xml</loc><lastmod>2023-0"), expr("cast(1 + seq % 9 as string)"),
+          lit("-01</lastmod></sitemap><sitemap>\n <loc> "), col("url_canon"),
+          lit("/s2.xml </loc>\n</sitemap><sitemap><lastmod>2020-01-01</lastmod></sitemap></sitemapindex>"))
+          .as("body"))
+      Robots.parseSitemapIndexXml(sm, "body")
+        .select(col("host"), col("seq"), col("loc"), col("lastmod"))
+    }),
+
     // robots.txt crawl-delay → per-host politeness caps (O6 variable
     // form): a 60s wave window grants floor(60/delay) fetches clamped to
     // [1, 8]; hosts without a *-group delay get the default quota of 3.
@@ -1387,6 +1416,37 @@ object SparkEntry {
                         WHEN 'host5.example.com' THEN 8
                         WHEN 'host6.example.com' THEN 1
                         ELSE 3 END"""),
+
+    // RFC verdicts replayed as per-host path conditions (paths here are
+    // always /o/<k>, so prefix matches collapse to LIKE on url_canon):
+    // host0 keeps only the /o/1 allow-carve-out, host3's tie resolves
+    // allow so only /o/3* survives its Disallow-/ floor, host7 drops
+    // exactly the /o/7 subtree, every other host is rule-free
+    "robots_filter_rfc" -> oracle(
+      s"""SELECT url_canon, host, seq FROM ($enrichedOracle) e
+          WHERE CASE host
+            WHEN 'host0.example.com' THEN url_canon LIKE 'http://host0.example.com/o/1%'
+            WHEN 'host3.example.com' THEN url_canon LIKE 'http://host3.example.com/o/3%'
+            WHEN 'host7.example.com' THEN url_canon NOT LIKE 'http://host7.example.com/o/7%'
+            ELSE TRUE END"""),
+
+    "sitemap_index_parse" -> oracle(
+      s"""SELECT host, seq,
+                 trim(regexp_extract(entry, '<loc>([^<]*)</loc>', 1)) AS loc,
+                 nullif(coalesce(regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1), ''), '') AS lastmod
+          FROM (
+            SELECT host, seq,
+                   unnest(regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS entry
+            FROM (
+              SELECT host, seq,
+                     '<sitemapindex><sitemap><loc>' || url_canon ||
+                     '/s1.xml</loc><lastmod>2023-0' || CAST(1 + seq % 9 AS STRING) ||
+                     '-01</lastmod></sitemap><sitemap>' || chr(10) || ' <loc> ' || url_canon ||
+                     '/s2.xml </loc>' || chr(10) ||
+                     '</sitemap><sitemap><lastmod>2020-01-01</lastmod></sitemap></sitemapindex>'
+                       AS body
+              FROM ($enrichedOracle) e) sm) entries
+          WHERE length(trim(regexp_extract(entry, '<loc>([^<]*)</loc>', 1))) > 0"""),
 
     "sitemap_parse" -> oracle(
       s"""SELECT host, seq,

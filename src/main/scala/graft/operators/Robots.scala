@@ -23,19 +23,22 @@ object Robots {
   final case class Policy(
       disallows: Seq[String],
       crawlDelaySecs: Option[Double],
-      sitemaps: Seq[String])
+      sitemaps: Seq[String],
+      allows: Seq[String] = Nil)
 
   /** Parse a robots.txt body for the `*` agent. Standard semantics:
-   *  group by consecutive User-agent lines, collect Disallow /
+   *  group by consecutive User-agent lines, collect Disallow / Allow /
    *  Crawl-delay of groups containing `*`; empty Disallow means
-   *  allow-all; comments (#) stripped; `Allow` lines ignored
-   *  (prefix-disallow model only); non-numeric or non-positive
-   *  crawl-delays ignored. */
+   *  allow-all; comments (#) stripped; non-numeric or non-positive
+   *  crawl-delays ignored. `disallows` alone drives the legacy
+   *  prefix-disallow gate ([[filterAllowed]]); `allows` joins in only
+   *  under the RFC 9309 longest-match gate ([[filterAllowedRfc]]). */
   def parsePolicy(content: String): Policy = {
     if (content == null) return Policy(Nil, None, Nil)
     var groupAgents = Set.empty[String]
     var inHeader = false // reading the consecutive User-agent lines of a group
     val out = Seq.newBuilder[String]
+    val allows = Seq.newBuilder[String]
     val maps = Seq.newBuilder[String]
     var delay: Option[Double] = None
     content.linesIterator.foreach { raw =>
@@ -58,16 +61,19 @@ object Robots {
                 value.toDoubleOption.filter(d => d > 0 && !d.isInfinite).foreach { d =>
                   delay = Some(delay.fold(d)(math.min(_, d)))
                 }
+            case "allow" =>
+              inHeader = false
+              if (groupAgents.contains("*") && value.nonEmpty) allows += value
             case "sitemap" =>
               inHeader = false
               if (value.nonEmpty) maps += value
-            case _ => // allow / unknown end the header
+            case _ => // unknown keys end the header
               inHeader = false
           }
         }
       }
     }
-    Policy(out.result(), delay, maps.result())
+    Policy(out.result(), delay, maps.result(), allows.result())
   }
 
   /** `*`-group disallowed path prefixes (see [[parsePolicy]]). */
@@ -88,6 +94,17 @@ object Robots {
     robots.flatMap { case (host, txt) =>
       parsePolicy(txt).crawlDelaySecs.map(d => (host, d)) }
       .toDF("host", "delay_secs")
+  }
+
+  /** RFC 9309 rule table from (host, robots.txt body) rows: one row per
+   *  `*`-group Allow OR Disallow line — (host, prefix, allow). Feeds
+   *  [[filterAllowedRfc]]. */
+  def rfcRulesFromTxt(spark: SparkSession, robots: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    robots.flatMap { case (host, txt) =>
+      val p = parsePolicy(txt)
+      p.disallows.map(r => (host, r, false)) ++ p.allows.map(r => (host, r, true))
+    }.toDF("host", "prefix", "allow")
   }
 
   /** File-global sitemap URL table (host, sitemap_url) from (host, body). */
@@ -153,6 +170,60 @@ object Robots {
         !exists(col("__prefixes"), p => col("__path").startsWith(p)))
       .drop("__prefixes", "__path")
   }
+
+  /** RFC 9309 §2.2.2 admission: the MOST SPECIFIC (longest-prefix)
+   *  matching rule decides, Allow wins a length tie, no match allows.
+   *  This is the modern reading Google/Bing apply — `Disallow: /` +
+   *  `Allow: /public/` crawls exactly the public tree, which the
+   *  legacy any-prefix gate ([[filterAllowed]]) cannot express.
+   *
+   *  Prefix model like the rest of the engine: `*`/`$` wildcard rules
+   *  are out of scope (they need per-row dynamic regex — documented
+   *  residual, rare in the wild relative to prefix rules).
+   *
+   *  Scale: same shape as [[filterAllowed]] — rules pre-grouped to one
+   *  array row per host (AQE-sized join, no hint), verdict is a per-row
+   *  codegen'd HOF fold over the matching rules: no shuffle on the
+   *  frontier, no per-rule row explosion. */
+  def filterAllowedRfc(candidates: DataFrame, rules: DataFrame): DataFrame = {
+    val agg = rules.groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
+    val verdict = {
+      val matching = filter(col("__rules"),
+        r => col("__path").startsWith(r("prefix")))
+      // fold to the best rule under (longest prefix, allow wins ties);
+      // the seed is the no-match default: length -1, allowed
+      aggregate(matching,
+        struct(lit(-1).as("len"), lit(true).as("allow")),
+        (acc, r) => {
+          val rl = length(r("prefix"))
+          val better = rl > acc("len") ||
+            (rl === acc("len") && r("allow") && !acc("allow"))
+          when(better, struct(rl.as("len"), r("allow").as("allow")))
+            .otherwise(acc)
+        })("allow")
+    }
+    candidates.join(agg, Seq("host"), "left")
+      .withColumn("__path", pathOf(col("url_canon")))
+      .filter(col("__rules").isNull || verdict)
+      .drop("__rules", "__path")
+  }
+
+  /** Parse sitemap INDEX bodies (`<sitemapindex>` — the nesting level
+   *  above [[parseSitemapXml]]: a large site shards its URL set across
+   *  child sitemaps and robots.txt points at the index): one row per
+   *  `<sitemap>` entry with `loc` (required, trimmed) and nullable
+   *  `lastmod`. Same codegen regexp shape — the ingest loop alternates
+   *  index → children → URLs without leaving whole-stage codegen. */
+  def parseSitemapIndexXml(indexes: DataFrame, bodyCol: String): DataFrame =
+    indexes
+      .withColumn("__entry",
+        explode(expr(s"regexp_extract_all($bodyCol, '(?s)<sitemap>(.*?)</sitemap>', 1)")))
+      .withColumn("loc", trim(regexp_extract(col("__entry"), "<loc>([^<]*)</loc>", 1)))
+      .filter(length(col("loc")) > 0)
+      .withColumn("lastmod",
+        nullif(regexp_extract(col("__entry"), "<lastmod>([^<]*)</lastmod>", 1), lit("")))
+      .drop("__entry")
 
   // ---- page-level directives (REP's in-document half) ----
   //

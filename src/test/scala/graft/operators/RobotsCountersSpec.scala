@@ -194,6 +194,69 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over(("g1", "a")) == 2L) // last write by ord
   }
 
+  // ---- RFC 9309 longest-match gate + sitemap index ----
+
+  test("parsePolicy collects *-group Allow lines; legacy disallows unchanged") {
+    val p = Robots.parsePolicy(
+      "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+        "User-agent: googlebot\nAllow: /google-only\nDisallow: /g")
+    assert(p.disallows === Seq("/private"))
+    assert(p.allows === Seq("/private/ok"))
+  }
+
+  test("filterAllowedRfc: longest match decides, Allow wins ties, no match allows") {
+    val s = spark
+    import s.implicits._
+    val cands = Seq(
+      ("h1", "http://h1/private/ok/x"),  // allow /private/ok (6 > len(/private))
+      ("h1", "http://h1/private/no"),    // disallow /private
+      ("h1", "http://h1/pub"),           // no matching rule -> allowed
+      ("h2", "http://h2/t/x"),           // exact tie at /t -> allow wins
+      ("h2", "http://h2/other"),         // disallow-/ floor
+      ("h3", "http://h3/anything"))      // rule-free host
+      .toDF("host", "url_canon")
+    val rules = Seq(
+      ("h1", "/private", false), ("h1", "/private/ok", true),
+      ("h2", "/t", false), ("h2", "/t", true), ("h2", "/", false))
+      .toDF("host", "prefix", "allow")
+    val kept = Robots.filterAllowedRfc(cands, rules)
+      .select("url_canon").collect().map(_.getString(0)).toSet
+    assert(kept === Set("http://h1/private/ok/x", "http://h1/pub",
+      "http://h2/t/x", "http://h3/anything"))
+  }
+
+  test("filterAllowedRfc expresses the Disallow-/ + Allow-subtree pattern the legacy gate cannot") {
+    val s = spark
+    import s.implicits._
+    val cands = Seq(("h", "http://h/public/a"), ("h", "http://h/secret/b"))
+      .toDF("host", "url_canon")
+    val rules = Seq(("h", "/", false), ("h", "/public/", true))
+      .toDF("host", "prefix", "allow")
+    val rfc = Robots.filterAllowedRfc(cands, rules)
+      .select("url_canon").collect().map(_.getString(0)).toSet
+    assert(rfc === Set("http://h/public/a"))
+    // the legacy any-prefix gate drops BOTH (Disallow-/ matches all)
+    val legacy = Robots.filterAllowed(cands,
+      Seq(("h", "/")).toDF("host", "prefix"))
+      .select("url_canon").collect()
+    assert(legacy.isEmpty)
+  }
+
+  test("parseSitemapIndexXml: <sitemap> entries, loc required, lastmod nullable") {
+    val s = spark
+    import s.implicits._
+    val body =
+      "<sitemapindex><sitemap><loc>http://a/s1.xml</loc><lastmod>2023-01-01</lastmod></sitemap>" +
+        "<sitemap>\n <loc> http://a/s2.xml </loc>\n</sitemap>" +
+        "<sitemap><lastmod>2020-01-01</lastmod></sitemap></sitemapindex>"
+    val out = Robots.parseSitemapIndexXml(Seq(("a", body)).toDF("host", "body"), "body")
+      .select("loc", "lastmod").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(out.toSeq === Seq(
+      ("http://a/s1.xml", Some("2023-01-01")),
+      ("http://a/s2.xml", None)))
+  }
+
   // ---- page-level directives (meta robots + rel=canonical) ----
 
   private def directiveRows(htmls: Seq[(String, String)]) = {
