@@ -260,6 +260,17 @@ object Robots {
   def metaRobotsHas(htmlCol: Column, token: String): Column =
     tokenIn(metaRobotsContent(htmlCol), token.toLowerCase)
 
+  /** Both directive flags as one struct(noindex, nofollow) — the engine
+   *  wave loop's form: the content regex runs once and both token checks
+   *  share it (whole-stage codegen subexpression elimination keeps even
+   *  the two-call form single-scan, but the struct makes it explicit). */
+  def metaRobotsFlags(htmlCol: Column): Column = {
+    val c = metaRobotsContent(htmlCol)
+    val list = concat(lit(","), regexp_replace(c, "\\s+", ""), lit(","))
+    struct(list.contains(",noindex,").as("noindex"),
+      list.contains(",nofollow,").as("nofollow"))
+  }
+
   /** The page's declared canonical URL, resolved against its own URL:
    *  absolute hrefs pass through, root-relative (`/p/1`) resolve on the
    *  page's scheme+host, anything else (protocol-relative, dot-relative,

@@ -85,7 +85,14 @@ case class CrawlSettings(
     // spider-trap admission gate (Traps): applied to seeds and discovered
     // outlinks BEFORE enrich/dedup, so trap URLs never cost a shuffle or a
     // seen-set write. None (default) keeps reference-equivalent admission.
-    trapGuard: Option[graft.operators.TrapRules] = None)
+    trapGuard: Option[graft.operators.TrapRules] = None,
+    // page-level REP directives (Robots.metaRobotsFlags): noindex pages
+    // are fetched and their links followed but excluded from the results
+    // table; nofollow pages keep their text but contribute no outlinks.
+    // Off (default) keeps reference-equivalent behavior. The flags read
+    // the raw bytes as UTF-8 — meta tags are ASCII, which every
+    // ASCII-compatible page charset preserves.
+    honorDirectives: Boolean = false)
 
 case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
     scheduledTotal: Long, seenTotal: Long, deadTotal: Long)
@@ -427,15 +434,23 @@ class CrawlJob(
         // specialization — constant isin sets over the dispatched column
         def pidIn(ids: Seq[String]): Column =
           if (ids.isEmpty) lit(false) else col("parser_id").isin(ids.map(x => x: Any): _*)
+        // page-level REP directives (settings.honorDirectives): one struct
+        // per fetched page; off → constant false flags, plan unchanged
+        val mrFlags =
+          if (settings.honorDirectives)
+            when(okCol, graft.operators.Robots.metaRobotsFlags(col("html").cast("string")))
+              .otherwise(struct(lit(false).as("noindex"), lit(false).as("nofollow")))
+          else struct(lit(false).as("noindex"), lit(false).as("nofollow"))
         val processed = fetchedRaw.select(
             (frontierCols :+ col("parser_id") :+ col("lang") :+
               okCol.as("ok") :+ eclassCol.as("__eclass") :+
+              mrFlags.getField("noindex").as("__noindex") :+
               (if (settings.extract && textParserIds.nonEmpty)
                  when(okCol && pidIn(textParserIds),
                    extractTextUdf(col("html"), col("url_canon")))
                    .otherwise(lit(null)).as("text")
                else lit(null).cast("string").as("text")) :+
-              when(okCol && pidIn(linkParserIds),
+              when(okCol && pidIn(linkParserIds) && !mrFlags.getField("nofollow"),
                 outlinksUdf(col("html"), col("url_canon")))
                 .otherwise(array().cast("array<string>")).as("outs") :+
               // error response body, carried only on error rows (bounded by
@@ -519,7 +534,10 @@ class CrawlJob(
         counters.add("budget", "errors", nErrors)
 
         if (settings.extract) {
-          val results = success.select(lit(w).as("wave"), col("url_canon"),
+          // noindex excludes the page from the shipped results only — its
+          // outlinks were already followed above (noindex ≠ nofollow)
+          val results = success.filter(!col("__noindex"))
+            .select(lit(w).as("wave"), col("url_canon"),
             col("parser_id"), col("lang"), col("text"), size(col("outs")).as("n_outlinks"))
           ckpt.write(results, w, "results")
         }

@@ -875,6 +875,50 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "param-explosion URL leaked into the seen set")
   }
 
+  test("honorDirectives: noindex pages ship no result but their links follow; nofollow links never enter seen") {
+    val root = "http://rep.example.com/p/0"
+    val ni = "http://rep.example.com/p/ni"      // noindex page
+    val nf = "http://rep.example.com/p/nf"      // nofollow page
+    val viaNi = "http://rep.example.com/p/via-ni" // linked only from the noindex page
+    val viaNf = "http://rep.example.com/p/via-nf" // linked only from the nofollow page
+    def page(u: String, links: Seq[String], meta: String = ""): graft.sources.Page = {
+      val html = s"<html><head><title>t</title>$meta</head><body>" +
+        links.map(l => s"""<a href="$l">x</a>""").mkString(" ") +
+        "<p>Some body text for the extractor.</p></body></html>"
+      graft.sources.Page(u, new java.sql.Timestamp(0L), html.getBytes("UTF-8"), "", "en")
+    }
+    val s0 = spark
+    import s0.implicits._
+    val repPages = Seq(
+      page(root, Seq(ni, nf)),
+      page(ni, Seq(viaNi), """<meta name="robots" content="noindex">"""),
+      page(nf, Seq(viaNf), """<META CONTENT="NOFOLLOW" NAME="robots">"""),
+      page(viaNi, Nil), page(viaNf, Nil)).toDS.toDF
+    val settings = base.copy(size = 50, hostBudget = 10, waveCap = 50,
+      maxWaves = 5, numBuckets = 4, extract = true,
+      urlPattern = "^http://rep\\.example\\.com/.*$")
+    def run(honor: Boolean): (Set[String], Set[String]) = {
+      val job = new CrawlJob(spark, repPages,
+        settings.copy(honorDirectives = honor), tmpDir("rep"))
+      job.run(Seq(root))
+      (job.seenTable.select("url_canon").collect().map(_.getString(0)).toSet,
+        job.resultsTable.select("url_canon").collect().map(_.getString(0)).toSet)
+    }
+    val (seenOff, resultsOff) = run(honor = false)
+    // off = reference-equivalent: everything crawls and ships
+    assert(Set(root, ni, nf, viaNi, viaNf).subsetOf(seenOff))
+    assert(Set(root, ni, nf, viaNi, viaNf).subsetOf(resultsOff))
+    val (seenOn, resultsOn) = run(honor = true)
+    // noindex: fetched and followed, not shipped
+    assert(seenOn.contains(ni) && !resultsOn.contains(ni))
+    assert(seenOn.contains(viaNi) && resultsOn.contains(viaNi),
+      "links on a noindex page must still be followed")
+    // nofollow: shipped, links not followed
+    assert(resultsOn.contains(nf))
+    assert(!seenOn.contains(viaNf),
+      "links on a nofollow page must not enter the frontier/seen set")
+  }
+
   test("pipeline extraction matches the pages golden text (input_hint invariant)") {
     val settings = base.copy(extract = true, size = 20, waveCap = 20)
     val (job, _) = runEngine(settings, tmpDir("ex"))
