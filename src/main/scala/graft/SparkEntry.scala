@@ -927,6 +927,37 @@ object SparkEntry {
         Robots.canonicalUrl(html, col("url_canon")).as("canonical"))
     }),
 
+    // fasttext-shaped linear quality scorer: corpus-derived fixture
+    // model (weight_milli = (len(token)-4)*250 — stopword-ish short
+    // tokens weigh negative), mean-pooled integer score, keep >= 0
+    "quality_linear" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val model = docs
+        .select(explode(Corpus.wordTokens(col("text"))).as("token")).distinct()
+        .select(col("token"),
+          ((length(col("token")) - 4) * 250).cast("long").as("weight_milli"))
+      Corpus.linearScore(docs, model, "text", "doc_id",
+        biasMilli = -500L, thresholdMilli = 0L)
+    }),
+
+    // CDX capture index (the CC/Wayback artifact): SURT urlkey —
+    // host-reversed, www-stripped, port-carrying — over a fixture that
+    // exercises every branch (www prefix, :8080 port, query, mixed
+    // case), 14-digit wall-clock ts, payload digest/length
+    "cdx_index" -> ((s, d) => {
+      val pages = s.sql(
+        s"""SELECT concat('http://', CASE WHEN k % 4 = 0 THEN 'www.' ELSE '' END,
+                     'Host', CAST(k % 40 AS STRING), '.Example.com',
+                     CASE WHEN k % 5 = 0 THEN ':8080' ELSE '' END,
+                     '/o/', CAST(k AS STRING),
+                     CASE WHEN k % 3 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+                   ts,
+                   concat('<html><body>Doc ', CAST(k AS STRING), '</body></html>') AS body
+            FROM (SELECT o_orderkey % 5000 AS k, min(o_orderdate) AS ts
+                  FROM parquet.`$d/orders.parquet` GROUP BY o_orderkey % 5000) t""")
+      operators.Cdx.cdxIndex(pages, "url", "ts", "body")
+    }),
+
     // O1-O12 wave loop end-to-end (engine-only → rows-only)
     "crawl_schedule" -> ((s, _) => {
       val v = 150L
@@ -1061,6 +1092,61 @@ object SparkEntry {
     "pagerank_hosts" -> pagerankOracle(5),
     "opic_hosts" -> opicOracle(5),
     "redirect_resolve" -> redirectOracle(5),
+
+    // same tokenization as lm_score; weight/mean-pool arithmetic is all
+    // integer (both engines truncate integer division toward zero)
+    "quality_linear" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> len(w) > 0)) AS token
+           FROM documents),
+         model AS (SELECT token, CAST((len(token) - 4) * 250 AS BIGINT) AS weight_milli
+                   FROM (SELECT DISTINCT token FROM tok) v),
+         agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+                        CAST(-500 + sum(coalesce(m.weight_milli, 0)) // count(*) AS BIGINT)
+                          AS score_milli
+                 FROM tok t LEFT JOIN model m USING (token)
+                 GROUP BY t.doc_id)
+         SELECT d.doc_id,
+                coalesce(a.n_tokens, 0) AS n_tokens,
+                coalesce(a.score_milli, -500) AS score_milli,
+                coalesce(a.score_milli, -500) >= 0 AS keep
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a USING (doc_id)""",
+
+    // SURT replay with list_reverse over the dot-split host; md5 over
+    // the same ASCII payload string, octet length via the blob cast
+    "cdx_index" ->
+      """WITH pages AS (
+           SELECT concat('http://', CASE WHEN k % 4 = 0 THEN 'www.' ELSE '' END,
+                    'Host', CAST(k % 40 AS STRING), '.Example.com',
+                    CASE WHEN k % 5 = 0 THEN ':8080' ELSE '' END,
+                    '/o/', CAST(k AS STRING),
+                    CASE WHEN k % 3 = 0 THEN '?a=1&b=2' ELSE '' END) AS url,
+                  ts,
+                  concat('<html><body>Doc ', CAST(k AS STRING), '</body></html>') AS body
+           FROM (SELECT o_orderkey % 5000 AS k, min(o_orderdate) AS ts
+                 FROM orders GROUP BY o_orderkey % 5000) t),
+         parts AS (
+           SELECT url, ts, body, lower(trim(url)) AS u,
+                  regexp_extract(lower(trim(url)), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS hostport
+           FROM pages),
+         built AS (
+           SELECT url, ts, body, hostport,
+                  array_to_string(list_reverse(string_split(
+                    regexp_replace(string_split(hostport, ':')[1], '^www\.', ''), '.')), ',') AS rev,
+                  nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+                  regexp_extract(u, '^[a-z][a-z0-9+.-]*://[^/?#]+([/?].*)?$', 1) AS rest
+           FROM parts)
+         SELECT CASE WHEN hostport = '' OR hostport IS NULL THEN NULL
+                     ELSE rev || coalesce(':' || port, '') || ')' ||
+                          CASE WHEN rest = '' THEN '/' ELSE rest END END AS urlkey,
+                strftime(ts, '%Y%m%d%H%M%S') AS ts,
+                md5(body) AS digest,
+                CAST(octet_length(CAST(body AS BLOB)) AS BIGINT) AS length,
+                url
+         FROM built""",
 
     // replays the directive regexps (RE2-safe: no backreferences) +
     // token-bounded comma-list check + origin-resolved canonical; note

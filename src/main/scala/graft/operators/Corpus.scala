@@ -410,6 +410,40 @@ object Corpus {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** fasttext-shaped linear document scorer — the quality-filter seam
+   *  the GPT-3/CCNet pipelines use (a linear model over token features
+   *  deciding keep/drop): `score = bias + (Σ weight(token)) div n`,
+   *  mean-pooled over the document's tokens like fasttext's averaged
+   *  word vectors, all integer milli-units. A trained model drops in as
+   *  the `(token, weight_milli)` table — the same swap-is-config seam as
+   *  [[lmScore]]'s KenLM shape and TextStats.langIdFromModel; the spec's
+   *  fixture model proves the plumbing with hand weights. OOV tokens
+   *  weigh 0; token-free docs score exactly `bias`. Integer division
+   *  truncates toward zero on a negative sum — identical in Spark
+   *  (`div`) and DuckDB (`//`), so the oracle replays exactly.
+   *
+   *  Scale (10^9 docs × 10^6-token vocab): tokens explode map-side, the
+   *  vocab join is AQE-sized (no unbounded hint), and the per-doc
+   *  aggregate partial-combines before its one exchange — the
+   *  [[lmScore]] shape without the mass scalar or its eager action. */
+  def linearScore(docs: DataFrame, model: DataFrame, textCol: String,
+      idCol: String, biasMilli: Long = 0L, thresholdMilli: Long = 0L): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(wordTokens(col(textCol))).as("token"))
+    val agg = toks.join(model, Seq("token"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight_milli"), lit(0L))).as("__dot"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (lit(biasMilli) + expr("__dot div n_tokens")).as("score_milli"))
+    docs.select(col(idCol)).distinct()
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_milli"), lit(biasMilli)).as("score_milli"))
+      .withColumn("keep", col("score_milli") >= thresholdMilli)
+  }
+
   /** Deterministic train/validation/test assignment by keyed hash — the
    *  split every training pipeline needs and `randomSplit` cannot give at
    *  scale: `randomSplit` is positional (a repartition, an appended file,

@@ -245,4 +245,91 @@ object Warc {
       .withColumn("text", extractUdf(col("html"), col("url")))
       .withColumn("lang", graft.functions.TextStats.langId(col("text")))
   }
+
+  // ---- WET egress (the reader's inverse) ----
+
+  /** One serialized WET record: a WARC/1.0 `conversion` record with a
+   *  text/plain payload, Content-Length framing, and the spec's blank
+   *  line + record separator. The record id is a DETERMINISTIC digest
+   *  urn (no RNG — same input, same bytes, so shards are reproducible
+   *  and diffable across runs; the uuid form CC uses is one config away
+   *  for callers who need global uniqueness). */
+  private def wetRecordBytes(url: String, dateIso: String,
+      body: Array[Byte]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(body)
+    md.update(url.getBytes("UTF-8"))
+    val hex = md.digest().map("%02x".format(_)).mkString
+    val header =
+      "WARC/1.0\r\n" +
+        "WARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $dateIso\r\n" +
+        s"WARC-Record-ID: <urn:graft:$hex>\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+    val h = header.getBytes("UTF-8")
+    val sep = "\r\n\r\n".getBytes("UTF-8")
+    val out = new Array[Byte](h.length + body.length + sep.length)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(body, 0, out, h.length, body.length)
+    System.arraycopy(sep, 0, out, h.length + body.length, sep.length)
+    out
+  }
+
+  /** WET shard egress — the Common-Crawl `*.warc.wet.gz` artifact from
+   *  the engine's pages/results: one shard per input partition, each a
+   *  concatenation of per-record gzip members (exactly the layout
+   *  [[parseStream]] ingests — the round trip is spec-pinned). Output:
+   *  (wet_file, n_records, content) for the caller to sink; rows with a
+   *  null url or text are skipped, empty partitions emit no shard.
+   *
+   *  Scale: the shard builder is one partition-local streaming pass on
+   *  the InternalRow bridge (no external-Row boxing, no shuffle);
+   *  upstream `repartitionByRange` on the url picks the CC-style
+   *  sorted-shard layout, plain `repartition(n)` picks shard count. A
+   *  shard materializes in memory before emit — size partitions to the
+   *  intended ~1 GB CC shard, not to the whole corpus. */
+  def wetShards(pages: DataFrame, urlCol: String, tsCol: String,
+      textCol: String, gzipMembers: Boolean = true,
+      shardPrefix: String = "graft-wet"): DataFrame = {
+    val spark = pages.sparkSession
+    val prepared = pages.select(
+      col(urlCol).cast("string"),
+      date_format(col(tsCol).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      col(textCol).cast("string"))
+    val schema = StructType(Seq(
+      StructField("wet_file", StringType, nullable = false),
+      StructField("n_records", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val suffix = if (gzipMembers) ".warc.wet.gz" else ".warc.wet"
+    val rdd = prepared.queryExecution.toRdd.mapPartitionsWithIndex { (p, it) =>
+      val buf = new java.io.ByteArrayOutputStream()
+      var n = 0L
+      it.foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(2)) {
+          val url = r.getUTF8String(0).toString
+          val date =
+            if (r.isNullAt(1)) "1970-01-01T00:00:00Z"
+            else r.getUTF8String(1).toString
+          val rec = wetRecordBytes(url, date, r.getUTF8String(2).getBytes)
+          if (gzipMembers) {
+            val g = new java.util.zip.GZIPOutputStream(buf)
+            g.write(rec); g.finish()
+          } else buf.write(rec)
+          n += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else {
+        val row = new GenericInternalRow(3)
+        row.update(0, UTF8String.fromString(f"$shardPrefix-$p%05d$suffix"))
+        row.update(1, n)
+        row.update(2, buf.toByteArray)
+        Iterator.single(row: InternalRow)
+      }
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(
+      spark, rdd, schema)
+  }
 }

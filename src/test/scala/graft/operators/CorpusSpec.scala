@@ -465,4 +465,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       "source", "text", "lang").collect().map(_.toSeq).toSet
     assert(run(1) == run(5))
   }
+
+  // ---- linearScore (fasttext-shaped quality seam) ----
+
+  test("linearScore: hand weights, OOV = 0, mean-pooled, bias, threshold") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "good good bad"),    // (400+400-600) div 3 = 66
+      (2L, "bad bad"),          // -600
+      (3L, "good novel"),       // novel is OOV: (400+0) div 2 = 200
+      (4L, "   "),              // token-free -> exactly bias
+      (5L, "bad")).toDF("doc_id", "text")
+    val model = Seq(("good", 400L), ("bad", -600L)).toDF("token", "weight_milli")
+    val out = Corpus.linearScore(docs, model, "text", "doc_id",
+      biasMilli = 10L, thresholdMilli = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((3L, 76L, true)))
+    assert(out(2L) === ((2L, -590L, false)))
+    assert(out(3L) === ((2L, 210L, true)))
+    assert(out(4L) === ((0L, 10L, true)))
+    // -600 div 1 + 10: truncation toward zero matches DuckDB //
+    assert(out(5L) === ((1L, -590L, false)))
+  }
+
+  test("linearScore: a swapped model redecides (the seam is config, not code)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val m1 = Seq(("alpha", 1000L), ("beta", 1000L)).toDF("token", "weight_milli")
+    val m2 = Seq(("alpha", -1000L), ("beta", -1000L)).toDF("token", "weight_milli")
+    def keep(m: DataFrame): Boolean =
+      Corpus.linearScore(docs, m, "text", "doc_id").collect().head.getBoolean(3)
+    assert(keep(m1) && !keep(m2))
+  }
 }

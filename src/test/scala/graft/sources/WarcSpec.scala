@@ -106,6 +106,39 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wetShards round-trips through the reader (gzip members and plain)") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("http://a.com/1", "2024-03-08 07:05:00", "Hello text one"),
+      ("http://a.com/2", "2024-03-08 07:05:01", "Second body é"),
+      (null, "2024-03-08 07:05:02", "skipped: null url"),
+      ("http://a.com/4", null, "null ts gets the epoch date"))
+      .toDF("url", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .repartition(1)
+    Seq(true, false).foreach { gz =>
+      val shards = Warc.wetShards(pages, "url", "ts", "text", gzipMembers = gz).collect()
+      assert(shards.length == 1)
+      assert(shards.head.getLong(1) == 3L) // null-url row skipped
+      val name = shards.head.getString(0)
+      assert(if (gz) name.endsWith(".warc.wet.gz") else name.endsWith(".warc.wet"))
+      val recs = Warc.parseBytes(shards.head.getAs[Array[Byte]](2)).toVector
+      assert(recs.size == 3)
+      assert(recs.forall(_.warcType == "conversion"))
+      assert(recs.forall(_.httpStatus == -1)) // text/plain payload, not HTTP
+      val byUrl = recs.map(r => r.targetUri -> r).toMap
+      assert(new String(byUrl("http://a.com/1").body, "UTF-8") == "Hello text one")
+      assert(new String(byUrl("http://a.com/2").body, "UTF-8") == "Second body é")
+      assert(byUrl("http://a.com/1").warcDate == "2024-03-08T07:05:00Z")
+      assert(byUrl("http://a.com/4").warcDate == "1970-01-01T00:00:00Z")
+      // deterministic record ids: same input -> byte-identical shard
+      val again = Warc.wetShards(pages, "url", "ts", "text", gzipMembers = gz)
+        .collect().head.getAs[Array[Byte]](2)
+      assert(java.util.Arrays.equals(again, shards.head.getAs[Array[Byte]](2)))
+    }
+  }
+
   private object Checkpointless {
     def deleteRecursively(p: java.nio.file.Path): Unit =
       graft.plans.Checkpoint.deleteRecursively(p)
