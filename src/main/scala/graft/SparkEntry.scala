@@ -249,6 +249,20 @@ object SparkEntry {
         .select(col("url_canon"), col("host"), col("seq"))
     }),
 
+    // RFC 9309 WILDCARD rules (* any-sequence, $ end anchor): host2
+    // blocks paths ending in 7, host5 is Disallow-/o/ with an
+    // ends-in-5 wildcard carve-out (longest pattern wins), host9
+    // blocks any path containing '1' — all verdicts on the PATH, so
+    // the '9' in the hostname never triggers host9's rule
+    "robots_filter_wildcard" -> ((s, d) => {
+      val rules = Robots.wildcardRuleTable(Robots.rfcRulesFromTxt(s, Seq(
+        "host2.example.com" -> "User-agent: *\nDisallow: /o/*7$",
+        "host5.example.com" -> "User-agent: *\nDisallow: /o/\nAllow: /o/*5$",
+        "host9.example.com" -> "User-agent: *\nDisallow: /*1*")))
+      Robots.filterAllowedRfcWildcard(enriched(s, d), rules)
+        .select(col("url_canon"), col("host"), col("seq"))
+    }),
+
     // sitemap INDEX ingestion (the nesting level above sitemap_parse):
     // two <sitemap> entries — one with lastmod, one whitespace-padded
     // loc-only — plus a loc-less entry that must drop
@@ -1514,6 +1528,17 @@ object SparkEntry {
             WHEN 'host0.example.com' THEN url_canon LIKE 'http://host0.example.com/o/1%'
             WHEN 'host3.example.com' THEN url_canon LIKE 'http://host3.example.com/o/3%'
             WHEN 'host7.example.com' THEN url_canon NOT LIKE 'http://host7.example.com/o/7%'
+            ELSE TRUE END"""),
+
+    // wildcard verdicts replayed as per-host path conditions (the spec's
+    // 400-pair regex fuzz carries the general-matcher burden)
+    "robots_filter_wildcard" -> oracle(
+      s"""SELECT url_canon, host, seq FROM ($enrichedOracle) e
+          WHERE CASE host
+            WHEN 'host2.example.com' THEN url_canon NOT LIKE '%7'
+            WHEN 'host5.example.com' THEN url_canon LIKE '%5'
+            WHEN 'host9.example.com' THEN
+              regexp_extract(url_canon, '/o/(.*)$$', 1) NOT LIKE '%1%'
             ELSE TRUE END"""),
 
     "sitemap_index_parse" -> oracle(

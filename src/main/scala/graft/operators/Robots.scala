@@ -209,6 +209,84 @@ object Robots {
       .drop("__rules", "__path")
   }
 
+  /** Pre-compiled wildcard rule table for [[filterAllowedRfcWildcard]]:
+   *  each RFC 9309 rule (which may contain `*` — any octet sequence —
+   *  and a trailing `$` end anchor) is split ONCE, engine-side, into
+   *  (host, parts = pattern split on `*`, anchored, plen = pattern
+   *  octet length, allow). Splitting at build time keeps the per-URL
+   *  matcher a pure fold — no per-row string parsing of the pattern. */
+  def wildcardRuleTable(rules: DataFrame): DataFrame =
+    rules.select(col("host"),
+      split(regexp_replace(col("prefix"), "\\$$", ""), "\\*", -1).as("parts"),
+      col("prefix").endsWith("$").as("anchored"),
+      length(col("prefix")).as("plen"),
+      col("allow"))
+
+  /** One rule's match verdict against `path` — RFC 9309 wildcard
+   *  semantics via greedy leftmost placement of the inter-`*` literal
+   *  parts (greedy is exact for pure-existence `*` matching; the end
+   *  anchor is checked as a suffix no earlier than the running
+   *  position). 1-based positions throughout (SQL `locate`). */
+  private[operators] def wildcardMatches(path: Column, parts: Column,
+      anchored: Column): Column = {
+    val first = element_at(parts, 1)
+    val n = size(parts)
+    val init = struct((length(first) + 1).as("cur"),
+      path.startsWith(first).as("ok"))
+    // middle parts: everything between the first and the last
+    val middles = slice(parts, lit(2), greatest(n - 2, lit(0)))
+    val folded = aggregate(middles, init, (acc, p) => {
+      val loc = call_function("locate", p, path, acc("cur"))
+      struct(
+        when(p === "" || !acc("ok"), acc("cur"))
+          .otherwise(loc + length(p)).as("cur"),
+        (acc("ok") && (p === "" || loc > 0)).as("ok"))
+    })
+    val last = element_at(parts, -1)
+    val lastLoc = call_function("locate", last, path, folded("cur"))
+    when(n === 1,
+      when(anchored, path === first).otherwise(path.startsWith(first)))
+      .otherwise(folded("ok") && when(anchored,
+        path.endsWith(last) &&
+          (length(path) - length(last) + 1 >= folded("cur")))
+        .otherwise(last === "" || lastLoc > 0))
+  }
+
+  /** RFC 9309 admission with full `*`/`$` wildcard rules — the
+   *  [[filterAllowedRfc]] longest-match/tie-to-allow verdict where a
+   *  rule's specificity is its pattern octet length (Google's
+   *  published tie order) and matching follows the RFC's wildcard
+   *  semantics. `rules` is the (host, parts, anchored, plen, allow)
+   *  table from [[wildcardRuleTable]].
+   *
+   *  Scale: same shape as the prefix gate — one array row per host,
+   *  AQE-sized join, and the verdict is a per-row codegen'd fold (rules
+   *  × parts per URL, both small constants); no shuffle on the frontier.
+   *  The spec property-fuzzes the matcher against a regex translation,
+   *  so the fold IS the RFC semantics, not an approximation. */
+  def filterAllowedRfcWildcard(candidates: DataFrame,
+      rules: DataFrame): DataFrame = {
+    val agg = rules.groupBy(col("host")).agg(collect_list(
+      struct(col("parts"), col("anchored"), col("plen"), col("allow")))
+      .as("__rules"))
+    val verdict = {
+      val matching = filter(col("__rules"),
+        r => wildcardMatches(col("__path"), r("parts"), r("anchored")))
+      aggregate(matching,
+        struct(lit(-1).as("len"), lit(true).as("allow")),
+        (acc, r) => {
+          val better = r("plen") > acc("len") ||
+            (r("plen") === acc("len") && r("allow") && !acc("allow"))
+          when(better, struct(r("plen").as("len"), r("allow").as("allow")))
+            .otherwise(acc)
+        })("allow")
+    }
+    candidates.join(agg, Seq("host"), "left")
+      .withColumn("__path", pathOf(col("url_canon")))
+      .filter(col("__rules").isNull || verdict)
+      .drop("__rules", "__path")
+  }
+
   /** Parse sitemap INDEX bodies (`<sitemapindex>` — the nesting level
    *  above [[parseSitemapXml]]: a large site shards its URL set across
    *  child sitemaps and robots.txt points at the index): one row per

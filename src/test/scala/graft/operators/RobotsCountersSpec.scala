@@ -257,6 +257,84 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("http://a/s2.xml", None)))
   }
 
+  // ---- RFC 9309 wildcard rules (* and $) ----
+
+  /** Batch-evaluate the engine matcher over (path, pattern) pairs. */
+  private def engineMatches(pairs: Seq[(String, String)]): Seq[Boolean] = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("path", "prefix")
+      .withColumn("parts",
+        split(regexp_replace(col("prefix"), "\\$$", ""), "\\*", -1))
+      .withColumn("anchored", col("prefix").endsWith("$"))
+      .select(Robots.wildcardMatches(col("path"), col("parts"), col("anchored")))
+      .collect().map(_.getBoolean(0)).toSeq
+  }
+
+  /** Reference semantics: regex translation with full backtracking. */
+  private def regexMatches(path: String, pattern: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString("(?s).*")
+    val m = java.util.regex.Pattern.compile(rx).matcher(path)
+    if (anchored) m.matches() else m.lookingAt()
+  }
+
+  test("wildcard matcher: the RFC 9309 / Google documentation examples") {
+    val vectors = Seq(
+      ("/fish", "/fish*", true), ("/fishheads/x", "/fish*", true),
+      ("/Fish", "/fish*", false), ("/catfish", "/fish*", false),
+      ("/filename.php", "/*.php", true), ("/folder/any.php.file", "/*.php", true),
+      ("/", "/*.php", false), ("/windows.PHP", "/*.php", false),
+      ("/filename.php", "/*.php$", true), ("/filename.php5", "/*.php$", false),
+      ("/filename.php/", "/*.php$", false),
+      ("/fish.php", "/fish*.php", true), ("/fishheads/catfish.php?p=1", "/fish*.php", true),
+      ("/Fish.PHP", "/fish*.php", false),
+      ("/p", "*", true), ("/p", "/p$", true), ("/pq", "/p$", false))
+    val got = engineMatches(vectors.map(v => (v._1, v._2)))
+    vectors.zip(got).foreach { case ((p, pat, want), g) =>
+      assert(g === want, s"path=$p pattern=$pat")
+      assert(regexMatches(p, pat) === want, s"regex oracle drifted: $p $pat")
+    }
+  }
+
+  test("wildcard matcher ≡ regex translation on LCG-fuzzed (path, pattern) pairs") {
+    val alphabet = "/ab.p7"
+    var s = 12345L
+    def nxt(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % n).toInt + n) % n }
+    def randStr(maxLen: Int, chars: String): String =
+      (0 until (1 + nxt(maxLen))).map(_ => chars(nxt(chars.length))).mkString
+    val pairs = (0 until 400).map { _ =>
+      val path = "/" + randStr(8, alphabet)
+      val pat = "/" + randStr(6, alphabet + "**") + (if (nxt(3) == 0) "$" else "")
+      (path, pat)
+    }
+    val got = engineMatches(pairs)
+    pairs.zip(got).foreach { case ((p, pat), g) =>
+      assert(g === regexMatches(p, pat), s"diverged: path=$p pattern=$pat")
+    }
+  }
+
+  test("filterAllowedRfcWildcard: longest pattern wins, wildcard carve-outs work") {
+    val s = spark
+    import s.implicits._
+    val cands = Seq(
+      ("h", "http://h/a/file.php"),
+      ("h", "http://h/a/file.php?q=1"),
+      ("h", "http://h/a/file.html"),
+      ("h", "http://h/priv/x.php")).toDF("host", "url_canon")
+    val rules = Robots.wildcardRuleTable(Seq(
+      ("h", "/*.php", false),      // block php anywhere (len 6)
+      ("h", "/a/*.php$", true),    // but allow exactly-.php under /a (len 9)
+      ("h", "/priv/", false)).toDF("host", "prefix", "allow"))
+    val kept = Robots.filterAllowedRfcWildcard(cands, rules)
+      .select("url_canon").collect().map(_.getString(0)).toSet
+    // /a/file.php: allow rule (9) beats block (6); the ?q=1 variant is
+    // not $-anchored-matchable -> blocked; html passes untouched; priv blocked
+    assert(kept === Set("http://h/a/file.php", "http://h/a/file.html"))
+  }
+
   // ---- page-level directives (meta robots + rel=canonical) ----
 
   private def directiveRows(htmls: Seq[(String, String)]) = {
