@@ -336,7 +336,11 @@ object Robots {
    *  `noindexing` never matches `noindex`. Absent/unparseable meta →
    *  false (fail-open, like a fetcher). */
   def metaRobotsHas(htmlCol: Column, token: String): Column =
-    tokenIn(metaRobotsContent(htmlCol), token.toLowerCase)
+    // coalesce: a null html must read as no-directive (false), or the
+    // !noindex keep-filter in applyPageDirectives would silently DROP
+    // null-html rows via three-valued logic — the opposite of fail-open
+    coalesce(tokenIn(metaRobotsContent(htmlCol), token.toLowerCase),
+      lit(false))
 
   /** Both directive flags as one struct(noindex, nofollow) — the engine
    *  wave loop's form: the content regex runs once and both token checks

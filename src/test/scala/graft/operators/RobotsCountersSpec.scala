@@ -360,6 +360,17 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("u4") === ((false, false)))
   }
 
+  test("metaRobotsHas fails open on null html (no three-valued-logic row drop)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("u1", Option.empty[String]),
+      ("u2", Some("""<meta name="robots" content="noindex">""")))
+      .toDF("url", "html")
+    val kept = Robots.applyPageDirectives(df, "html", "url")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept === Set("u1"), "null html must be KEPT (no directive), noindex dropped")
+  }
+
   test("canonicalUrl: absolute passes, root-relative resolves, protocol-relative/absent null") {
     val df = directiveRows(Seq(
       ("http://a.com/p", """<link rel="canonical" href="http://b.com/x">"""),
