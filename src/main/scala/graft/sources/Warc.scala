@@ -315,7 +315,13 @@ object Warc {
           val rec = wetRecordBytes(url, date, r.getUTF8String(2).getBytes)
           if (gzipMembers) {
             val g = new java.util.zip.GZIPOutputStream(buf)
-            g.write(rec); g.finish()
+            g.write(rec)
+            // close(), not finish(): releases the native Deflater
+            // deterministically (finish alone leaks it to the GC
+            // finalizer — one Deflater per record adds up at 10^9
+            // records); closing the wrapper is safe, the underlying
+            // ByteArrayOutputStream's close is a no-op
+            g.close()
           } else buf.write(rec)
           n += 1
         }
