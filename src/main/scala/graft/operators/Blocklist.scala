@@ -84,4 +84,22 @@ object Blocklist {
       blocklist: DataFrame, entryCol: String): DataFrame =
     df.join(blockedHosts(df, hostCol, blocklist, entryCol),
       Seq(hostCol), "left_anti")
+
+  /** Literal-list verdict for a DRIVER-HELD blocklist (the engine
+   *  admission form, CrawlSettings.hostBlocklist): same label-bounded
+   *  suffix semantics, evaluated as a pure map-side `arrays_overlap`
+   *  between the host's suffixes and the normalized entry set — no
+   *  join, no shuffle, same plan stage as the trap/pattern gates. The
+   *  entry list lives in the plan as a literal, so this form is for
+   *  curated lists (up to ~10^4 entries); table-sized lists use
+   *  [[admit]]. Null/empty hosts are never blocked (same contract). */
+  def isBlockedIn(host: Column, entries: Seq[String]): Column = {
+    val norm = entries.iterator
+      .filter(_ != null)
+      .map(_.trim.toLowerCase.replaceAll("\\.$", ""))
+      .filter(_.nonEmpty)
+      .toArray.distinct
+    if (norm.isEmpty) lit(false)
+    else coalesce(arrays_overlap(hostSuffixes(host), lit(norm)), lit(false))
+  }
 }

@@ -92,7 +92,13 @@ case class CrawlSettings(
     // Off (default) keeps reference-equivalent behavior. The flags read
     // the raw bytes as UTF-8 — meta tags are ASCII, which every
     // ASCII-compatible page charset preserves.
-    honorDirectives: Boolean = false)
+    honorDirectives: Boolean = false,
+    // curated hostname blocklist (Blocklist.isBlockedIn): an entry blocks
+    // itself and every subdomain, label-bounded; applied at enrichment —
+    // blocked hosts never enter frontier or seen. Empty (default) keeps
+    // reference-equivalent admission. Driver-held literal list (up to
+    // ~10^4 entries); table-sized lists pre-filter via Blocklist.admit.
+    hostBlocklist: Seq[String] = Nil)
 
 case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
     scheduledTotal: Long, seenTotal: Long, deadTotal: Long)
@@ -225,12 +231,18 @@ class CrawlJob(
     settings.trapGuard.fold(df)(r =>
       df.filter(!graft.operators.Traps.isTrap(col(urlCol), r)))
 
-  /** Candidate enrichment: url → (canon, hash, host); robots gate applied
-   *  at discovery (disallowed urls never enter frontier or seen set). */
+  /** Candidate enrichment: url → (canon, hash, host); robots and
+   *  blocklist gates applied at discovery (disallowed or blocklisted
+   *  urls never enter frontier or seen set — the blocklist check is a
+   *  map-side arrays_overlap in the same stage, no join). */
   private def enrich(df: DataFrame): DataFrame = {
-    val e = df.withColumn("url_canon", canonCol(col("url")))
+    val e0 = df.withColumn("url_canon", canonCol(col("url")))
       .withColumn("url_hash", Dedup.urlHash(col("url_canon")))
       .withColumn("host", hostCol(col("url_canon")))
+    val e =
+      if (settings.hostBlocklist.isEmpty) e0
+      else e0.filter(!graft.operators.Blocklist.isBlockedIn(
+        col("host"), settings.hostBlocklist))
     robotsRules.fold(e)(rules => graft.operators.Robots.filterAllowed(e, rules))
   }
 

@@ -205,6 +205,26 @@ class AdmissionSplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set("http://ok.org/1"))
   }
 
+  test("isBlockedIn (literal-list form): same label-bounded semantics, map-side") {
+    val df = hostsDF("bad.net", "a.bad.net", "notbad.net", "ample.com",
+      "example.com", null, "")
+    val out = df.select(col("host"),
+      Blocklist.isBlockedIn(col("host"), Seq(" Bad.NET. ", "ample.com", null, ""))
+        .as("b"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("∅") -> r.getBoolean(1)).toMap
+    assert(out("bad.net") && out("a.bad.net") && out("ample.com"))
+    assert(!out("notbad.net") && !out("example.com"))
+    assert(!out("∅") && !out(""))
+    // empty list short-circuits to constant false
+    val none = df.select(Blocklist.isBlockedIn(col("host"), Nil))
+      .collect().map(_.getBoolean(0))
+    assert(none.forall(_ == false))
+    // pure projection: no Exchange in the plan
+    val plan = df.filter(!Blocklist.isBlockedIn(col("host"), Seq("bad.net")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
+  }
+
   test("null or empty hosts are never blocked (documented contract)") {
     val verdicts = Blocklist.verdict(
       hostsDF("bad.net", null, ""),

@@ -875,6 +875,42 @@ class CrawlJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "param-explosion URL leaked into the seen set")
   }
 
+  test("hostBlocklist: blocked hosts (and their subdomains) never enter frontier/seen; others unaffected") {
+    val root = "http://ok.net/p/0"
+    val okLeaf = "http://ok.net/p/1"
+    val badExact = "http://bad.net/p/1"
+    val badSub = "http://sub.bad.net/p/2"
+    val lookalike = "http://notbad.net/p/3" // label boundary: must survive
+    def page(u: String, links: Seq[String]): graft.sources.Page = {
+      val html = "<html><head><title>t</title></head><body>" +
+        links.map(l => s"""<a href="$l">x</a>""").mkString(" ") +
+        "<p>Some body text for the extractor.</p></body></html>"
+      graft.sources.Page(u, new java.sql.Timestamp(0L), html.getBytes("UTF-8"), "", "en")
+    }
+    val s0 = spark
+    import s0.implicits._
+    val pages = Seq(
+      page(root, Seq(okLeaf, badExact, badSub, lookalike)),
+      page(okLeaf, Nil), page(badExact, Nil), page(badSub, Nil),
+      page(lookalike, Nil)).toDS.toDF
+    val settings = base.copy(size = 50, hostBudget = 10, waveCap = 50,
+      maxWaves = 4, numBuckets = 4,
+      urlPattern = "^http://[a-z.]+/p/.*$")
+    def seenOf(bl: Seq[String]): Set[String] = {
+      val job = new CrawlJob(spark, pages,
+        settings.copy(hostBlocklist = bl), tmpDir("bl"))
+      job.run(Seq(root, badSub))
+      job.seenTable.select("url_canon").collect().map(_.getString(0)).toSet
+    }
+    val open = seenOf(Nil)
+    assert(Set(root, okLeaf, badExact, badSub, lookalike).subsetOf(open))
+    val gated = seenOf(Seq("bad.net"))
+    assert(gated.contains(root) && gated.contains(okLeaf) &&
+      gated.contains(lookalike), "clean and lookalike hosts must survive")
+    Seq(badExact, badSub).foreach(u =>
+      assert(!gated.contains(u), s"blocklisted URL leaked into seen: $u"))
+  }
+
   test("honorDirectives: noindex pages ship no result but their links follow; nofollow links never enter seen") {
     val root = "http://rep.example.com/p/0"
     val ni = "http://rep.example.com/p/ni"      // noindex page
