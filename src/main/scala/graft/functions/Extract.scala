@@ -85,7 +85,10 @@ object Extract extends Serializable {
   /** preprocess.py:125-136 — returns (title, body-soup). */
   private[functions] def preprocess(html: String, baseUrl: String): (String, Elem) = {
     val cleanedHtml = removeCruftyHtml(html)
-    val soup = Html.parse(cleanedHtml)
+    // lxml-shape parity (utils.py:102): a page with no declared <body>
+    // still yields head>title and a real body element, so the title
+    // lookup and the `body or soup` fallback below behave like BS4-lxml
+    val soup = Html.implySections(Html.parse(cleanedHtml))
     if (baseUrl != null) {
       soup.findAll("a").foreach(a => a.attr("href").foreach(h => a.attrs("href") = UrlCanon.resolve(h, baseUrl)))
       soup.findAll("img").foreach(im => im.attr("src").foreach(s => im.attrs("src") = UrlCanon.resolve(s, baseUrl)))

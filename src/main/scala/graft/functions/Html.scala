@@ -27,8 +27,12 @@ import scala.collection.mutable
  * the real-web leniency). Serialization re-escapes `&` `<` `>`
  * in text and `&` `"` in attributes (the BeautifulSoup round-trip rule —
  * without it a decoded `&lt;b&gt;` would re-parse as a real element).
- * Remaining divergence from a browser: the multi-step adoption agency
- * for deeply misnested formatting, and implied html/head/body synthesis.
+ * Implied html/head/body synthesis is a separate explicit step,
+ * [[implySections]] — parse() stays fragment-shaped; the extractor
+ * applies the synthesis to mirror the reference's lxml tree. Remaining
+ * divergence from a browser: the exotic corners of the multi-step
+ * adoption agency (the spec's 8-iteration outer loop) on
+ * pathologically deep misnesting.
  */
 object Html {
 
@@ -296,6 +300,81 @@ object Html {
       }
       if (name != "[document]") sb.append("</").append(name).append('>')
     }
+  }
+
+  /** Elements libxml2 admits in an implied `<head>` (title/meta/link/
+   *  base/style/script); the first top-level item outside this set — or
+   *  any non-whitespace text — flips insertion to the implied body. */
+  private val HeadLevelElements: Set[String] =
+    Set("title", "meta", "link", "base", "style", "script")
+
+  /**
+   * Implied html/head/body synthesis (the lxml/libxml2 tree shape),
+   * applied by the extractor AFTER parse — [[parse]] itself stays
+   * fragment-shaped (the frozen MalformedHtmlSpec surface). The
+   * reference parses with `BeautifulSoup(html, 'lxml')`
+   * (`cola/core/utils.py:102`), so its tree ALWAYS has html>head/body:
+   * `soup.head.title` (preprocess.py:106) finds a bare top-level
+   * `<title>`, and `soup.body or soup` (preprocess.py:121) never falls
+   * back to the whole document. Without this restructure a page that
+   * declares no `<body>` would extract against the document root —
+   * head content leaks into the candidate walk and sibling logic.
+   *
+   * Mutates and returns `root`. A document that already declares a
+   * `<body>` ANYWHERE is returned untouched — the well-formed fast
+   * path the golden corpus binds. Otherwise: top-level
+   * [[HeadLevelElements]] before the first content item move into the
+   * existing-or-synthesized `<head>`; whitespace-only text between
+   * them is dropped (libxml2 discards it); everything from the first
+   * content item on — including later stray title/meta, which libxml2
+   * also leaves in the body — wraps in a synthesized `<body>`; head
+   * and body land under the existing-or-synthesized `<html>`. Content
+   * misplaced OUTSIDE an explicit `<html>` element stays where it is
+   * (rare soup; documented divergence).
+   */
+  def implySections(root: Elem): Elem = {
+    def hasBody(e: Elem): Boolean = e.children.exists {
+      case c: Elem => c.name == "body" || hasBody(c)
+      case _ => false
+    }
+    if (hasBody(root)) return root
+    val container = root.children.collectFirst {
+      case e: Elem if e.name == "html" => e }.getOrElse(root)
+    val explicitHead = container.children.collectFirst {
+      case e: Elem if e.name == "head" => e }
+    val headParts = mutable.ArrayBuffer.empty[Elem]
+    val bodyParts = mutable.ArrayBuffer.empty[Node]
+    var inHead = true
+    container.children.toVector.foreach {
+      case e: Elem if explicitHead.contains(e) => () // stays in place
+      case e: Elem if inHead && HeadLevelElements.contains(e.name) =>
+        headParts += e
+      case t: Text if inHead && t.data.forall(_.isWhitespace) =>
+        t.extract() // inter-head whitespace: libxml2 discards it
+      case n => inHead = false; bodyParts += n
+    }
+    val head = explicitHead.getOrElse(
+      if (headParts.nonEmpty) new Elem("head") else null)
+    if (head != null)
+      headParts.foreach { e => e.extract(); e.parent = head; head.children += e }
+    val body = new Elem("body")
+    bodyParts.foreach { n => n.extract(); n.parent = body; body.children += n }
+    val html =
+      if (container ne root) container
+      else {
+        val h = new Elem("html")
+        // root now holds at most the explicit head (moved under html below)
+        explicitHead.foreach(_.extract())
+        h.parent = root; root.children += h
+        explicitHead.foreach { eh => eh.parent = h; h.children += eh }
+        h
+      }
+    if (head != null && explicitHead.isEmpty) {
+      head.parent = html; html.children += head
+    }
+    body.parent = html
+    html.children += body
+    root
   }
 
   /** Parse into a synthetic "[document]" root. Comments and doctypes dropped. */
