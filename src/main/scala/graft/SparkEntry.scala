@@ -569,6 +569,14 @@ object SparkEntry {
       Corpus.chunkDocs(s.read.parquet(s"$d/documents.parquet"),
         "text", "doc_id", chunkSize = 32, stride = 24)),
 
+    // GPT-style concat-and-chunk sequence packing: docs in id order get
+    // global token offsets (the packShards prefix-sum bridge, never a
+    // global window), then each doc splits across the fixed-length
+    // training sequences it overlaps
+    "pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(s.read.parquet(s"$d/documents.parquet"),
+        "text", "doc_id", seqLen = 64)),
+
     // source-weighted corpus mixing (the dolma/RedPajama mixing step):
     // per-source token budgets — here a deterministic function of the
     // source id so the rule scales with sf — filled in keyed-md5 order
@@ -2026,6 +2034,30 @@ object SparkEntry {
            md5(array_to_string(t[u.i * 24 + 1 : u.i * 24 + 32], ' ')) AS chunk_md5
          FROM toks, unnest(generate_series(0, (len(t) - 1) // 24)) AS u(i)
          WHERE len(t) > 0""",
+
+    // concat-and-chunk replay: exclusive window cumsum gives each doc's
+    // global token offset; integer-div boundaries generate the per-doc
+    // fragment rows (the single-node mirror of the distributed prefix sum)
+    "pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                              w -> len(w) > 0) AS t
+           FROM documents),
+         offs AS (
+           SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+                  CAST(COALESCE(SUM(CAST(len(t) AS BIGINT)) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start
+           FROM toks)
+         SELECT u.i AS seq_id, doc_id,
+                least(n, (u.i + 1) * 64 - start)
+                  - greatest(0, u.i * 64 - start) AS n_frag_tokens,
+                md5(array_to_string(
+                  t[CAST(greatest(0, u.i * 64 - start) + 1 AS INT) :
+                    CAST(least(n, (u.i + 1) * 64 - start) AS INT)], ' ')) AS frag_md5
+         FROM offs, unnest(generate_series(start // 64, (start + n - 1) // 64)) AS u(i)
+         WHERE n > 0""",
 
     "dedup_simhash" -> simhashOracle,
 

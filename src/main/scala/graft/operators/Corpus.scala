@@ -82,6 +82,71 @@ object Corpus {
     ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
+  /**
+   * Concat-and-chunk sequence packing (the GPT-2/-3 pretraining layout:
+   * documents concatenated in a deterministic order, then cut into
+   * fixed-length training sequences, documents SPLIT across sequence
+   * boundaries — vs [[packShards]], which never splits a document, and
+   * [[chunkDocs]], which windows within one). Documents in `idCol`
+   * order get a global token start offset (exclusive prefix sum); each
+   * doc then emits one row per training sequence it overlaps:
+   * `(seq_id, id, n_frag_tokens, frag_md5)` where `seq_id =
+   * tokenOffset div seqLen` and the fragment is the doc's token
+   * sub-range landing in that sequence. Every sequence holds exactly
+   * `seqLen` tokens (the last may be short); empty docs emit nothing.
+   * Pure function of the rows — identical at any parallelism.
+   *
+   * Scale: the offset is the same dense-seq prefix-sum bridge as
+   * [[packShards]] (driver state = one Long per partition, never a
+   * global window); the boundary explode is map-side `sequence()` over
+   * at most `n/seqLen + 1` elements per doc — a doc only fans out as
+   * wide as the sequences it actually spans. Offsets use exact integer
+   * `div` (no double rounding at 10^13+ global token counts). Like
+   * [[packShards]], the sorted input is evaluated twice (partial-sums
+   * pass + layout pass) — cache upstream if it is expensive.
+   */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive: $seqLen")
+    val spark = df.sparkSession
+    val sorted = df.select(col(idCol), wordTokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast(LongType))
+      .orderBy(col(idCol))
+    val schema = sorted.schema.add("__start", LongType, nullable = false)
+    val rdd0 = sorted.queryExecution.toRdd
+    val sums = rdd0.mapPartitions { it =>
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(2)
+      Iterator.single(s)
+    }.collect() // bounded driver state: one Long per partition
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (p, it) =>
+      val joined = new JoinedRow()
+      val startRow = new GenericInternalRow(1)
+      var run = offsets(p)
+      it.map { r =>
+        startRow.update(0, run)
+        run += r.getLong(2)
+        joined(r, startRow): InternalRow
+      }
+    }
+    ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__t"), col("__n"), col("__start"),
+        explode(sequence(
+          expr(s"__start div $seqLen"),
+          expr(s"(__start + __n - 1) div $seqLen"))).as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        greatest(lit(0L), col("seq_id") * seqLen - col("__start")).as("__from"),
+        least(col("__n"), (col("seq_id") + 1) * seqLen - col("__start")).as("__until"),
+        col("__t"))
+      .select(col("seq_id"), col(idCol),
+        (col("__until") - col("__from")).as("n_frag_tokens"),
+        md5(array_join(
+          slice(col("__t"), (col("__from") + 1).cast("int"),
+            (col("__until") - col("__from")).cast("int")), " ")).as("frag_md5"))
+  }
+
   /** Source-weighted corpus mixing (the dolma/RedPajama-style mixing
    *  step): each source contributes documents up to its own token budget,
    *  chosen in the deterministic keyed-md5 order (the same engine-

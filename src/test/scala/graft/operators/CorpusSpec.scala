@@ -116,6 +116,94 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((0L, 5L, 0L), (1L, 0L, 0L), (2L, 7L, 0L)))
   }
 
+  // ---- packSequences ----
+
+  /** Docs with deterministic token content; includes empty, whitespace-only
+   *  and a multi-sequence-spanning doc. */
+  private def seqCorpus: Seq[(Long, String)] =
+    (0L until 40L).map { id =>
+      val n =
+        if (id == 7) 0 // empty doc: emits nothing
+        else if (id == 13) -1 // whitespace-only marker
+        else if (id == 20) 57 // spans several 16-token sequences
+        else ((id * 7) % 11 + 1).toInt
+      val text =
+        if (n == -1) "   \t  "
+        else (0 until n).map(k => s"t${id}x$k").mkString(" ")
+      (id, text)
+    }
+
+  /** Sequential concat-and-chunk reference. */
+  private def packSequencesRef(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long, String)] = {
+    var run = 0L
+    val out = Set.newBuilder[(Long, Long, Long, String)]
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      if (n > 0) {
+        (run / L to (run + n - 1) / L).foreach { sq =>
+          val from = math.max(0L, sq * L - run)
+          val until = math.min(n, (sq + 1) * L - run)
+          out += ((sq, id, until - from,
+            md5hex(toks.slice(from.toInt, until.toInt).mkString(" "))))
+        }
+        run += n
+      } else run += 0L
+    }
+    out.result()
+  }
+
+  test("packSequences matches the sequential concat-and-chunk reference") {
+    val s = spark
+    import s.implicits._
+    val df = seqCorpus.toDF("doc_id", "text")
+    val got = Corpus.packSequences(df, "text", "doc_id", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == packSequencesRef(seqCorpus, 16))
+  }
+
+  test("packSequences is partition-independent") {
+    val s = spark
+    import s.implicits._
+    val df = seqCorpus.toDF("doc_id", "text")
+    val base = Corpus.packSequences(df, "text", "doc_id", 16)
+      .collect().map(_.toSeq).toSet
+    val shuffled = Corpus.packSequences(df.repartition(17), "text", "doc_id", 16)
+      .collect().map(_.toSeq).toSet
+    assert(base == shuffled)
+  }
+
+  test("packSequences: every sequence holds exactly L tokens except the last") {
+    val s = spark
+    import s.implicits._
+    val df = seqCorpus.toDF("doc_id", "text")
+    val totals = Corpus.packSequences(df, "text", "doc_id", 16)
+      .groupBy("seq_id").agg(sum("n_frag_tokens").as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxSeq = totals.keys.max
+    assert(totals.keySet == (0L to maxSeq).toSet, "sequence ids must be dense")
+    totals.foreach { case (sq, tot) =>
+      if (sq < maxSeq) assert(tot == 16L, s"sequence $sq holds $tot tokens")
+      else assert(tot >= 1L && tot <= 16L, s"tail sequence holds $tot tokens")
+    }
+  }
+
+  test("packSequences: a doc spanning several sequences splits at exact boundaries") {
+    val s = spark
+    import s.implicits._
+    val df = seqCorpus.toDF("doc_id", "text")
+    val frags = Corpus.packSequences(df, "text", "doc_id", 16)
+      .filter(col("doc_id") === 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1)
+    assert(frags.length >= 4, s"57-token doc must span >= 4 sequences of 16: $frags")
+    assert(frags.map(_._2).sum == 57L, "fragments must cover the whole doc")
+    // middle fragments fill whole sequences
+    frags.drop(1).dropRight(1).foreach { case (_, nf) => assert(nf == 16L) }
+    // consecutive sequence ids
+    assert(frags.map(_._1).toSeq == (frags.head._1 to frags.last._1).toSeq)
+  }
+
   // ---- decontaminate ----
 
   /** 5 docs: 0 is the eval source, 1 repeats 0's opening, 2 shares only a
