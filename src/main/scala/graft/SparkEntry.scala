@@ -400,6 +400,29 @@ object SparkEntry {
         TextStats.qualityKeep(col("text")).as("keep"): _*)
     }),
 
+    // C4 line+page cleaning (Raffel et al. 2020 §2.2) over a
+    // deterministically line-structured view of the single-line fixture
+    // docs (the replace transform is replayed verbatim in the oracle)
+    "text_c4_clean" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val nl = replace(replace(coalesce(col("text"), lit("")),
+        lit(" value "), lit(".\n")), lit(" table "), lit("!\n"))
+      docs.withColumn("__t", nl)
+        .filter(TextStats.c4PageKeep(col("__t")))
+        .select(col("doc_id"), TextStats.c4CleanText(col("__t")).as("text_c4"))
+    }),
+
+    // Gopher quality gate (Rae et al. 2021 A1.1); the stop-word clause
+    // runs with the fixture-vocab set {the, a} so the gate bites — the
+    // paper's 8-word set is the operator default (spec-pinned)
+    "text_gopher_quality" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val stops = Seq("the", "a")
+      val sig = TextStats.gopherSignals(col("text"), stops)
+      docs.select((col("doc_id") +: sig.map { case (n, c) => c.cast("long").as(n) }) :+
+        TextStats.gopherKeep(col("text"), stops).as("keep"): _*)
+    }),
+
     // repetition signals (the Gopher/RefinedWeb boilerplate filters) over
     // docs with deterministically planted boilerplate lines — explode →
     // (doc, token) partial agg → per-doc max, never an O(len²) scalar
@@ -1693,6 +1716,70 @@ object SparkEntry {
     "text_lang_id" -> langPredSql("documents"),
 
     "text_quality" -> qualitySql("documents"),
+
+    // replays c4CleanText + c4PageKeep over the same line-structuring
+    // replace transform the Spark query applies
+    "text_c4_clean" ->
+      """WITH nl AS (
+           SELECT doc_id,
+                  replace(replace(coalesce(text, ''), ' value ', '.' || chr(10)),
+                          ' table ', '!' || chr(10)) AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t,
+             array_to_string(list_filter(string_split(t, chr(10)),
+               l -> regexp_matches(trim(l), '[.!?"]$')
+                 AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                         w -> len(w) > 0)) >= 3
+                 AND NOT contains(lower(trim(l)), 'javascript')),
+               chr(10)) AS text_c4
+           FROM nl)
+         SELECT doc_id, text_c4
+         FROM c
+         WHERE len(regexp_extract_all(text_c4, '[.!?]')) >= 5
+           AND NOT contains(lower(t), 'lorem ipsum')
+           AND NOT contains(lower(t), '{')""",
+
+    // replays gopherSignals/gopherKeep with the {the, a} stop set
+    "text_gopher_quality" ->
+      """WITH w AS (
+           SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                         x -> len(x) > 0) AS words,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+                         l -> len(trim(l)) > 0) AS lines
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CASE WHEN len(words) > 0 THEN
+               CAST(1000 * CAST(list_sum(list_transform(words, x -> len(x))) AS BIGINT)
+                    // len(words) AS BIGINT) ELSE 0 END AS mean_word_len_milli,
+             CASE WHEN len(words) > 0 THEN
+               CAST(1000 * len(regexp_extract_all(t, '#')) // len(words) AS BIGINT)
+               ELSE 0 END AS hash_per_mille,
+             CASE WHEN len(words) > 0 THEN
+               CAST(1000 * len(regexp_extract_all(t, '\.\.\.|…')) // len(words) AS BIGINT)
+               ELSE 0 END AS ellipsis_per_mille,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(1000 * len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+                    // len(lines) AS BIGINT) ELSE 0 END AS bullet_line_per_mille,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(1000 * len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                    // len(lines) AS BIGINT) ELSE 0 END AS ellipsis_line_per_mille,
+             CASE WHEN len(words) > 0 THEN
+               CAST(1000 * len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                    // len(words) AS BIGINT) ELSE 0 END AS alpha_word_per_mille,
+             CAST(CAST(regexp_matches(t, '(?i)\bthe\b') AS INT)
+                + CAST(regexp_matches(t, '(?i)\ba\b') AS INT) AS BIGINT) AS stop_hits
+           FROM w)
+         SELECT *,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len_milli BETWEEN 3000 AND 10000)
+           AND hash_per_mille <= 100 AND ellipsis_per_mille <= 100
+           AND bullet_line_per_mille <= 900 AND ellipsis_line_per_mille <= 300
+           AND alpha_word_per_mille >= 800 AND stop_hits >= 2 AS keep
+         FROM s""",
 
     // replays TextStats.repetition: duplicate-line / dup-line-chars /
     // top-word / top-bigram fractions, integer per-mille

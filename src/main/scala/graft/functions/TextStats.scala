@@ -131,6 +131,105 @@ object TextStats {
       (sig("mean_token_len_milli") between (1500, 20000))
   }
 
+  // ---- C4 cleaning (Raffel et al. 2020, "Exploring the Limits of
+  // Transfer Learning...", §2.2) ----
+
+  /** C4 line-level cleaning: keep only lines that end in a terminal
+   *  punctuation mark (`.` `!` `?` or a closing double quote), contain
+   *  at least three words, and do not mention "javascript"; kept lines
+   *  re-join with `\n`. Pure per-row HOF chain (split → filter →
+   *  array_join), whole-stage codegen, shuffle-free. */
+  def c4CleanText(text: Column): Column = {
+    val lines = split(coalesce(text, lit("")), "\n", -1)
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(t).contains("javascript")
+    })
+    array_join(kept, "\n")
+  }
+
+  /** C4 page gate over the [[c4CleanText]] output: at least five
+   *  sentences (terminal marks in the retained lines, the TF-C4
+   *  implementation order), no "lorem ipsum", no curly bracket (the
+   *  paper's code-page heuristic), and no bad-word hit. `badWords`
+   *  entries must be plain word characters (they are spliced into a
+   *  `\b(...)\b` alternation that must mean the same thing to the SQL
+   *  oracle's RE2 — no escaping is applied); the published blocklist
+   *  plugs in here as data. */
+  def c4PageKeep(text: Column, badWords: Seq[String] = Nil): Column = {
+    val lo = lower(coalesce(text, lit("")))
+    val nSent = size(regexp_extract_all(c4CleanText(text), lit("[.!?]"), lit(0)))
+    val bad =
+      if (badWords.isEmpty) lit(false)
+      else {
+        require(badWords.forall(_.matches("[A-Za-z0-9_]+")),
+          "c4 badWords must be plain word characters (oracle-portable regex)")
+        lo.rlike("\\b(" + badWords.mkString("|") + ")\\b")
+      }
+    nSent >= 5 && !lo.contains("lorem ipsum") && !lo.contains("{") && !bad
+  }
+
+  // ---- Gopher quality gate (Rae et al. 2021, "Scaling Language
+  // Models: Methods, Analysis & Insights from Training Gopher", A1.1)
+  // — distinct from the repetition section, which is [[repetition]] ----
+
+  /** The paper's stop-word set for the "contains at least two" clause. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality signals, all integers: word count, mean word length
+   *  (milli), per-word hash/ellipsis symbol rates, bullet-start and
+   *  ellipsis-end line rates, alphabetic-word rate (all per-mille), and
+   *  the count of distinct stop words present. Per-row HOFs only —
+   *  scan → project, nothing moves. */
+  def gopherSignals(text: Column,
+      stopWords: Seq[String] = GopherStopWords): Seq[(String, Column)] = {
+    require(stopWords.nonEmpty &&
+      stopWords.forall(_.matches("[A-Za-z0-9_]+")),
+      "stop words must be plain word characters (oracle-portable regex)")
+    val t = coalesce(text, lit(""))
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val wordChars = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val lines = filter(split(t, "\n", -1), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+    val hashes = size(regexp_extract_all(t, lit("#"), lit(0)))
+    val ellipses = size(regexp_extract_all(t, lit("\\.\\.\\.|…"), lit(0)))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = stopWords
+      .map(sw => when(t.rlike("(?i)\\b" + sw + "\\b"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len_milli" -> milli(wordChars, nWords),
+      "hash_per_mille" -> milli(hashes, nWords),
+      "ellipsis_per_mille" -> milli(ellipses, nWords),
+      "bullet_line_per_mille" -> milli(bulletLines, nLines),
+      "ellipsis_line_per_mille" -> milli(ellipsisLines, nLines),
+      "alpha_word_per_mille" -> milli(alphaWords, nWords),
+      "stop_hits" -> stopHits)
+  }
+
+  /** The paper's keep rule over [[gopherSignals]]: 50–100k words, mean
+   *  word length 3–10, symbol-to-word ratio ≤ 0.1 for `#` and for
+   *  ellipses, ≤ 90% bullet-start lines, ≤ 30% ellipsis-end lines,
+   *  ≥ 80% of words with an alphabetic character, and ≥ 2 stop words. */
+  def gopherKeep(text: Column,
+      stopWords: Seq[String] = GopherStopWords): Column = {
+    val sig = gopherSignals(text, stopWords).toMap
+    sig("n_words").between(50L, 100000L) &&
+      sig("mean_word_len_milli").between(3000L, 10000L) &&
+      (sig("hash_per_mille") <= 100L) && (sig("ellipsis_per_mille") <= 100L) &&
+      (sig("bullet_line_per_mille") <= 900L) &&
+      (sig("ellipsis_line_per_mille") <= 300L) &&
+      (sig("alpha_word_per_mille") >= 800L) &&
+      (sig("stop_hits") >= 2L)
+  }
+
   /** floor(1000 * num / den), 0 when den is 0/null (exact cross-engine). */
   private def milli(num: Column, den: Column): Column =
     when(coalesce(den, lit(0L)) > 0, (lit(1000) * num / den).cast("long"))

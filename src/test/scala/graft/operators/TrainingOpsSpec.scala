@@ -143,6 +143,62 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)); assert(!out(2L)); assert(!out(3L))
   }
 
+  test("c4CleanText keeps punctuated >=3-word non-javascript lines; c4PageKeep gates pages") {
+    val good = (1 to 6).map(i => s"Sentence number $i has plenty of words.").mkString("\n")
+    val df = spark.createDataFrame(Seq(
+      (1L, good),
+      (2L, "No terminal punctuation here\nshort one.\nEnable JavaScript to view.\n" + good),
+      (3L, "Only two. Sentences here. Total.\nNot enough sentences kept."),
+      (4L, good + "\nif (x) { return; }"),
+      (5L, good + "\nlorem ipsum dolor sit amet."),
+      (6L, good + "\nthis line mentions a badword somewhere."))).toDF("id", "text")
+    val cleaned = df.select(col("id"), TextStats.c4CleanText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == good, "fully-clean page must survive intact")
+    // doc 2: unpunctuated and sub-3-word and javascript lines all drop
+    assert(!cleaned(2L).contains("No terminal punctuation"))
+    assert(!cleaned(2L).contains("short one."))
+    assert(!cleaned(2L).contains("JavaScript"))
+    assert(cleaned(2L) == good)
+    val keep = df.select(col("id"),
+      TextStats.c4PageKeep(col("text"), Seq("badword")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep(1L) && keep(2L))
+    assert(!keep(3L), "fewer than 5 retained sentences must drop the page")
+    assert(!keep(4L), "curly bracket must drop the page")
+    assert(!keep(5L), "lorem ipsum must drop the page")
+    assert(!keep(6L), "bad-word hit must drop the page")
+  }
+
+  test("gopherKeep: each clause of the paper's gate rejects independently") {
+    val base = ("the words of this document keep flowing with sensible english " +
+      "prose that we have written to be long enough ") * 3 // > 50 words, stops present
+    val df = spark.createDataFrame(Seq(
+      (1L, base),
+      (2L, "too short to pass the fifty word minimum of the gate"),
+      (3L, base + " " + ("#" * 40)),                       // hash symbol flood
+      (4L, base + (" word..." * 40)),                      // ellipsis flood
+      (5L, base.split(" ").take(60).mkString("\n- ")),     // bullet lines
+      (6L, base + " " + (("12345 " * 4) * 20)),            // < 80% alphabetic words
+      (7L, base.replaceAll("\\b(the|of|that|with|to|have|be|and)\\b", "xx")))) // no stops
+      .toDF("id", "text")
+    val out = df.select(col("id"), TextStats.gopherKeep(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L), "clean long prose must pass")
+    assert(!out(2L), "word-count floor")
+    assert(!out(3L), "hash symbol ratio")
+    assert(!out(4L), "ellipsis symbol ratio")
+    assert(!out(5L), "bullet-line fraction")
+    assert(!out(6L), "alphabetic-word floor")
+    assert(!out(7L), "stop-word floor")
+    // signals are exact integers
+    val sig = TextStats.gopherSignals(col("text"))
+    val row = df.filter(col("id") === 1L)
+      .select(sig.map { case (n, c) => c.cast("long").as(n) }: _*).collect()(0)
+    assert(row.getLong(0) > 50L)          // n_words
+    assert(row.getLong(7) >= 2L)          // stop_hits
+  }
+
   test("fingerprint is order-sensitive and whitespace-normalized") {
     assert(TextStats.fingerprint("a b c") == TextStats.fingerprint("a  b   c"))
     assert(TextStats.fingerprint("a b c") != TextStats.fingerprint("c b a"))
