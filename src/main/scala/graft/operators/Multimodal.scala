@@ -221,4 +221,74 @@ object Multimodal {
     }
     org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, featureSchema)
   }
+
+  /** Perceptual difference hash (dHash, the classic 9×8 variant):
+   *  nearest-neighbor sample the decoded luma plane to 9 columns × 8
+   *  rows; bit (row*8+col) is set iff the sampled pixel is strictly
+   *  darker than its right neighbor. Identical images collide exactly;
+   *  re-encodes, small crops and noise land within a few bits. Pure
+   *  function of (w, h, luma) — images smaller than 9×8 sample with
+   *  pixel repetition, still deterministic. */
+  private[operators] def dhash64(w: Int, h: Int, luma: Array[Byte]): Long = {
+    val cols = 9; val rows = 8
+    var hash = 0L
+    var bit = 0
+    val rowPix = new Array[Int](cols)
+    var r = 0
+    while (r < rows) {
+      val y = (r.toLong * h / rows).toInt
+      var c = 0
+      while (c < cols) {
+        val x = (c.toLong * w / cols).toInt
+        rowPix(c) = luma(y * w + x) & 0xFF
+        c += 1
+      }
+      c = 0
+      while (c < cols - 1) {
+        if (rowPix(c) < rowPix(c + 1)) hash |= 1L << bit
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  private val dhashSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false)))
+
+  /** Perceptual signatures (id, simhash) over a [[mediaSchema]] table —
+   *  the column names match the text engine's simhash surface on
+   *  purpose, so [[TextDedup.simhashCandidates]] consumes them
+   *  unchanged. Undecodable rows drop (the corrupt-image filter);
+   *  InternalRow bridge, decoder state per partition. */
+  def dhashSignatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val proj = media.select(col("doc_id"), col("media"))
+    val rdd = proj.queryExecution.toRdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getBinary(1)
+        decode(bytes).map { case (w, h, body) =>
+          val out = new GenericInternalRow(2)
+          out.update(0, id)
+          out.update(1, dhash64(w, h, body))
+          out: InternalRow
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, dhashSchema)
+  }
+
+  /** Image near-duplicate pairs: hamming(dHash) ≤ maxDist, found with
+   *  the SAME block-combination bucket join the text SimHash path uses
+   *  ([[TextDedup.simhashCandidates]] — pigeonhole keys, O(1) buckets
+   *  at web scale) + exact bit_count verify. Pure composition: the
+   *  image side only contributes signatures. Output: (a, b, dist). */
+  def imageNearDups(spark: SparkSession, media: DataFrame,
+      maxDist: Int = 6, nBlocks: Int = 8): DataFrame =
+    TextDedup.simhashCandidates(dhashSignatures(spark, media), maxDist, nBlocks)
+      .withColumn("dist", expr("bit_count(sa ^ sb)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
 }

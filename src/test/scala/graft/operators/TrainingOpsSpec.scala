@@ -828,6 +828,77 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodePpm("P5 2 2 255 ".getBytes ++ px).isEmpty)
   }
 
+  /** Gray 9×8 P6 PPM from a luma function — at exactly 9×8 every dHash
+   *  sample IS the pixel, so hashes are hand-computable. */
+  private def ppm9x8(p: (Int, Int) => Int): Array[Byte] = {
+    val header = "P6\n9 8\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](9 * 8 * 3)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = (p(x, y) & 0xFF).toByte
+      val i = (y * 9 + x) * 3
+      px(i) = v; px(i + 1) = v; px(i + 2) = v // equal RGB → luma == v
+    }
+    header ++ px
+  }
+
+  private def mediaOf(rows: (Long, Array[Byte])*): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(rows.map { case (id, b) => (id, b, "ppm", 9, 8) })
+      .toDF("doc_id", "media", "format", "width", "height")
+
+  test("image dHash: hand-computed signatures at the 9x8 sample grid") {
+    val asc = ppm9x8((x, _) => x * 20)       // every left < right → all 64 bits
+    val desc = ppm9x8((x, _) => 200 - x * 20) // never → 0 bits
+    val sigs = Multimodal.dhashSignatures(spark, mediaOf(1L -> asc, 2L -> desc))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == -1L, "ascending gradient must set all 64 bits")
+    assert(sigs(2L) == 0L, "descending gradient must set none")
+  }
+
+  test("imageNearDups: exact copy at dist 0, 1-bit variant within, inverse beyond") {
+    val asc = ppm9x8((x, _) => x * 20)
+    // flip exactly row 0's first comparison: pixel(0,0) brighter than pixel(1,0)
+    val oneBit = ppm9x8((x, y) => if (y == 0 && x == 0) 25 else x * 20)
+    val desc = ppm9x8((x, _) => 200 - x * 20)
+    val media = mediaOf(1L -> asc, 2L -> asc.clone(), 3L -> oneBit, 4L -> desc,
+      5L -> Array[Byte]('P', '6', ' ')) // corrupt: dropped, not fatal
+    val pairs = Multimodal.imageNearDups(spark, media, maxDist = 6, nBlocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(pairs((1L, 2L)) == 0L, "identical images collide at distance 0")
+    assert(pairs((1L, 3L)) == 1L && pairs((2L, 3L)) == 1L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "inverse gradient (distance 64) must not pair")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      "undecodable row must drop silently")
+  }
+
+  test("imageNearDups equals brute-force hamming pairs on an LCG image set") {
+    def lcgImg(id: Long, tweak: Int): Array[Byte] = {
+      var s = id * 6364136223846793005L + 1442695040888963407L
+      ppm9x8 { (x, y) =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val v = (((s >>> 33) + x * 3 + y * 5) & 0xFF).toInt
+        // tweak > 0: overwrite a few sampled cells so planted variants
+        // land within a small hamming distance of their base image
+        if (tweak > 0 && y == 0 && x < tweak) 255 - v else v
+      }
+    }
+    val base = (0L until 40L).map(id => id -> lcgImg(id, 0))
+    val planted = Seq( // near-dups of bases 3 and 17, one exact copy
+      100L -> lcgImg(3L, 0), 101L -> lcgImg(3L, 2), 102L -> lcgImg(17L, 3))
+    val media = mediaOf(base ++ planted: _*)
+    val got = Multimodal.imageNearDups(spark, media, maxDist = 6, nBlocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got.exists(_._3 == 0L), "the planted exact copy must appear at dist 0")
+    assert(got.size >= 2, "planted near-dups must appear")
+    val sigs = Multimodal.dhashSignatures(spark, media)
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("d"))
+      .filter(col("d") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"bucket join missed or invented pairs: got=${got.size} brute=${brute.size}")
+  }
+
   test("multimodal: mixed real + fixture formats in one pass, corrupt rows dropped") {
     val mixed = Multimodal.mediaTable(spark, 3)
       .unionByName(spark.createDataFrame(Seq(
