@@ -561,6 +561,18 @@ object SparkEntry {
       Corpus.lmScore(docs, model, "text", "doc_id", threshold = 60000L)
     }),
 
+    // CCNet head/middle/tail: per-source quality terciles over the LM
+    // surprisal score — exact positions via the mixSources dense-seq
+    // two-pass pattern, never an ntile window task per source
+    "quality_buckets" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val model = Corpus.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+      val scored = Corpus.lmScore(docs, model, "text", "doc_id", threshold = 60000L)
+        .select(col("doc_id"), col("surprisal_milli"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Corpus.scoreBuckets(scored, "source", "doc_id", "surprisal_milli", 3)
+    }),
+
     // per-source corpus audit (dolma-style source-mix report): doc /
     // token / quality-keep counts, language spread, deterministic top
     // language per source
@@ -2038,6 +2050,37 @@ object SparkEntry {
                 coalesce(a.surprisal_milli, 0) <= 60000 AS keep
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN agg a USING (doc_id)""",
+
+    // replays the lm_score surprisal CTE, then the per-source tercile
+    // assignment as a row_number window (the single-node mirror of the
+    // distributed per-source prefix positions)
+    "quality_buckets" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> len(w) > 0)) AS token
+           FROM documents),
+         model AS (SELECT token, count(*) AS cnt FROM tok
+                   WHERE doc_id % 2 = 0 GROUP BY token),
+         mass AS (SELECT CAST(1000 * sum(cnt) AS BIGINT) AS m FROM model),
+         surp AS (
+           SELECT t.doc_id,
+                  least(coalesce(CAST((SELECT m FROM mass) // mo.cnt AS BIGINT),
+                                 1000000), 1000000) AS surp
+           FROM tok t LEFT JOIN model mo USING (token)),
+         agg AS (SELECT doc_id, CAST(sum(surp) // count(*) AS BIGINT) AS surprisal_milli
+                 FROM surp GROUP BY doc_id),
+         sc AS (SELECT d.doc_id, d.source,
+                       coalesce(a.surprisal_milli, 0) AS surprisal_milli
+                FROM documents d LEFT JOIN agg a USING (doc_id)),
+         r AS (SELECT doc_id, source, surprisal_milli,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY surprisal_milli, doc_id) - 1 AS pos,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM sc)
+         SELECT doc_id, source, surprisal_milli,
+                CAST(pos * 3 // n AS BIGINT) AS bucket
+         FROM r""",
 
     // replays Corpus.sourceProfile: token counts + quality keep per doc,
     // then per-source rollup and row_number top-1 language

@@ -222,6 +222,90 @@ object Corpus {
       .select(col("id").as(idCol), col("source").as(sourceCol), col("n_tokens"))
   }
 
+  /**
+   * CCNet-style per-source quality buckets (Wenzek et al. 2020,
+   * "CCNet: Extracting High Quality Monolingual Datasets from Web
+   * Crawl Data" — the head/middle/tail split): rank each document
+   * within its source by `(score, id)` ascending and cut the source
+   * into `nBuckets` equal-count buckets, `bucket = pos·nBuckets/n` —
+   * bucket 0 is the best (lowest-score, e.g. lowest-perplexity) head,
+   * the last the tail. Pure function of the rows (exact, not an
+   * approximate percentile), identical at any parallelism.
+   *
+   * Scale: the textbook `ntile() over (partition by source)` funnels
+   * each source into ONE window task (the J5 mega-host trap — a
+   * 10^9-doc source would sort on a single core). This is the
+   * [[mixSources]] two-pass dense-seq pattern instead: global sort by
+   * (source, score, id) — a range exchange, sources contiguous across
+   * partitions — pass 1 collects ordered per-source COUNT runs
+   * (driver state ≤ partitions + sources rows), and pass 2 assigns
+   * positions partition-locally at the InternalRow level. Output:
+   * (idCol, sourceCol, scoreCol, bucket). Null sources are dropped,
+   * null scores coalesce to 0 (the [[mixSources]] rules).
+   */
+  def scoreBuckets(df: DataFrame, sourceCol: String, idCol: String,
+      scoreCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"bucket count must be positive: $nBuckets")
+    val spark = df.sparkSession
+    val sorted = df.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"), col(idCol).as("id"),
+        coalesce(col(scoreCol).cast(LongType), lit(0L)).as("score"))
+      .orderBy(col("source"), col("score"), col("id"))
+    val rdd0 = sorted.queryExecution.toRdd
+    // pass 1: ordered per-source row-count runs per partition
+    val partials = rdd0.mapPartitionsWithIndex { (p, it) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var curSrc: String = null
+      var c = 0L
+      it.foreach { r =>
+        val src = r.getUTF8String(0).toString
+        if (src != curSrc) {
+          if (curSrc != null) runs += ((curSrc, c))
+          curSrc = src; c = 0L
+        }
+        c += 1L
+      }
+      if (curSrc != null) runs += ((curSrc, c))
+      Iterator.single((p, runs.toSeq))
+    }.collect().sortBy(_._1) // bounded driver state: ≤ partitions + sources
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    val totals = scala.collection.mutable.HashMap.empty[String, Long]
+    partials.foreach { case (p, runs) =>
+      runs.foreach { case (src, c) =>
+        offsets((p, src)) = totals.getOrElse(src, 0L)
+        totals(src) = totals.getOrElse(src, 0L) + c
+      }
+    }
+    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bcTot = spark.sparkContext.broadcast(totals.toMap)
+    val schema = sorted.schema.add("bucket", LongType, nullable = false)
+    val nb = nBuckets.toLong
+    // pass 2: partition-local position → bucket (same sorted RDD order)
+    val rdd = rdd0.mapPartitionsWithIndex { (p, it) =>
+      val off = bcOff.value
+      val tot = bcTot.value
+      val joined = new JoinedRow()
+      val bRow = new GenericInternalRow(1)
+      var curSrc: String = null
+      var pos = 0L
+      var n = 1L
+      it.map { r =>
+        val src = r.getUTF8String(0).toString
+        if (src != curSrc) {
+          curSrc = src
+          pos = off.getOrElse((p, src), 0L)
+          n = math.max(tot.getOrElse(src, 1L), 1L)
+        }
+        bRow.update(0, pos * nb / n)
+        pos += 1L
+        joined(r, bRow): InternalRow
+      }
+    }
+    ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
+      .select(col("id").as(idCol), col("source").as(sourceCol),
+        col("score").as(scoreCol), col("bucket"))
+  }
+
   /** Fixed-window document chunking (the tokenize→chunk step between
    *  cleaning and shard packing): each doc's token stream is cut into
    *  windows of `chunkSize` tokens starting every `stride` tokens

@@ -204,6 +204,60 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frags.map(_._1).toSeq == (frags.head._1 to frags.last._1).toSeq)
   }
 
+  // ---- scoreBuckets ----
+
+  /** 3 sources with uneven sizes and planted score ties. */
+  private def bucketCorpus: Seq[(Long, String, Long)] =
+    (0L until 151L).map { i =>
+      val src = Seq("web", "books", "code")((i % 3).toInt)
+      val score = (i * 37 % 23) * 100L // ties on purpose
+      (i, src, score)
+    } :+ ((151L, "web", 1100L))
+
+  private def bucketsRef(rows: Seq[(Long, String, Long)], k: Int): Map[Long, Long] =
+    rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val n = sorted.length.toLong
+      sorted.zipWithIndex.map { case (r, i) => r._1 -> i.toLong * k / n }
+    }
+
+  test("scoreBuckets matches the sequential per-source tercile reference (ties included)") {
+    val s = spark
+    import s.implicits._
+    val df = bucketCorpus.toDF("doc_id", "source", "score")
+    val got = Corpus.scoreBuckets(df, "source", "doc_id", "score", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == bucketsRef(bucketCorpus, 3))
+  }
+
+  test("scoreBuckets is partition-independent") {
+    val s = spark
+    import s.implicits._
+    val df = bucketCorpus.toDF("doc_id", "source", "score")
+    val base = Corpus.scoreBuckets(df, "source", "doc_id", "score", 3)
+      .collect().map(_.toSeq).toSet
+    val shuffled = Corpus.scoreBuckets(df.repartition(17), "source", "doc_id", "score", 3)
+      .collect().map(_.toSeq).toSet
+    assert(base == shuffled)
+  }
+
+  test("scoreBuckets: per-source bucket sizes are balanced within one doc") {
+    val s = spark
+    import s.implicits._
+    val df = bucketCorpus.toDF("doc_id", "source", "score")
+    val sizes = Corpus.scoreBuckets(df, "source", "doc_id", "score", 3)
+      .groupBy("source", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sizes.keys.map(_._1).toSet.foreach { (src: String) =>
+      val per = (0L to 2L).map(b => sizes.getOrElse((src, b), 0L))
+      assert(per.max - per.min <= 1L, s"$src buckets unbalanced: $per")
+    }
+    // nBuckets = 1 degenerates to a single bucket
+    val one = Corpus.scoreBuckets(df, "source", "doc_id", "score", 1)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(0L))
+  }
+
   // ---- decontaminate ----
 
   /** 5 docs: 0 is the eval source, 1 repeats 0's opening, 2 shares only a
