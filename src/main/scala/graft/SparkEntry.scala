@@ -32,6 +32,33 @@ object SparkEntry {
   private def urlsDF(spark: SparkSession, sfDir: String): DataFrame =
     spark.sql(urlsCte(s"parquet.`$sfDir/orders.parquet`"))
 
+  /** PSL-exercising host mix (engine-portable like [[urlsCte]]): plain
+    * com, multi-label co.uk/ac.jp/com.br, the *.ck wildcard (with and
+    * without a registrable label) and the !www.ck exception. */
+  private def pslHostsCte(from: String): String = s"""
+    SELECT CASE CAST(o_orderkey % 7 AS INT)
+             WHEN 0 THEN concat('www.site', CAST(o_orderkey % 50 AS STRING), '.co.uk')
+             WHEN 1 THEN concat('site', CAST(o_orderkey % 50 AS STRING), '.com')
+             WHEN 2 THEN concat('a.b.site', CAST(o_orderkey % 50 AS STRING), '.ac.jp')
+             WHEN 3 THEN concat('x', CAST(o_orderkey % 10 AS STRING), '.ck')
+             WHEN 4 THEN concat('deep.x', CAST(o_orderkey % 10 AS STRING), '.ck')
+             WHEN 5 THEN 'www.ck'
+             ELSE concat('sub.host', CAST(o_orderkey % 20 AS STRING), '.com.br')
+           END AS host,
+           o_orderkey AS seq
+    FROM $from"""
+
+  /** The PSL seed rules as a SQL VALUES list, generated from the SAME
+    * compiled maps the operator evaluates — oracle and engine cannot
+    * drift. kind: e = exact, w = wildcard (base), x = exception. */
+  private def pslRulesValues: String = {
+    val (e, w, x) = graft.operators.PublicSuffix.compile(
+      graft.operators.PublicSuffix.SeedRules)
+    (e.toSeq.sorted.map { case (s, p) => s"('$s', $p, 'e')" } ++
+      w.toSeq.sorted.map { case (s, p) => s"('$s', $p, 'w')" } ++
+      x.toSeq.sorted.map { case (s, p) => s"('$s', $p, 'x')" }).mkString(", ")
+  }
+
   /** Trap-shaped frontier (engine-portable like [[urlsCte]]): two distinct
     * base segments, a repeated-segment tail of 0–5 copies (repetition AND
     * depth vary together but trip at different bounds), and a query string
@@ -95,6 +122,18 @@ object SparkEntry {
     // P5: host extraction
     "host_extract" -> ((s, d) =>
       urlsDF(s, d).select(hostUdf(lower(col("url"))).as("host"), col("seq"))),
+
+    // PSL registrable-domain extraction (politeness/blocklists group by
+    // the registrable domain, not the raw host): per-row HOF chain over
+    // the host's dot-suffixes with the rules as literal maps — no join
+    "registered_domain" -> ((s, d) => {
+      val hosts = s.sql(pslHostsCte(s"parquet.`$d/orders.parquet`"))
+      hosts.select(col("host"), col("seq"),
+        graft.operators.PublicSuffix.registeredDomain(col("host"))
+          .as("registered_domain"),
+        graft.operators.PublicSuffix.publicSuffix(col("host"))
+          .as("public_suffix"))
+    }),
 
     // D1: first-seen dedup
     // the string url column is dropped BEFORE the dedup: with only
@@ -1448,6 +1487,33 @@ object SparkEntry {
 
     "host_extract" -> oracle(
       "SELECT lower(regexp_extract(url, '^http://([^/#]+)', 1)) AS host, seq FROM urls"),
+
+    // replays the PSL algorithm: dot-suffixes × rules join, exceptions
+    // prevail (min plen), else the longest exact/wildcard match, else
+    // the default 1-label rule; registrable = public suffix + 1 label
+    "registered_domain" ->
+      s"""WITH hosts AS (${pslHostsCte("orders")}),
+         rules(sfx, plen, kind) AS (VALUES $pslRulesValues),
+         lab AS (SELECT host, seq, string_split(host, '.') AS ls FROM hosts),
+         suf AS (SELECT host, seq, len(ls) AS k,
+                        array_to_string(ls[u.i:len(ls)], '.') AS s
+                 FROM lab, unnest(generate_series(1, len(ls))) AS u(i)),
+         agg AS (SELECT host, seq, any_value(k) AS k,
+                        min(CASE WHEN r.kind = 'x' THEN r.plen END) AS excp,
+                        max(CASE WHEN r.kind IN ('e', 'w') THEN r.plen END) AS candp
+                 FROM suf LEFT JOIN rules r ON r.sfx = suf.s
+                 GROUP BY host, seq),
+         fin AS (SELECT host, seq, k,
+                        coalesce(excp, greatest(coalesce(candp, 1), 1)) AS p
+                 FROM agg)
+         SELECT host, seq,
+                CASE WHEN k > p THEN
+                  array_to_string(string_split(host, '.')[k - p : k], '.')
+                END AS registered_domain,
+                array_to_string(
+                  string_split(host, '.')[k - least(p, k) + 1 : k], '.')
+                  AS public_suffix
+         FROM fin""",
 
     "dedup_anti" -> oracle(
       s"""SELECT url_canon, min(seq) AS seq FROM ($enrichedOracle) e GROUP BY url_canon"""),

@@ -233,4 +233,60 @@ class AdmissionSplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verdicts("bad.net"))
     assert(!verdicts("∅") && !verdicts(""))
   }
+
+  // ---- PublicSuffix ----
+
+  private def regOf(hs: String*): Map[String, Option[String]] =
+    hostsDF(hs: _*).select(col("host"),
+        PublicSuffix.registeredDomain(col("host")).as("rd"))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> Option(r.getString(1)))
+      .toMap
+
+  test("registeredDomain: exact, multi-label, wildcard, exception, default rules") {
+    val out = regOf(
+      "example.com", "www.example.com", "a.b.example.co.uk",
+      "x.ck", "a.x.ck", "www.ck", "b.www.ck",
+      "foo.unknowntld", "com", "co.uk", "ck",
+      "Www.Example.CO.UK.", null, "")
+    assert(out("example.com") == Some("example.com"))
+    assert(out("www.example.com") == Some("example.com"))
+    assert(out("a.b.example.co.uk") == Some("example.co.uk"))
+    // *.ck: x.ck IS a public suffix; one more label is registrable
+    assert(out("x.ck") == None)
+    assert(out("a.x.ck") == Some("a.x.ck"))
+    // !www.ck beats the wildcard: www.ck itself is registrable
+    assert(out("www.ck") == Some("www.ck"))
+    assert(out("b.www.ck") == Some("www.ck"))
+    // default rule *: unknown TLD is a 1-label public suffix
+    assert(out("foo.unknowntld") == Some("foo.unknowntld"))
+    // a bare public suffix has no registrable domain
+    assert(out("com") == None && out("co.uk") == None && out("ck") == None)
+    // normalization: case + trailing dot
+    assert(out("Www.Example.CO.UK.") == Some("example.co.uk"))
+    assert(out("∅") == None && out("") == None)
+  }
+
+  test("publicSuffix matches the prevailing rule per host") {
+    val out = hostsDF("a.example.co.uk", "site.com", "x.ck", "www.ck",
+        "deep.x.ck", "foo.unknowntld")
+      .select(col("host"), PublicSuffix.publicSuffix(col("host")).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a.example.co.uk") == "co.uk")
+    assert(out("site.com") == "com")
+    assert(out("x.ck") == "x.ck")      // wildcard: the host itself
+    assert(out("www.ck") == "ck")      // exception strips to the base
+    assert(out("deep.x.ck") == "x.ck")
+    assert(out("foo.unknowntld") == "unknowntld")
+  }
+
+  test("registeredDomain is a pure projection (no Exchange) and groups subdomains") {
+    val df = hostsDF("a.s.example.co.uk", "b.s.example.co.uk", "c.example.co.uk")
+    val plan = df.select(PublicSuffix.registeredDomain(col("host")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
+    val groups = df.groupBy(PublicSuffix.registeredDomain(col("host")).as("rd"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(groups == Map("example.co.uk" -> 3L))
+  }
 }
