@@ -770,6 +770,14 @@ object SparkEntry {
       Sessions.sessionize(s.read.parquet(s"$d/events.parquet"),
         "user_id", "ts", "event_id", gap = "24 hours")),
 
+    // strict-order conversion funnel (view → click → purchase): first
+    // time of each step strictly after the previous step's time — one
+    // user-keyed join + partial min aggregate per step, never a
+    // per-user sorted event list
+    "events_funnel" -> ((s, d) =>
+      Events.funnel(s.read.parquet(s"$d/events.parquet"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
     // NFC normalization (native codegen Expression, ASCII zero-copy fast
     // path). The synthetic corpus is pure ASCII, so a DECOMPOSED suffix
     // (e+U+0301, A+U+030A) is appended per row — the md5 matches DuckDB's
@@ -1438,6 +1446,28 @@ object SparkEntry {
     // events merge while gap <= 24h (inclusive boundary, pinned by
     // SessionsSpec; 24h makes sf0.01 sessions ~8 events, not singletons);
     // session identity = min event time in micros
+    // replays Events.funnel: a min-aggregate CTE per step, each joining
+    // the previous step's time with a strict > condition
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.t1, min(c.ts) AS t2
+                FROM s1 LEFT JOIN e c ON c.user_id = s1.user_id
+                     AND c.event_type = 'click' AND c.ts > s1.t1
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(c.ts) AS t3
+                FROM s2 LEFT JOIN e c ON c.user_id = s2.user_id
+                     AND c.event_type = 'purchase' AND c.ts > s2.t2
+                GROUP BY 1, 2, 3)
+         SELECT user_id, t1, t2, t3,
+                CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                          WHEN t2 IS NOT NULL THEN 2
+                          ELSE 1 END AS BIGINT) AS depth
+         FROM s3""",
+
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts FROM events
                     WHERE user_id IS NOT NULL AND ts IS NOT NULL),

@@ -82,4 +82,50 @@ object Events {
         coalesce(sum(col("__v")), lit(0L)).as("field_sum"),
         coalesce(max(col("__v")), lit(0L)).as("field_max"))
   }
+
+  /**
+   * Strict-order funnel analysis: for each user who performed
+   * `steps.head`, the FIRST time of each subsequent step occurring
+   * STRICTLY after the previous step's time — the classic conversion
+   * funnel (view → click → purchase). Output: one row per step-1 user
+   * with `t1..tk` (epoch micros, null from the first unreached step
+   * on) and `depth` (steps reached, ≥ 1). Ties at the exact same
+   * microsecond do NOT advance the funnel (strict `>`); users who
+   * never performed step 1 are absent.
+   *
+   * Scale: one pass per step — the events table is pre-filtered to
+   * that step's type, then a user-keyed shuffle join against the
+   * (one-row-per-user) funnel state and a partial-combining min
+   * aggregate; k−1 joins total, never a per-user sorted event list or
+   * a window over the raw stream. Times flow as epoch micros under the
+   * engine's pinned UTC session (the [[Sessions]] convention), so the
+   * SQL oracle compares exactly.
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"repeated step types: $steps")
+    val e = events
+      .withColumn("__ts", unix_micros(col(tsCol).cast("timestamp")))
+      .filter(col(userCol).isNotNull && col("__ts").isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col("__ts"), col(typeCol).as("__ty"))
+    var cur = e.filter(col("__ty") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val cand = e.filter(col("__ty") === st)
+        .select(col("__u").as("__cu"), col("__ts").as("__cts"))
+      val carried = col("__u") +: (1 to i).map(j => col(s"t$j"))
+      cur = cur.join(cand,
+          col("__u") === col("__cu") && col("__cts") > col(s"t$i"), "left")
+        .groupBy(carried: _*)
+        .agg(min(col("__cts")).as(s"t${i + 1}"))
+    }
+    val depth = steps.indices
+      .map(j => when(col(s"t${j + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    cur.select((col("__u").as(userCol) +:
+      steps.indices.map(j => col(s"t${j + 1}"))) :+
+      depth.cast(LongType).as("depth"): _*)
+  }
 }

@@ -85,6 +85,54 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("buy", 2L, 1L, 3L, 3L)))
   }
 
+  test("funnel: strict-order step times, ties and out-of-order ignored, depth exact") {
+    val s = spark
+    import s.implicits._
+    def e(u: Long, t: Long, ty: String) = (Option(u), Option(ts(t)), Option(ty))
+    val df = (Seq(
+      // u1 converts fully in order
+      e(1L, h0 + 10, "view"), e(1L, h0 + 20, "click"), e(1L, h0 + 30, "purchase"),
+      // u2: view only
+      e(2L, h0 + 10, "view"),
+      // u3: clicks BEFORE the first view never count; a later one does
+      e(3L, h0 + 5, "click"), e(3L, h0 + 8, "click"), e(3L, h0 + 10, "view"),
+      e(3L, h0 + 15, "click"),
+      // u4: an early purchase is ignored; the one after the click wins
+      e(4L, h0 + 15, "purchase"), e(4L, h0 + 10, "view"), e(4L, h0 + 20, "click"),
+      e(4L, h0 + 25, "purchase"),
+      // u5: never views → absent from the funnel
+      e(5L, h0 + 10, "click"), e(5L, h0 + 20, "purchase"),
+      // u6: click at the exact same microsecond as view → strict > rejects
+      e(6L, h0 + 10, "view"), e(6L, h0 + 10, "click")) :+
+      ((Option(7L), Option.empty[java.sql.Timestamp], Option("view"))) // null ts dropped
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 6L))
+    assert(got(1L) == ((Some(h0 + 10), Some(h0 + 20), Some(h0 + 30), 3L)))
+    assert(got(2L) == ((Some(h0 + 10), None, None, 1L)))
+    assert(got(3L) == ((Some(h0 + 10), Some(h0 + 15), None, 2L)))
+    assert(got(4L) == ((Some(h0 + 10), Some(h0 + 20), Some(h0 + 25), 3L)))
+    assert(got(6L) == ((Some(h0 + 10), None, None, 1L)))
+  }
+
+  test("funnel is partition-independent") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map { i =>
+      val ty = Seq("view", "click", "purchase", "error")((i % 4).toInt)
+      (i % 23, ts(h0 + (i * 37 % 101) * 1000000L), ty)
+    }.toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val base = Events.funnel(df, "user_id", "ts", "event_type", steps)
+      .collect().map(_.toSeq).toSet
+    val shuffled = Events.funnel(df.repartition(17), "user_id", "ts", "event_type", steps)
+      .collect().map(_.toSeq).toSet
+    assert(base == shuffled && base.nonEmpty)
+  }
+
   test("plans: both are single hash aggregates, no UDF/ScalaUDF node") {
     val s = spark
     import s.implicits._
