@@ -770,6 +770,13 @@ object SparkEntry {
       Sessions.sessionize(s.read.parquet(s"$d/events.parquet"),
         "user_id", "ts", "event_id", gap = "24 hours")),
 
+    // cohort retention (daily periods so the 2-week fixture spread
+    // yields a real triangle): distinct (user, period) first, then
+    // min-cohort + count per (cohort, offset)
+    "events_retention" -> ((s, d) =>
+      Events.retention(s.read.parquet(s"$d/events.parquet"),
+        "user_id", "ts", periodDays = 1)),
+
     // strict-order conversion funnel (view → click → purchase): first
     // time of each step strictly after the previous step's time — one
     // user-keyed join + partial min aggregate per step, never a
@@ -1446,6 +1453,18 @@ object SparkEntry {
     // events merge while gap <= 24h (inclusive boundary, pinned by
     // SessionsSpec; 24h makes sf0.01 sessions ~8 events, not singletons);
     // session identity = min event time in micros
+    // replays Events.retention at daily periods: distinct (user, day),
+    // min day per user, count per (cohort, offset)
+    "events_retention" ->
+      """WITH per AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT user_id, min(p) AS cohort FROM per GROUP BY 1)
+         SELECT c.cohort AS cohort_period, per.p - c.cohort AS k,
+                count(*) AS n_users
+         FROM per JOIN c USING (user_id)
+         GROUP BY 1, 2""",
+
     // replays Events.funnel: a min-aggregate CTE per step, each joining
     // the previous step's time with a strict > condition
     "events_funnel" ->

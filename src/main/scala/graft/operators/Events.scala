@@ -101,6 +101,37 @@ object Events {
    * engine's pinned UTC session (the [[Sessions]] convention), so the
    * SQL oracle compares exactly.
    */
+  /**
+   * Cohort retention: users are cohorted by the period (default week =
+   * `periodDays` days from the epoch) of their FIRST activity; for
+   * every later period the rollup counts how many of the cohort came
+   * back. Output: `(cohort_period, k, n_users)` — users of cohort
+   * `cohort_period` active `k` periods later (k = 0 row is the cohort
+   * size). Period index is exact integer `div` on epoch micros (no
+   * double rounding at boundary microseconds); epoch-relative, so the
+   * same integers fall out of any engine.
+   *
+   * Scale: (user, period) pairs are distinct-ed FIRST (the per-user
+   * fan-in bound — a user's million events collapse to their active
+   * periods before anything joins), then one user-keyed min aggregate
+   * for cohorts, a user-keyed join back, and a partial-combining count
+   * per (cohort, k). No windows, no per-user event lists.
+   */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, s"period must be positive: $periodDays")
+    val periodUs = 86400000000L * periodDays
+    val per = events
+      .withColumn("__ts", unix_micros(col(tsCol).cast("timestamp")))
+      .filter(col(userCol).isNotNull && col("__ts").isNotNull)
+      .select(col(userCol).as("__u"), expr(s"__ts div $periodUs").as("__p"))
+      .distinct()
+    val cohort = per.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
+    per.join(cohort, Seq("__u"))
+      .groupBy(col("__c").as("cohort_period"), (col("__p") - col("__c")).as("k"))
+      .agg(count(lit(1)).as("n_users")) // (user, period) pairs are distinct
+  }
+
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -118,6 +118,26 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L) == ((Some(h0 + 10), None, None, 1L)))
   }
 
+  test("retention: cohort by first period, offsets exact, same-period repeats collapse") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000000L
+    def e(u: Long, d: Long, off: Long = 0L) = (Option(u), Option(ts(d * day + off)))
+    val df = (Seq(
+      e(1L, 0), e(1L, 1), e(1L, 3),
+      e(2L, 1),
+      e(3L, 0), e(3L, 0, 5000000L)) :+ // same-day repeat: one (user, period)
+      ((Option(4L), Option.empty[java.sql.Timestamp])) // null ts dropped
+    ).toDF("user_id", "ts")
+    val got = Events.retention(df, "user_id", "ts", periodDays = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // u1, u3 cohort day 0
+      (0L, 1L) -> 1L, // u1 back next day
+      (0L, 3L) -> 1L, // u1 back on day 3
+      (1L, 0L) -> 1L)) // u2 cohorts on day 1
+  }
+
   test("funnel is partition-independent") {
     val s = spark
     import s.implicits._
