@@ -701,6 +701,18 @@ object SparkEntry {
     // within each src residue class — out/in-degrees differ and the
     // rank vector is non-uniform (a same-modulus affine map is a
     // permutation whose fixed point IS the initial vector: useless)
+    // host-graph weakly-connected components (site clustering / mirror
+    // detection): the dedup engine's component machinery over link
+    // edges — 25-step cycles mod 500 give a known 25-component shape
+    "host_components" -> ((s, d) => {
+      val e = s.sql(
+        s"""SELECT DISTINCT o_orderkey % 500 AS a,
+                   (o_orderkey % 500 + 25) % 500 AS b
+            FROM parquet.`$d/orders.parquet`""")
+      TextDedup.duplicateClusters(e)
+        .select(col("id").as("host_id"), col("comp"))
+    }),
+
     "pagerank_hosts" -> ((s, d) => {
       val e = s.sql(
         s"""SELECT DISTINCT o_orderkey % 200 AS src,
@@ -1200,6 +1212,21 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
+    // replays weakly-connected components as recursive min-label
+    // reachability (bounded: 500 nodes × 20-node components)
+    "host_components" ->
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT o_orderkey % 500 AS a,
+                  (o_orderkey % 500 + 25) % 500 AS b
+           FROM orders),
+         und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+         nodes AS (SELECT DISTINCT a AS n FROM und),
+         reach(n, l) AS (
+           SELECT n, n FROM nodes
+           UNION
+           SELECT u.b, r.l FROM reach r JOIN und u ON u.a = r.n)
+         SELECT n AS host_id, min(l) AS comp FROM reach GROUP BY n""",
+
     "pagerank_hosts" -> pagerankOracle(5),
     "opic_hosts" -> opicOracle(5),
     "redirect_resolve" -> redirectOracle(5),

@@ -223,4 +223,16 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("url", "host_rank").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a" -> 500000L, "b" -> 900000L, "c" -> 0L))
   }
+
+  test("host components: 25-step cycles mod 500 give 25 residue-class components") {
+    val s = spark
+    import s.implicits._
+    val edges = (0L until 500L).map(i => (i, (i + 25L) % 500L)).toDF("a", "b")
+    val comps = TextDedup.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 500)
+    // each node's component representative is its residue mod 25
+    comps.foreach { case (id, c) => assert(c == id % 25L, s"node $id → $c") }
+    assert(comps.values.toSet == (0L until 25L).toSet)
+  }
 }
