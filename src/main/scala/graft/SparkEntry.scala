@@ -354,6 +354,22 @@ object SparkEntry {
         .select(col("host"), col("seq"), col("loc"), col("lastmod"), col("sm_priority"))
     }),
 
+    // sitemap-driven recrawl: declared lastmod vs the capture record —
+    // never-captured URLs come back 'new', strictly-newer lastmod
+    // 'stale'; no-lastmod entries defer to the change-rate estimator
+    "sitemap_recrawl" -> ((s, d) => {
+      val base = enriched(s, d).groupBy(col("url_canon"))
+        .agg(min(col("seq")).as("seq"))
+      val entries = base.select(col("url_canon").as("loc_in"),
+        concat(lit("202"), expr("cast(seq % 5 as string)"), lit("-0"),
+          expr("cast(1 + seq % 9 as string)"), lit("-15")).as("lastmod"))
+      val captures = base.filter(col("seq") % 2 === 0)
+        .select(col("url_canon").as("url"),
+          (lit(1640995200000000L) + col("seq") * 1000000L).as("fetched_us"))
+      Robots.sitemapRecrawl(entries, "loc_in", "lastmod",
+        captures, "url", "fetched_us")
+    }),
+
     // A3-A5 counter aggregators: Uniq (sorted set) + Overwrite (last-write)
     "counters_uniq_overwrite" -> ((s, d) =>
       enriched(s, d).groupBy(col("host")).agg(
@@ -1743,6 +1759,27 @@ object SparkEntry {
                        AS body
               FROM ($enrichedOracle) e) sm) entries
           WHERE length(trim(regexp_extract(entry, '<loc>([^<]*)</loc>', 1))) > 0"""),
+
+    // replays sitemapRecrawl: lastmod parsed via the timestamp cast,
+    // left join against the even-seq capture record, strict > staleness
+    "sitemap_recrawl" ->
+      s"""WITH urls AS (${urlsCte("orders")}),
+         base AS (SELECT url_canon, min(seq) AS seq
+                  FROM ($enrichedOracle) GROUP BY url_canon),
+         parsed AS (
+           SELECT url_canon AS loc,
+                  epoch_us(CAST(concat('202', CAST(seq % 5 AS STRING), '-0',
+                           CAST(1 + seq % 9 AS STRING), '-15') AS TIMESTAMP))
+                    AS lastmod_us
+           FROM base),
+         caps AS (SELECT url_canon AS loc,
+                         1640995200000000 + seq * 1000000 AS f
+                  FROM base WHERE seq % 2 = 0)
+         SELECT p.loc,
+                CASE WHEN c.f IS NULL THEN 'new' ELSE 'stale' END AS reason,
+                p.lastmod_us
+         FROM parsed p LEFT JOIN caps c USING (loc)
+         WHERE c.f IS NULL OR p.lastmod_us > c.f""",
 
     "sitemap_parse" -> oracle(
       s"""SELECT host, seq,

@@ -148,6 +148,36 @@ object Robots {
           .cast("double"))
       .drop("__entry")
 
+  /** Sitemap-driven recrawl selection: given parsed sitemap entries
+   *  ([[parseSitemapXml]] shape: loc + nullable lastmod string) and the
+   *  capture record (url, last-fetch epoch micros), emit the URLs worth
+   *  re-fetching — never captured (`reason = 'new'`) or whose declared
+   *  lastmod is STRICTLY newer than the last capture (`'stale'`).
+   *  Entries without a parseable lastmod are dropped: with no declared
+   *  change time the freshness decision belongs to the change-rate
+   *  estimator ([[Traps]]' recrawl scheduling), not the sitemap.
+   *  Lastmod parses through the timestamp cast (W3C date and datetime
+   *  forms) under the engine's pinned UTC session.
+   *
+   *  Scale: one equi-join keyed on the URL — the capture side is the
+   *  engine's bucketed seen/results table, so the big side needs no
+   *  exchange; the sitemap side explodes map-side upstream. */
+  def sitemapRecrawl(entries: DataFrame, locCol: String, lastmodCol: String,
+      captures: DataFrame, urlCol: String, fetchedUsCol: String): DataFrame = {
+    // try_to_timestamp: real-web lastmod strings are dirty, and under
+    // ANSI a plain cast would fail the whole job on one malformed entry
+    val e = entries.select(col(locCol).as("loc"),
+        unix_micros(try_to_timestamp(col(lastmodCol))).as("lastmod_us"))
+      .filter(col("lastmod_us").isNotNull)
+    val c = captures.select(col(urlCol).as("loc"),
+      col(fetchedUsCol).cast("long").as("__f"))
+    e.join(c, Seq("loc"), "left")
+      .filter(col("__f").isNull || col("lastmod_us") > col("__f"))
+      .select(col("loc"),
+        when(col("__f").isNull, lit("new")).otherwise(lit("stale")).as("reason"),
+        col("lastmod_us"))
+  }
+
   /** Path component of a canonical URL ('' → '/'). */
   def pathOf(urlCanon: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(regexp_replace(urlCanon, "^[a-z][a-z0-9+.-]*://[^/]*", ""), "^$", "/")

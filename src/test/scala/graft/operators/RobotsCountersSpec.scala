@@ -400,6 +400,26 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), s"expected no Exchange in:\n$plan")
   }
 
+  test("sitemapRecrawl: new vs stale vs fresh vs unparseable lastmod") {
+    val s = spark
+    import s.implicits._
+    val entries = Seq(
+      ("http://a/1", "2024-03-01"),           // captured earlier → stale
+      ("http://a/2", "2020-01-01"),           // captured later → fresh, dropped
+      ("http://a/3", "2024-03-01 10:30:00"),  // never captured → new
+      ("http://a/4", null.asInstanceOf[String]), // no lastmod → dropped
+      ("http://a/5", "not-a-date"))           // unparseable → dropped
+      .toDF("loc", "lastmod")
+    val day2022 = 1640995200000000L // 2022-01-01T00:00:00Z in micros
+    val captures = Seq(
+      ("http://a/1", day2022),
+      ("http://a/2", day2022)).toDF("url", "fetched_us")
+    val out = Robots.sitemapRecrawl(entries, "loc", "lastmod",
+        captures, "url", "fetched_us")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("http://a/1" -> "stale", "http://a/3" -> "new"))
+  }
+
   test("CounterAccumulator merges executor partials") {
     val acc = new CounterAccumulator()
     spark.sparkContext.register(acc, "spec_counters")
