@@ -1592,7 +1592,9 @@ object SparkEntry {
                  FROM lab, unnest(generate_series(1, len(ls))) AS u(i)),
          agg AS (SELECT host, seq, any_value(k) AS k,
                         min(CASE WHEN r.kind = 'x' THEN r.plen END) AS excp,
-                        max(CASE WHEN r.kind IN ('e', 'w') THEN r.plen END) AS candp
+                        max(CASE WHEN r.kind = 'e'
+                                   OR (r.kind = 'w' AND r.plen <= suf.k)
+                                 THEN r.plen END) AS candp
                  FROM suf LEFT JOIN rules r ON r.sfx = suf.s
                  GROUP BY host, seq),
          fin AS (SELECT host, seq, k,

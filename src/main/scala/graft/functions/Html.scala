@@ -321,8 +321,11 @@ object Html {
    * head content leaks into the candidate walk and sibling logic.
    *
    * Mutates and returns `root`. A document that already declares a
-   * `<body>` ANYWHERE is returned untouched — the well-formed fast
-   * path the golden corpus binds. Otherwise: top-level
+   * `<body>` ANYWHERE keeps its body untouched — the well-formed fast
+   * path the golden corpus binds — but bare [[HeadLevelElements]]
+   * sitting at the top level BEFORE the body still move into the
+   * existing-or-synthesized `<head>` (lxml finds `soup.head.title` for
+   * `<title>T</title><body>…` too). Otherwise: top-level
    * [[HeadLevelElements]] before the first content item move into the
    * existing-or-synthesized `<head>`; whitespace-only text between
    * them is dropped (libxml2 discards it); everything from the first
@@ -337,11 +340,35 @@ object Html {
       case c: Elem => c.name == "body" || hasBody(c)
       case _ => false
     }
-    if (hasBody(root)) return root
     val container = root.children.collectFirst {
       case e: Elem if e.name == "html" => e }.getOrElse(root)
     val explicitHead = container.children.collectFirst {
       case e: Elem if e.name == "head" => e }
+    if (hasBody(root)) {
+      // declared body: only repair a MISSING head for bare top-level
+      // head elements before it (title extraction parity); the body
+      // and everything under it stay untouched
+      val bodyIdx = container.children.indexWhere {
+        case e: Elem => e.name == "body"
+        case _ => false
+      }
+      if (bodyIdx >= 0) {
+        val strays = container.children.take(bodyIdx).collect {
+          case e: Elem if HeadLevelElements.contains(e.name) => e
+        }.toVector
+        if (strays.nonEmpty) {
+          val head = explicitHead.getOrElse {
+            val h = new Elem("head")
+            h.parent = container
+            container.children.insert(math.max(container.children
+              .indexWhere { case e: Elem => e.name == "body"; case _ => false }, 0), h)
+            h
+          }
+          strays.foreach(head.append)
+        }
+      }
+      return root
+    }
     val headParts = mutable.ArrayBuffer.empty[Elem]
     val bodyParts = mutable.ArrayBuffer.empty[Node]
     var inHead = true
@@ -355,25 +382,20 @@ object Html {
     }
     val head = explicitHead.getOrElse(
       if (headParts.nonEmpty) new Elem("head") else null)
-    if (head != null)
-      headParts.foreach { e => e.extract(); e.parent = head; head.children += e }
+    if (head != null) headParts.foreach(head.append)
     val body = new Elem("body")
-    bodyParts.foreach { n => n.extract(); n.parent = body; body.children += n }
+    bodyParts.foreach(body.append)
     val html =
       if (container ne root) container
       else {
         val h = new Elem("html")
         // root now holds at most the explicit head (moved under html below)
-        explicitHead.foreach(_.extract())
         h.parent = root; root.children += h
-        explicitHead.foreach { eh => eh.parent = h; h.children += eh }
+        explicitHead.foreach(h.append)
         h
       }
-    if (head != null && explicitHead.isEmpty) {
-      head.parent = html; html.children += head
-    }
-    body.parent = html
-    html.children += body
+    if (head != null && explicitHead.isEmpty) html.append(head)
+    html.append(body)
     root
   }
 

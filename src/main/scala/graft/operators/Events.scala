@@ -84,24 +84,6 @@ object Events {
   }
 
   /**
-   * Strict-order funnel analysis: for each user who performed
-   * `steps.head`, the FIRST time of each subsequent step occurring
-   * STRICTLY after the previous step's time — the classic conversion
-   * funnel (view → click → purchase). Output: one row per step-1 user
-   * with `t1..tk` (epoch micros, null from the first unreached step
-   * on) and `depth` (steps reached, ≥ 1). Ties at the exact same
-   * microsecond do NOT advance the funnel (strict `>`); users who
-   * never performed step 1 are absent.
-   *
-   * Scale: one pass per step — the events table is pre-filtered to
-   * that step's type, then a user-keyed shuffle join against the
-   * (one-row-per-user) funnel state and a partial-combining min
-   * aggregate; k−1 joins total, never a per-user sorted event list or
-   * a window over the raw stream. Times flow as epoch micros under the
-   * engine's pinned UTC session (the [[Sessions]] convention), so the
-   * SQL oracle compares exactly.
-   */
-  /**
    * Cohort retention: users are cohorted by the period (default week =
    * `periodDays` days from the epoch) of their FIRST activity; for
    * every later period the rollup counts how many of the cohort came
@@ -132,6 +114,24 @@ object Events {
       .agg(count(lit(1)).as("n_users")) // (user, period) pairs are distinct
   }
 
+  /**
+   * Strict-order funnel analysis: for each user who performed
+   * `steps.head`, the FIRST time of each subsequent step occurring
+   * STRICTLY after the previous step's time — the classic conversion
+   * funnel (view → click → purchase). Output: one row per step-1 user
+   * with `t1..tk` (epoch micros, null from the first unreached step
+   * on) and `depth` (steps reached, ≥ 1). Ties at the exact same
+   * microsecond do NOT advance the funnel (strict `>`); users who
+   * never performed step 1 are absent.
+   *
+   * Scale: one pass per step — the events table is pre-filtered to
+   * that step's type, then a user-keyed shuffle join against the
+   * (one-row-per-user) funnel state and a partial-combining min
+   * aggregate; k−1 joins total, never a per-user sorted event list or
+   * a window over the raw stream. Times flow as epoch micros under the
+   * engine's pinned UTC session (the [[Sessions]] convention), so the
+   * SQL oracle compares exactly.
+   */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -78,6 +78,11 @@ object Multimodal {
     if (!new String(media, 0, 8, "US-ASCII").equals("GRAFTIMG")) return None
     val bb = java.nio.ByteBuffer.wrap(media, 8, 4)
     val w = bb.getShort.toInt; val h = bb.getShort.toInt
+    // same hardening contract as decodeBmp/decodePpm: a corrupt header
+    // (non-positive or truncated-body dims) drops, never throws —
+    // downstream consumers (dhash64) index the plane by w*h
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels ||
+        media.length - 12 < w * h) return None
     Some((w, h, java.util.Arrays.copyOfRange(media, 12, media.length)))
   }
 
@@ -287,8 +292,7 @@ object Multimodal {
    *  image side only contributes signatures. Output: (a, b, dist). */
   def imageNearDups(spark: SparkSession, media: DataFrame,
       maxDist: Int = 6, nBlocks: Int = 8): DataFrame =
-    TextDedup.simhashCandidates(dhashSignatures(spark, media), maxDist, nBlocks)
-      .withColumn("dist", expr("bit_count(sa ^ sb)"))
-      .filter(col("dist") <= maxDist)
-      .select(col("a"), col("b"), col("dist"))
+    TextDedup.verifyHamming(
+      TextDedup.simhashCandidates(dhashSignatures(spark, media), maxDist, nBlocks),
+      maxDist)
 }

@@ -95,12 +95,14 @@ object PublicSuffix {
     (exact.result(), wild.result(), exc.result())
   }
 
-  /** Registrable domain of `host` under `rules`, null when the host IS
-   *  a public suffix (or empty/null). Normalizes like
-   *  [[Blocklist.hostSuffixes]]: lowercase, trim, drop one trailing
-   *  dot. */
-  def registeredDomain(host: Column,
-      rules: Seq[String] = SeedRules): Column = {
+  /** Shared PSL resolution: normalized label array, label count, and
+   *  the prevailing public-suffix label count `p`. A wildcard rule
+   *  `*.base` only matches hosts with MORE labels than the base — the
+   *  base itself falls through to the remaining rules (`kawasaki.jp`
+   *  under `*.kawasaki.jp` resolves via `jp`, not via the wildcard) —
+   *  hence the `x <= k` guard on the wildcard candidates. */
+  private def resolve(host: Column, rules: Seq[String])
+      : (Column, Column, Column) = {
     val (exact, wild, exc) = compile(rules)
     val exactM = typedlit(exact)
     val wildM = typedlit(wild)
@@ -116,9 +118,20 @@ object PublicSuffix {
       filter(transform(sufs, s => element_at(m, s)), x => x.isNotNull)
     val excLens = lens(excM)
     // default rule `*`: an unlisted TLD is a 1-label public suffix
-    val candLens = concat(lens(exactM), lens(wildM), array(lit(1)))
+    val candLens = concat(lens(exactM),
+      filter(lens(wildM), x => x <= k), array(lit(1)))
     val p = when(size(excLens) > 0, array_min(excLens))
       .otherwise(array_max(candLens))
+    (labels, k, p)
+  }
+
+  /** Registrable domain of `host` under `rules`, null when the host IS
+   *  a public suffix (or empty/null). Normalizes like
+   *  [[Blocklist.hostSuffixes]]: lowercase, trim, drop one trailing
+   *  dot. */
+  def registeredDomain(host: Column,
+      rules: Seq[String] = SeedRules): Column = {
+    val (labels, k, p) = resolve(host, rules)
     when(k > p, array_join(slice(labels, k - p, p + lit(1)), "."))
       .otherwise(lit(null).cast("string"))
   }
@@ -126,25 +139,8 @@ object PublicSuffix {
   /** The matched public suffix itself (null only for empty hosts):
    *  `a.example.co.uk` → `co.uk`; `b.ck` → `b.ck` (wildcard). */
   def publicSuffix(host: Column, rules: Seq[String] = SeedRules): Column = {
-    val (exact, wild, exc) = compile(rules)
-    val exactM = typedlit(exact)
-    val wildM = typedlit(wild)
-    val excM = typedlit(exc)
-    val norm = regexp_replace(lower(trim(host)), "\\.$", "")
-    val labels = filter(split(norm, "\\."), l => l =!= "")
-    val k = size(labels)
-    val sufs = when(k > 0,
-        transform(sequence(lit(1), k),
-          i => array_join(slice(labels, i, k), ".")))
-      .otherwise(array().cast("array<string>"))
-    def lens(m: Column): Column =
-      filter(transform(sufs, s => element_at(m, s)), x => x.isNotNull)
-    val excLens = lens(excM)
-    val candLens = concat(lens(exactM), lens(wildM), array(lit(1)))
-    val p = when(size(excLens) > 0, array_min(excLens))
-      .otherwise(array_max(candLens))
-    val pc = least(p, k) // host shorter than the wildcard suffix: all of it
-    when(k > 0, array_join(slice(labels, k - pc + lit(1), pc), "."))
+    val (labels, k, p) = resolve(host, rules)
+    when(k > 0, array_join(slice(labels, k - p + lit(1), p), "."))
       .otherwise(lit(null).cast("string"))
   }
 }

@@ -458,11 +458,18 @@ object TextDedup {
       maxDist: Int = 3, nBlocks: Int = -1): DataFrame = {
     val nb = if (nBlocks > 0) nBlocks else maxDist + 1
     val sigs = simhash(df, textCol, idCol)
-    simhashCandidates(sigs, maxDist, nb)
+    verifyHamming(simhashCandidates(sigs, maxDist, nb), maxDist)
+  }
+
+  /** Exact-verify step shared by every 64-bit-signature near-dup path
+   *  (text simhash, image dHash): bit_count the xor of a candidate
+   *  pair's signatures and keep pairs within `maxDist`. Input is the
+   *  [[simhashCandidates]] shape (a, b, sa, sb); output (a, b, dist). */
+  def verifyHamming(candidates: DataFrame, maxDist: Int): DataFrame =
+    candidates
       .withColumn("dist", expr("bit_count(sa ^ sb)"))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
-  }
 
   /** Paragraph-level exact dedup (the CCNet/RefinedWeb line-dedup rule):
    *  a paragraph (newline-split segment) duplicated CORPUS-WIDE keeps

@@ -54,11 +54,26 @@ class ImpliedSectionsSpec extends AnyFunSuite {
       == "<html><head><title>T</title></head><body><p>x</p></body></html>")
   }
 
-  test("a document with an explicit body anywhere is untouched") {
+  test("a document with an explicit body anywhere keeps its body untouched") {
     val wellFormed = "<html><head><title>T</title></head><body><p>x</p></body></html>"
     assert(imply(wellFormed) == wellFormed)
     val bare = "<body><p>x</p></body>"
     assert(imply(bare) == bare)
+  }
+
+  test("declared body + bare top-level title: the title still moves into a head") {
+    // lxml yields head>title for this shape too — soup.head.title parity
+    assert(imply("<title>T</title><body><p>x</p></body>")
+      == "<head><title>T</title></head><body><p>x</p></body>")
+    assert(imply("<html><meta charset=\"utf-8\"/><head><title>T</title></head>" +
+        "<body><p>x</p></body></html>")
+      == "<html><head><title>T</title><meta charset=\"utf-8\"/></head>" +
+         "<body><p>x</p></body></html>")
+    val text = Extract.extractText("<title>Bare</title><body><div id=\"m\">" +
+      "<p>Plenty of article body text to pass the readability scoring " +
+      "threshold, with a comma, and enough words to be safe here.</p>" +
+      "</div></body>", "http://h/x")
+    assert(text.startsWith("Bare\n"), s"title lost: ${text.take(40)}")
   }
 
   test("empty document synthesizes an empty html>body") {

@@ -280,6 +280,20 @@ class AdmissionSplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("foo.unknowntld") == "unknowntld")
   }
 
+  test("a multi-label wildcard base never matches itself (PSL rule scope)") {
+    // *.kawasaki.jp applies only to hosts with MORE labels than the base;
+    // kawasaki.jp itself resolves through 'jp'
+    val rules = Seq("jp", "*.kawasaki.jp")
+    val out = hostsDF("kawasaki.jp", "a.kawasaki.jp", "b.a.kawasaki.jp")
+      .select(col("host"),
+        PublicSuffix.registeredDomain(col("host"), rules).as("rd"),
+        PublicSuffix.publicSuffix(col("host"), rules).as("ps"))
+      .collect().map(r => r.getString(0) -> ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(out("kawasaki.jp") == ((Some("kawasaki.jp"), "jp")))
+    assert(out("a.kawasaki.jp") == ((None, "a.kawasaki.jp")))
+    assert(out("b.a.kawasaki.jp") == ((Some("b.a.kawasaki.jp"), "a.kawasaki.jp")))
+  }
+
   test("registeredDomain is a pure projection (no Exchange) and groups subdomains") {
     val df = hostsDF("a.s.example.co.uk", "b.s.example.co.uk", "c.example.co.uk")
     val plan = df.select(PublicSuffix.registeredDomain(col("host")))

@@ -871,6 +871,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "undecodable row must drop silently")
   }
 
+  test("dhashSignatures drops corrupt GRAFTIMG blobs (truncated body / bad dims)") {
+    val ok = Multimodal.fakeMedia(1L, 12, 10)
+    val truncated = ok.take(12 + 12 * 10 - 5) // body shorter than w*h
+    val badDims = ok.clone()
+    badDims(8) = 0xFF.toByte; badDims(9) = 0xFF.toByte // w = -1
+    val media = spark.createDataFrame(Seq(
+      (1L, ok, "img", 12, 10), (2L, truncated, "img", 12, 10),
+      (3L, badDims, "img", 12, 10)))
+      .toDF("doc_id", "media", "format", "width", "height")
+    val ids = Multimodal.dhashSignatures(spark, media)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"corrupt stub blobs must drop, got $ids")
+  }
+
   test("imageNearDups equals brute-force hamming pairs on an LCG image set") {
     def lcgImg(id: Long, tweak: Int): Array[Byte] = {
       var s = id * 6364136223846793005L + 1442695040888963407L
