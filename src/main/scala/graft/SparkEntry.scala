@@ -1066,6 +1066,35 @@ object SparkEntry {
         Robots.canonicalUrl(html, col("url_canon")).as("canonical"))
     }),
 
+    // OpenGraph/JSON-LD metadata sidecar: both attribute orders, quote
+    // styles and casings; content case preserved; absent → null
+    "page_metadata" -> ((s, d) => {
+      val e = enriched(s, d)
+      val t = (col("seq") % 100).cast("string")
+      val html = when(col("seq") % 6 === 0, concat(
+          lit("<head><meta property=\"og:title\" content=\"Title "), t,
+          lit("\"><meta property=\"og:description\" content=\"Desc "), t,
+          lit("\"></head>")))
+        .when(col("seq") % 6 === 1, concat(
+          lit("<META CONTENT=\"Rev Title "), t, lit("\" PROPERTY=\"og:title\">")))
+        .when(col("seq") % 6 === 2, concat(
+          lit("<meta name='og:title' content='Single "), t, lit("'>")))
+        .when(col("seq") % 6 === 3, concat(
+          lit("<meta property=\"article:published_time\" content=\"2024-0"),
+          (lit(1) + col("seq") % 9).cast("string"), lit("-15\">")))
+        .when(col("seq") % 6 === 4, concat(
+          lit("<script type=\"application/ld+json\">{\"headline\": \"LD "), t,
+          lit("\", \"datePublished\": \"2023-12-01\"}</script>")))
+        .otherwise(lit("<p>no metadata</p>"))
+      e.select(col("seq"), graft.functions.PageMeta.standardSidecar(html).as("m"))
+        .select(col("seq"),
+          col("m.og_title").as("og_title"),
+          col("m.og_description").as("og_description"),
+          col("m.published_time").as("published_time"),
+          col("m.ld_headline").as("ld_headline"),
+          col("m.ld_date_published").as("ld_date_published"))
+    }),
+
     // fasttext-shaped linear quality scorer: corpus-derived fixture
     // model (weight_milli = (len(token)-4)*250 — stopword-ish short
     // tokens weigh negative), mean-pooled integer score, keep >= 0
@@ -1347,6 +1376,65 @@ object SparkEntry {
                    THEN regexp_extract(url_canon, '^(https?://[^/?#]+)', 1) || href
                  ELSE NULL END AS canonical
           FROM m""",
+
+    // replays PageMeta: case-insensitive (?is) tag match with content
+    // case preserved, both attribute orders; JSON-LD via the json
+    // extension behind a json_valid guard (get_json_object parity)
+    "page_metadata" ->
+      s"""WITH urls AS (${urlsCte("orders")}),
+          e AS ($enrichedOracle),
+          pages AS (
+            SELECT seq,
+              CASE CAST(seq % 6 AS INT)
+                WHEN 0 THEN '<head><meta property="og:title" content="Title ' ||
+                            CAST(seq % 100 AS STRING) ||
+                            '"><meta property="og:description" content="Desc ' ||
+                            CAST(seq % 100 AS STRING) || '"></head>'
+                WHEN 1 THEN '<META CONTENT="Rev Title ' || CAST(seq % 100 AS STRING) ||
+                            '" PROPERTY="og:title">'
+                WHEN 2 THEN '<meta name=''og:title'' content=''Single ' ||
+                            CAST(seq % 100 AS STRING) || '''>'
+                WHEN 3 THEN '<meta property="article:published_time" content="2024-0' ||
+                            CAST(1 + seq % 9 AS STRING) || '-15">'
+                WHEN 4 THEN '<script type="application/ld+json">{"headline": "LD ' ||
+                            CAST(seq % 100 AS STRING) ||
+                            '", "datePublished": "2023-12-01"}</script>'
+                ELSE '<p>no metadata</p>'
+              END AS html
+            FROM e),
+          ld AS (
+            SELECT seq, html,
+              nullif(regexp_extract(html,
+                '(?is)<script[^>]*type\\s*=\\s*["'']application/ld\\+json["''][^>]*>(.*?)</script>', 1),
+                '') AS block
+            FROM pages)
+          SELECT seq,
+            nullif(CASE WHEN regexp_extract(html,
+                '(?is)<meta[^>]*(?:property|name)\\s*=\\s*["'']og:title["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1) <> ''
+              THEN regexp_extract(html,
+                '(?is)<meta[^>]*(?:property|name)\\s*=\\s*["'']og:title["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1)
+              ELSE regexp_extract(html,
+                '(?is)<meta[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*(?:property|name)\\s*=\\s*["'']og:title["'']', 1)
+              END, '') AS og_title,
+            nullif(CASE WHEN regexp_extract(html,
+                '(?is)<meta[^>]*(?:property|name)\\s*=\\s*["'']og:description["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1) <> ''
+              THEN regexp_extract(html,
+                '(?is)<meta[^>]*(?:property|name)\\s*=\\s*["'']og:description["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1)
+              ELSE regexp_extract(html,
+                '(?is)<meta[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*(?:property|name)\\s*=\\s*["'']og:description["'']', 1)
+              END, '') AS og_description,
+            nullif(CASE WHEN regexp_extract(html,
+                '(?is)<meta[^>]*(?:property|name)\\s*=\\s*["'']article:published_time["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1) <> ''
+              THEN regexp_extract(html,
+                '(?is)<meta[^>]*(?:property|name)\\s*=\\s*["'']article:published_time["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1)
+              ELSE regexp_extract(html,
+                '(?is)<meta[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*(?:property|name)\\s*=\\s*["'']article:published_time["'']', 1)
+              END, '') AS published_time,
+            CASE WHEN block IS NOT NULL AND json_valid(block)
+                 THEN json_extract_string(block, '$$.headline') END AS ld_headline,
+            CASE WHEN block IS NOT NULL AND json_valid(block)
+                 THEN json_extract_string(block, '$$.datePublished') END AS ld_date_published
+          FROM ld""",
 
     // newest-capture-per-url replay: the engine's WindowGroupLimit
     // rank-1 is a plain row_number window at oracle scale
