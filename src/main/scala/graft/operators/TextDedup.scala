@@ -99,8 +99,10 @@ object TextDedup {
       val hot = hotShingles(sh, maxDf)
       val rare = sh.join(hot, Seq("shingle"), "left_anti")
       val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      val hotPerDoc = sh.join(hot, Seq("shingle"), "left_semi")
-        .groupBy(col("id")).agg(count(lit(1)).as("hotn"))
+      // per-doc RARE counts (not a separate hot semi-join pass): every doc
+      // reaching `bounded` shares ≥1 rare shingle, so its rareSizes row
+      // exists and hotn = sz − rare_n exactly — one less pass over sh
+      val rareSizes = rare.groupBy(col("id")).agg(count(lit(1)).as("rn"))
       val interRare = rare.as("x").join(rare.as("y"), col("x.shingle") === col("y.shingle"))
         .filter(col("x.id") < col("y.id"))
         .groupBy(col("x.id").as("a"), col("y.id").as("b"))
@@ -108,10 +110,10 @@ object TextDedup {
       val bounded = interRare
         .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
-        .join(hotPerDoc.withColumnRenamed("id", "a").withColumnRenamed("hotn", "hota"), Seq("a"), "left")
-        .join(hotPerDoc.withColumnRenamed("id", "b").withColumnRenamed("hotn", "hotb"), Seq("b"), "left")
+        .join(rareSizes.withColumnRenamed("id", "a").withColumnRenamed("rn", "rna"), "a")
+        .join(rareSizes.withColumnRenamed("id", "b").withColumnRenamed("rn", "rnb"), "b")
         .withColumn("__upper",
-          col("ir") + least(coalesce(col("hota"), lit(0L)), coalesce(col("hotb"), lit(0L))))
+          col("ir") + least(col("sza") - col("rna"), col("szb") - col("rnb")))
       val cand = bounded.filter(
           floor(lit(1000) * col("__upper") / (col("sza") + col("szb") - col("__upper"))) >= minJaccardMilli)
         .select(col("a"), col("b"))
@@ -129,57 +131,58 @@ object TextDedup {
   /** Exact Jaccard restricted to a given candidate pair set (the verify
    *  step of LSH — never materializes the all-pairs shingle join).
    *
-   *  The intersection is computed WITHOUT a shingle self-join: expand
-   *  each candidate pair by side-a's shingles, then probe (b, shingle)
-   *  with a semi-join. Both join keys — the doc id, and the (id, shingle)
-   *  pair which is unique per side (shingles are distinct within a doc) —
-   *  are blowup-free, so a corpus-wide hot shingle costs nothing here:
-   *  total work is Σ over pairs of |A|, the floor for exact verification.
+   *  Shape (r6): ONE aggregate builds each candidate doc's shingle set as
+   *  a sorted array — bounded by the doc's own shingle count, and only
+   *  candidate docs (output-proportional, tiny next to the corpus) ever
+   *  build one — then each pair joins its two sets and verifies with a
+   *  per-row `array_intersect` (codegen HOF, O(|A|+|B|) per pair, the
+   *  floor for exact verification). The old five-pass form (sizes
+   *  aggregate + a-side expansion + b-side semi probe over a persisted
+   *  shingle slice) paid 5 shuffle stages plus a blocking cache build per
+   *  call; this is 3 narrow stages, no persist, no checkpoint — and the
+   *  two set-join branches share one identical aggregate subtree that
+   *  ReuseExchange evaluates once. Work and shuffle bytes stay
+   *  Σ over pairs (|A|+|B|): a corpus-wide hot shingle still costs
+   *  nothing here.
    *
-   *  `cand` is deduplicated internally: the expansion join would multiply
-   *  the intersection count by a pair's duplication factor, so duplicate
-   *  (a, b) rows (natural before a caller's own .distinct()) must not
-   *  reach it. */
+   *  `cand` is deduplicated internally: duplicate (a, b) rows (natural
+   *  before a caller's own .distinct()) must not double the output. */
   def jaccardForPairs(cand0: DataFrame, sh: DataFrame, minJaccardMilli: Int): DataFrame = {
     val cand = cand0.select(col("a"), col("b")).distinct()
     val candIds = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
-    // shc feeds three differently-shaped consumers (sizes aggregate,
-    // a-side expansion, b-side probe) — no shared exchange for
-    // ReuseExchange, so uncached it would recompute the corpus semi-join
-    // three times. It is bounded by the candidate docs' shingles (output-
-    // proportional, tiny next to the corpus), so persisting is scale-safe.
-    val shc = sh.join(candIds, Seq("id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shc.count() // serialize the cache build: the consumers' stages are
-    // independent (Spark runs them concurrently) and would race a lazy
-    // cache into duplicate semi-join computes.
-    val sizes = shc.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val aShingles = cand.join(shc.withColumnRenamed("id", "a"), Seq("a"))
-    val inter = aShingles
-      .join(shc.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"), "left_semi")
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
-    // Materialize the (output-sized) verified pair set eagerly so shc's
-    // cache can be dropped NOW: callers invoke this repeatedly (bench
-    // reps, corpus_clean / dedup_clusters / dedup_survivors each recompute
-    // the pipeline) and un-released caches accumulated for the session,
-    // leaning on LRU eviction under memory pressure (ADVICE r3).
-    val out = withJaccard(inter, sizes)
+    // shingles are distinct within a doc (shingles() contract), so the
+    // set size is the array size and array_intersect counts |A∩B| exactly
+    val sets = sh.join(candIds, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(collect_list(col("shingle")).as("set"))
+    val inter = cand
+      .join(sets.select(col("id").as("a"), col("set").as("__sa")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("set").as("__sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(col("__sa")).cast("long").as("sza"),
+        size(col("__sb")).cast("long").as("szb"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"))
+    inter
+      .withColumn("jaccard_milli",
+        floor(lit(1000) * col("inter") / (col("sza") + col("szb") - col("inter"))))
       .filter(col("jaccard_milli") >= minJaccardMilli)
       .select(col("a"), col("b"), col("jaccard_milli"))
-      .localCheckpoint(true)
-    shc.unpersist(false)
-    out
   }
 
   /** MinHash signatures: H hash slots per id, slot i = min over shingles
-   *  of xxhash64(shingle, i) — a seeded-hash family (plain
-   *  Kirsch–Mitzenmacher `h1 + i·h2` would overflow-throw under Spark 4's
-   *  default ANSI mode), as (id, sig array). */
+   *  of xxhash64(xxhash64(shingle), i) — the shingle STRING is hashed
+   *  exactly once per row (projected below the aggregate) and each slot
+   *  re-mixes the resulting fixed-width long with its slot index, a
+   *  seeded-hash family (plain Kirsch–Mitzenmacher `h1 + i·h2` would
+   *  overflow-throw under Spark 4's default ANSI mode). The old form
+   *  hashed the full shingle string H times per row — H× the string
+   *  traffic for the same family quality; candidate sets differ
+   *  per-family but the exact-Jaccard verify pins the OUTPUT pair set
+   *  either way (P(band miss at s=0.8) ≈ 6e-15 for any uniform family). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val hashes = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
-    sh.groupBy(col("id"))
+      min(xxhash64(col("__h1"), lit(i))).as(s"m$i"))
+    sh.select(col("id"), xxhash64(col("shingle")).as("__h1"))
+      .groupBy(col("id"))
       .agg(hashes.head, hashes.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -191,13 +194,21 @@ object TextDedup {
    *  a cluster of k identical documents costs ONE signature instead of
    *  k² shared-bucket candidates. */
   def collapseExact(df: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
-    val hashed = df.select(col(idCol).as("id"), col(textCol).as(textCol))
-      .withColumn("__h", md5(col(textCol)))
-    val repIds = hashed.groupBy(col("__h")).agg(min(col("id")).as("rep"))
-    val members = hashed.select(col("__h"), col("id")).join(repIds, Seq("__h"))
+    // null-text rows are excluded (as before: a null __h never joins);
+    // the SLIM (id, hash) projection — not the full text row — feeds both
+    // the rep aggregate and the member join, so the two branches share one
+    // identical exchange subtree (ReuseExchange: md5 over the corpus is
+    // evaluated once, not three times as in the old three-consumer form),
+    // and reps re-join the corpus by primitive id alone (no wide
+    // (hash, id) semi-join key).
+    val slim = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
+    val repIds = slim.groupBy(col("__h")).agg(min(col("id")).as("rep"))
+    val members = slim.join(repIds, Seq("__h"))
       .select(col("rep"), col("id"))
-    val reps = hashed.join(repIds.withColumnRenamed("rep", "id"), Seq("__h", "id"), "left_semi")
-      .select(col("id"), col(textCol))
+    val reps = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol))
+      .join(repIds.select(col("rep").as("id")), Seq("id"), "left_semi")
     (reps, members)
   }
 
@@ -228,8 +239,11 @@ object TextDedup {
     val (reps, members) = collapseExact(df, textCol, idCol)
     val sh = shingles(reps, textCol, "id", k)
     val sig = minhashSignatures(sh, numHashes)
+    // band bucket = hash of the band's signature slice, hashed as a LONG
+    // ARRAY (xxhash64 folds array elements natively) — the old concat_ws
+    // form built a comma-joined string per (id, band) just to hash it
     val banded = sig.select(col("id"), posexplode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)), b))"))
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("band", "bucket")))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -379,15 +393,23 @@ object TextDedup {
    *  the exact Hamming-pair set has a cross-engine SQL oracle. Bit b of a
    *  word = bit (b mod 4) of nibble (b div 4); quality is equivalent. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // the first 16 hex nibbles land in two 32-bit halves via conv() —
+    // 2 integer parses per word instead of the old 16-element instr()
+    // array build; hex char j sits at shift (7−j)·4 of its half, so
+    // nib(j) and therefore every bit is IDENTICAL to the old form (the
+    // cross-engine oracle replays these exact signatures)
     val words = df.select(col(idCol).as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("hx", md5(col("w")))
-      .withColumn("nib", expr(
-        "transform(sequence(0, 15), i -> instr('0123456789abcdef', substring(hx, i + 1, 1)) - 1)"))
+      .withColumn("h0", conv(substring(col("hx"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h1", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
     val bitSums = (0 until 64).map { b =>
-      val bit = shiftright(col("nib").getItem(b / 4), b % 4).bitwiseAND(lit(1))
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$b")
+      val j = b / 4 // nibble index 0..15; 0..7 in h0, 8..15 in h1
+      val half = if (j < 8) col("h0") else col("h1")
+      val shift = (7 - (j % 8)) * 4 + (b % 4)
+      val bit = shiftright(half, shift).bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"b$b")
     }
     words.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), (0 until 64).map(b =>
@@ -453,12 +475,40 @@ object TextDedup {
    *  bucket join ([[simhashCandidates]]) + exact bit_count verify.
    *  Default nBlocks keeps the classic maxDist+1 split; pass a wider
    *  split (e.g. 6) for web-scale corpora — same output, bounded
-   *  buckets. */
+   *  buckets.
+   *
+   *  Identical-text clusters are collapsed FIRST ([[collapseExact]], the
+   *  same r5 pre-pass MinHash uses): k byte-identical copies share an
+   *  identical signature, so uncollapsed they alone contribute C(k,2)
+   *  candidate pairs through EVERY combo key. Signatures are computed on
+   *  one representative per distinct text; verified rep pairs re-expand
+   *  to member pairs (identical texts ⇒ identical signatures ⇒ the
+   *  member pair's distance IS the rep pair's), and a ≥2-member group
+   *  whose text produces words at all contributes its C(g,2) pairs at
+   *  distance 0. Output is the exact pair set of the uncollapsed run. */
   def simhashDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, nBlocks: Int = -1): DataFrame = {
     val nb = if (nBlocks > 0) nBlocks else maxDist + 1
-    val sigs = simhash(df, textCol, idCol)
-    verifyHamming(simhashCandidates(sigs, maxDist, nb), maxDist)
+    val (reps, members) = collapseExact(df, textCol, idCol)
+    val sigs = simhash(reps, textCol, "id")
+    val repPairs = verifyHamming(simhashCandidates(sigs, maxDist, nb), maxDist)
+    // cross-group expansion: member pairs inherit the rep pair's exact
+    // distance (identical texts); re-order ids (groups interleave)
+    val cross = repPairs
+      .join(members.select(col("rep").as("a"), col("id").as("ia")), Seq("a"))
+      .join(members.select(col("rep").as("b"), col("id").as("ib")), Seq("b"))
+      .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"),
+        col("dist"))
+    // within-group pairs: identical texts, distance exactly 0 — restricted
+    // to groups whose rep produced a signature (a doc with no words never
+    // enters the exact pair universe either)
+    val signedReps = sigs.select(col("id").as("rep"))
+    val m = members.join(signedReps, Seq("rep"), "left_semi")
+    val within = m.as("x").join(m.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      // lit(0) is IntegerType, matching bit_count's int on the cross side
+      .select(col("x.id").as("a"), col("y.id").as("b"), lit(0).as("dist"))
+    cross.unionByName(within)
   }
 
   /** Exact-verify step shared by every 64-bit-signature near-dup path
