@@ -37,14 +37,69 @@ import org.apache.spark.sql.functions._
  */
 object LinkGraph {
 
+  /** Default driver-local edge bound shared by the small-graph regimes
+   *  below — the same budget as TextDedup.duplicateClusters' union-find
+   *  (2M × 16-byte edges ≈ 32 MB + transient Row overhead). */
+  val LocalEdgeThreshold: Long = 2000000L
+
   /** PageRank after exactly `iters` rounds of the integer update rule.
    *  Input: an edge list (srcCol: long, dstCol: long); parallel edges
    *  count once each (pre-distinct if you want simple-graph semantics).
    *  Output: (node: long, rank: long), one row per node appearing as
-   *  src or dst. */
+   *  src or dst.
+   *
+   *  Two regimes, one contract (the duplicateClusters pattern): an edge
+   *  list within `localEdgeThreshold` (exact count off the materialized
+   *  edge frame) replays the identical integer update driver-locally —
+   *  an iterative Spark loop on a small graph pays several
+   *  driver-latency-bound jobs per round (2 joins + an aggregate + an
+   *  eager checkpoint) for nothing; larger graphs keep the distributed
+   *  loop. The integer arithmetic (floor division, exact sums) is the
+   *  same in both regimes, so the output is bit-identical. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, scale: Long = 1000000L, damping: Int = 85): DataFrame =
-    pageRankImpl(edges, srcCol, dstCol, iters, scale, damping, materialize = true)
+      iters: Int, scale: Long = 1000000L, damping: Int = 85,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    require(iters >= 0, s"iterations must be non-negative: $iters")
+    require(scale > 0, s"scale must be positive: $scale")
+    require(damping >= 0 && damping <= 100, s"damping must be in [0,100]: $damping")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    if (e.count() <= localEdgeThreshold) pageRankLocal(e, iters, scale, damping)
+    else pageRankImpl(e, "src", "dst", iters, scale, damping, materialize = true)
+  }
+
+  /** Driver-local replay of the exact integer PageRank update (see
+   *  [[pageRank]]): bounded by localEdgeThreshold (caller contract). */
+  private def pageRankLocal(e: DataFrame, iters: Int, scale: Long,
+      damping: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val outdeg = new java.util.HashMap[Long, Long]()
+    val nodes = new java.util.LinkedHashSet[Long]()
+    edges.foreach { case (s, d) =>
+      nodes.add(s); nodes.add(d)
+      outdeg.merge(s, 1L, (a, b) => a + b)
+    }
+    val base = ((100L - damping) * scale) / 100L
+    var rank = new java.util.HashMap[Long, Long]()
+    nodes.forEach(n => rank.put(n, scale))
+    var i = 0
+    while (i < iters) {
+      val inflow = new java.util.HashMap[Long, Long]()
+      edges.foreach { case (s, d) =>
+        inflow.merge(d, Math.floorDiv(rank.get(s), outdeg.get(s)), (a, b) => a + b)
+      }
+      val next = new java.util.HashMap[Long, Long]()
+      nodes.forEach(n => next.put(n,
+        base + Math.floorDiv(damping.toLong * inflow.getOrDefault(n, 0L), 100L)))
+      rank = next
+      i += 1
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](rank.size)
+    nodes.forEach(n => rows += ((n, rank.get(n))))
+    rows.toSeq.toDF("node", "rank")
+  }
 
   /** `materialize = false` skips the per-round localCheckpoint so probes
    *  can inspect the composed update plan (R4PlanProbe / BENCH/PLANS.md).
@@ -163,11 +218,19 @@ object LinkGraph {
    *  the per-round localCheckpoint keeps lineage O(1). `n * scale` and
    *  `iters * n * scale` must fit a long (guarded). */
   def opic(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     require(iters >= 0, s"iterations must be non-negative: $iters")
     require(scale > 0, s"scale must be positive: $scale")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    // small-graph regime (the duplicateClusters/pageRank pattern): the
+    // synchronous cash/history update over a bounded edge list replays
+    // driver-locally with the identical integer arithmetic — the
+    // distributed loop pays 2 joins + an aggregate + a checkpoint + a
+    // 1-row conservation action PER ROUND, all driver-latency-bound on a
+    // small graph. Output is bit-identical in both regimes.
+    if (e.count() <= localEdgeThreshold) return opicLocal(e, iters, scale)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -205,6 +268,55 @@ object LinkGraph {
       i += 1
     }
     ranks
+  }
+
+  /** Driver-local replay of the exact integer OPIC update (see [[opic]]):
+   *  bounded by localEdgeThreshold (caller contract). */
+  private def opicLocal(e: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val outdeg = new java.util.HashMap[Long, Long]()
+    val nodes = new java.util.LinkedHashSet[Long]()
+    edges.foreach { case (s, d) =>
+      nodes.add(s); nodes.add(d)
+      outdeg.merge(s, 1L, (a, b) => a + b)
+    }
+    val n = nodes.size.toLong
+    if (n == 0)
+      return Seq.empty[(Long, Long, Long)].toDF("node", "cash", "hist")
+    require(n <= Long.MaxValue / scale / (iters.max(1)),
+      s"n*scale*iters overflows long: n=$n scale=$scale iters=$iters")
+    val mass = n * scale
+    val cash = new java.util.HashMap[Long, Long]()
+    val hist = new java.util.HashMap[Long, Long]()
+    nodes.forEach { nd => cash.put(nd, scale); hist.put(nd, 0L) }
+    var virtualCash = 0L
+    var i = 0
+    while (i < iters) {
+      val topup = Math.floorDiv(virtualCash, n)
+      val eff = new java.util.HashMap[Long, Long]()
+      nodes.forEach { nd =>
+        val effV = cash.get(nd) + topup
+        eff.put(nd, effV)
+        hist.put(nd, hist.get(nd) + effV)
+      }
+      val inflow = new java.util.HashMap[Long, Long]()
+      edges.foreach { case (s, d) =>
+        inflow.merge(d, Math.floorDiv(eff.get(s), outdeg.get(s)), (a, b) => a + b)
+      }
+      var circulating = 0L
+      nodes.forEach { nd =>
+        val c = inflow.getOrDefault(nd, 0L)
+        cash.put(nd, c)
+        circulating += c
+      }
+      virtualCash = mass - circulating
+      i += 1
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](nodes.size)
+    nodes.forEach(nd => rows += ((nd, cash.get(nd), hist.get(nd))))
+    rows.toSeq.toDF("node", "cash", "hist")
   }
 
   /** Rank-prioritized frontier: joins each frontier row's host id to its

@@ -235,4 +235,30 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     comps.foreach { case (id, c) => assert(c == id % 25L, s"node $id → $c") }
     assert(comps.values.toSet == (0L until 25L).toSet)
   }
+
+  test("pageRank regimes agree: driver-local ≡ distributed on an LCG graph") {
+    var x = 777L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val es = (0 until 300).map { _ =>
+      (math.floorMod(next(), 60L), math.floorMod(next(), 60L))
+    }.filter { case (s, d) => s != d }.distinct
+    val local = ranksMap(LinkGraph.pageRank(edgesDF(es), "src", "dst", iters = 4))
+    val dist = ranksMap(LinkGraph.pageRank(edgesDF(es), "src", "dst", iters = 4,
+      localEdgeThreshold = 0L))
+    assert(local == dist)
+  }
+
+  test("opic regimes agree: driver-local ≡ distributed on an LCG graph") {
+    var x = 999L
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+    val es = (0 until 300).map { _ =>
+      (math.floorMod(next(), 50L), math.floorMod(next(), 80L))
+    }.filter { case (s, d) => s != d }.distinct
+    def m(df: DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val local = m(LinkGraph.opic(edgesDF(es), "src", "dst", iters = 5))
+    val dist = m(LinkGraph.opic(edgesDF(es), "src", "dst", iters = 5,
+      localEdgeThreshold = 0L))
+    assert(local == dist)
+  }
 }

@@ -97,4 +97,18 @@ class RedirectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map("pa" -> "d", "pc" -> "d", "pd" -> "d",
       "pp" -> "p", "pz" -> "z"))
   }
+
+  test("resolve regimes agree: driver-local ≡ distributed (chains, cycles, deep tails)") {
+    // decade chains 0→1→…→7 with the 8⇄9 two-cycle (the oracle's shape),
+    // plus one 40-deep chain that overruns the default 32-hop horizon
+    val es = (0 until 50).flatMap { k =>
+      if (k % 10 == 7) Seq.empty
+      else if (k % 10 == 9) Seq(s"u$k" -> s"u${k - 1}")
+      else Seq(s"u$k" -> s"u${k + 1}")
+    } ++ (100 until 140).map(k => s"d$k" -> s"d${k + 1}")
+    val local = resolvedMap(Redirects.resolve(edgesDF(es), "src", "dst"))
+    val dist = resolvedMap(Redirects.resolve(edgesDF(es), "src", "dst",
+      localEdgeThreshold = 0L))
+    assert(local === dist)
+  }
 }
