@@ -1130,7 +1130,12 @@ object SparkEntry {
     "crawl_schedule" -> ((s, _) => {
       val v = 150L
       val pages = Fixtures.pagesDF(s, v)
-      val dir = java.nio.file.Files.createTempDirectory("graft-q-crawl").toString
+      // tmpfs-backed scratch when available (FrontierBench.scratchDir):
+      // the checkpointed wave state is throwaway bench state, and /tmp is
+      // plain disk in the sandbox while a cluster's state store is
+      // page-cached NVMe — same rationale as the frontier bench's seen
+      // table. The computed schedule is identical either way.
+      val dir = FrontierBench.scratchDir("graft-q-crawl").toString
       val settings = CrawlSettings(size = 40, nPriorities = 1, hostBudget = 6,
         waveCap = 40, retries = 1, maxWaves = 8, urlPattern = Fixtures.UrlPattern,
         extract = false, useBloom = true, bloomCapacity = 4096, numBuckets = 8)

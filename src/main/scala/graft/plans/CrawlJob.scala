@@ -98,7 +98,16 @@ case class CrawlSettings(
     // blocked hosts never enter frontier or seen. Empty (default) keeps
     // reference-equivalent admission. Driver-held literal list (up to
     // ~10^4 entries); table-sized lists pre-filter via Blocklist.admit.
-    hostBlocklist: Seq[String] = Nil)
+    hostBlocklist: Seq[String] = Nil,
+    // adaptive query execution inside the wave loop. Default OFF: every
+    // wave exchange is already pre-sized to the bucketed state layout
+    // (numBuckets) and skew is handled explicitly (salts), so AQE has
+    // nothing to re-plan — but its per-exchange materialization turns
+    // each wave DAG into a chain of separate jobs (measured: 147 → 65
+    // jobs per 4-wave run, ~15% wall on the driver-latency-bound path).
+    // Flip on for deployments that want runtime re-planning inside
+    // waves, e.g. un-salted skewed fetch joins.
+    waveAqe: Boolean = false)
 
 case class CrawlSummary(wavesRun: Int, applied: Long, finished: Long,
     scheduledTotal: Long, seenTotal: Long, deadTotal: Long)
@@ -295,9 +304,32 @@ class CrawlJob(
     ckpt.latestWave.getOrElse(0)
   }
 
-  /** Run (or resume) the crawl to completion. */
-
+  /** Run (or resume) the crawl to completion.
+   *
+   *  For the duration of the run, `spark.sql.shuffle.partitions` is
+   *  pinned to the engine's storage bucket count (and restored after):
+   *  every wave exchange then lands directly on the bucketed state
+   *  layout — the same alignment FrontierBench.childMain pins for the
+   *  measured wave — instead of shuffling wave-sized frames across a
+   *  session-wide partition count sized for scan-heavy analytics. The
+   *  bucket count is the engine's declared state parallelism
+   *  (settings.numBuckets, cluster-sized in production), so this scales
+   *  with the deployment, not with this host. Every wave output is
+   *  partition-independent by construction (dense-seq ranks, hash
+   *  aggregates, windows — spec-pinned), so only job latency changes. */
   def run(seeds: Seq[String]): CrawlSummary = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", settings.numBuckets.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", settings.waveAqe.toString)
+    try runImpl(seeds)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  private def runImpl(seeds: Seq[String]): CrawlSummary = {
     ckpt.cleanUncommitted()
     ensureStateTables()
     val resumedWave = ckpt.latestWave
