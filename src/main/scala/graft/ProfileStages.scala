@@ -90,6 +90,18 @@ object ProfileStages {
     time("simhashDuplicates e2e") {
       noop(TextDedup.simhashDuplicates(planted, "text", "doc_id", maxDist = 3, nBlocks = 6))
     }
+
+    // ---- embedding cosine near-dup stages ----
+    if (sys.env.contains("PROF_EMB")) {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      println(s"[prof] vectors=${emb.count()}")
+      time("embCosine e2e") {
+        noop(Similarity.cosineNearDups(emb, "vec_id", "embedding", 400, dim = 64,
+          tables = 48, bits = 5))
+      }
+    }
     spark.stop()
   }
 }

@@ -65,21 +65,33 @@ object Similarity {
     val pairs =
       if (tables <= 0) a.crossJoin(b).filter(col("a") < col("b"))
       else {
+        // r6 shape: carry each row's (vector, norm) INTO the bucket
+        // self-join and evaluate the cosine per shared bucket, then
+        // distinct the verified output rows. The old form deduped the
+        // candidate id pairs first and re-joined both vector sides onto
+        // them — at a near-all-pairs candidate ratio (low bits / dense
+        // corpora) that shuffled every vector once per surviving pair
+        // (O(pairs·dim) exchange bytes); this shuffles O(rows·tables·dim)
+        // and re-computes a few duplicate dot products instead (identical
+        // doubles, so the post-filter distinct collapses them exactly).
         val sigUdf = signaturesUdf(dim, tables, bits)
-        val buckets = clean.select(col(idCol).as("id"),
-            sigUdf(col(vecCol).cast("array<double>")).as("sigs"))
-          .select(col("id"), posexplode(col("sigs")).as(Seq("table", "bucket")))
-        val cand = buckets.as("x").join(buckets.as("y"),
+        val buckets = a.select(col("a").as("id"), col("va").as("v"), col("na").as("n"),
+          posexplode(sigUdf(col("va").cast("array<double>"))).as(Seq("table", "bucket")))
+        buckets.as("x").join(buckets.as("y"),
             col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
             col("x.id") < col("y.id"))
-          .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-        cand.join(a, Seq("a")).join(b, Seq("b"))
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            col("x.v").as("va"), col("x.n").as("na"),
+            col("y.v").as("vb"), col("y.n").as("nb"))
       }
-    pairs
+    val verified = pairs
       .withColumn("cos_milli",
         floor(lit(1000.0) * (dot(col("va"), col("vb")) / (col("na") * col("nb")))).cast("long"))
       .filter(col("cos_milli") >= minCosineMilli)
       .select(col("a"), col("b"), col("cos_milli"))
+    // multi-table duplicates carry bit-identical cos_milli; exact-pair
+    // branch (tables <= 0) is duplicate-free by construction
+    if (tables <= 0) verified else verified.distinct()
   }
 
   /**

@@ -427,4 +427,30 @@ class RobotsCountersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc.value(("g", "i0")) == 50L)
     assert(acc.value(("g", "i1")) == 50L)
   }
+
+  test("sitemap entry split ≡ the lazy-dotall regex on malformed bodies (property)") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    // adversarial shapes: unterminated tails, close-without-open, nested
+    // opens inside an entry, empty bodies, newlines, entry-less noise
+    val bodies = Seq(
+      "<urlset><url><loc>a</loc></url></urlset>",
+      "<url>a</url><url>b</url>",
+      "<url>a<url>b</url>",                       // nested open: capture 'a<url>b'
+      "x</url><url>y</url>",                      // close before any open
+      "<url>unclosed",                            // unterminated tail drops
+      "<url>a</url>trail<url>b",                  // terminated + unterminated
+      "", "no entries at all", "</url></url>",
+      "<url>\n multi\nline </url>",
+      "<url></url>",                              // empty capture
+      "a</url>b</url><url>c</url><url>d</url>x")
+    val df = spark.createDataFrame(bodies.zipWithIndex.map(_.swap))
+      .toDF("i", "body")
+    def collect(e: org.apache.spark.sql.DataFrame): Seq[(Int, String)] =
+      e.collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    val viaRegex = collect(df.select(col("i"), explode(
+      expr("regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)")).as("e")))
+    val viaSplit = collect(
+      Robots.tagEntries(df, "body", "url").select(col("i"), col("__entry")))
+    assert(viaSplit == viaRegex, s"split=$viaSplit regex=$viaRegex")
+  }
 }
