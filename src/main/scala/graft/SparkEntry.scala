@@ -589,12 +589,18 @@ object SparkEntry {
     "corpus_clean" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val planted = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
-      // NOT materialized: measured at sf0.1, checkpointing this boundary
-      // moves nothing (the stage costs are additive, recompute is cheap)
-      // while blocking column pruning through the semi-join
-      val uniq = planted.join(
-        TextDedup.exact(planted, "text", "doc_id").select("doc_id"),
-        Seq("doc_id"), "left_semi")
+      // exact-collapse boundary, projected to the two columns every later
+      // stage consumes and MATERIALIZED once (r6): the boundary feeds two
+      // independent consumers — the near-dup pair plan and the survivors
+      // anti-join — whose plans share no exchange, so lazily it was
+      // evaluated twice per run (r5's "not materialized" note predates
+      // that second consumer costing more than the checkpoint; the
+      // explicit select replaces the column pruning the checkpoint blocks)
+      val uniq = planted.select(col("doc_id"), col("text"))
+        .join(
+          TextDedup.exact(planted, "text", "doc_id").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val pairs = TextDedup.minhashLshDuplicates(uniq, "text", "doc_id")
       val comps = TextDedup.duplicateClusters(pairs.select(col("a"), col("b")))
       val survivors = uniq.join(

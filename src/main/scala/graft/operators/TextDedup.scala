@@ -41,6 +41,28 @@ object TextDedup {
       .distinct()
   }
 
+  /** Hashed word k-gram shingles: (id, shingle: long) rows, distinct.
+   *  Each shingle is xxhash64 over its k words passed as SEPARATE
+   *  arguments (the hash folds per-argument, so word boundaries are
+   *  preserved; words are \\s+-split and never contain spaces, making
+   *  the string form injective on word tuples — hash equality ⟺
+   *  string-shingle equality up to 2^-64 collisions). The MinHash path
+   *  consumes shingles only through equality (signatures, bucket keys,
+   *  intersection counts), so hashing at GENERATION time means no phrase
+   *  string is ever built and the distinct/joins shuffle 8 bytes per
+   *  shingle instead of the full phrase. [[shingles]] (the string form)
+   *  stays for the exact-Jaccard oracle surface. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("w"))
+      .filter(size(col("w")) >= k) // sequence(0, negative) would descend
+    val args = (0 until k).map(j => s"element_at(w, i + ${j + 1})").mkString(", ")
+    words.select(col("id"), explode(
+        expr(s"transform(sequence(0, size(w) - $k), i -> xxhash64($args))"))
+        .as("shingle"))
+      .distinct()
+  }
+
   /** Shingles with document frequency above `maxDf` (the hot tail: stop
    *  phrases, boilerplate). */
   private def hotShingles(sh: DataFrame, maxDf: Int): DataFrame =
@@ -237,7 +259,12 @@ object TextDedup {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val (reps, members) = collapseExact(df, textCol, idCol)
-    val sh = shingles(reps, textCol, "id", k)
+    // hashed shingles (r6): every consumer below — signatures, band
+    // buckets, the exact-Jaccard verify's intersection counts — uses
+    // shingles through equality only, so the 8-byte hash replaces the
+    // phrase string end to end (identical output up to 2^-64 collisions;
+    // the oracle checks the verified pair set either way)
+    val sh = shingleHashes(reps, textCol, "id", k)
     val sig = minhashSignatures(sh, numHashes)
     // band bucket = hash of the band's signature slice, hashed as a LONG
     // ARRAY (xxhash64 folds array elements natively) — the old concat_ws
