@@ -336,18 +336,29 @@ object TextDedup {
         struct(col("b").cast("long").as("a"), col("a").cast("long").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
-      .persist()
-    val nEdges = edges.count()
-    val out =
-      if (nEdges <= localEdgeThreshold) localComponents(edges)
-      else propagateComponents(edges, maxIters)
-    edges.unpersist()
-    out
+    // size gate AND edge fetch in ONE short-circuiting job (r6): the old
+    // persist + count + collect sequence paid a full evaluation to learn
+    // the size, then read the cache again to fetch the rows the local
+    // regime needed anyway. limit(threshold+1) bounds driver memory the
+    // same way the count gate did; only a genuinely large graph pays a
+    // second evaluation (and then persists for the iteration loop).
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val probe = edges.as[(Long, Long)]
+      .limit((localEdgeThreshold + 1).min(Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= localEdgeThreshold) localComponents(spark, probe)
+    else {
+      val e = edges.persist()
+      e.count()
+      val out = propagateComponents(e, maxIters)
+      e.unpersist()
+      out
+    }
   }
 
   /** Driver union-find over a bounded edge list (see duplicateClusters). */
-  private def localComponents(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
@@ -358,7 +369,7 @@ object TextDedup {
       r
     }
     // size bounded by localEdgeThreshold (caller contract)
-    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+    edges.foreach { case (a, b) =>
       if (!parent.containsKey(a)) parent.put(a, a)
       if (!parent.containsKey(b)) parent.put(b, b)
       val ra = find(a); val rb = find(b)
