@@ -618,7 +618,11 @@ object SparkEntry {
     // synthetic corpus (scores ~29k-110k at sf0.01)
     "lm_score" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
+      // vocab-sized model table, materialized once: lmScore's scaladoc
+      // contract — the model plan is consumed twice (mass scalar + token
+      // join) and would re-run the training aggregate per consumer
       val model = Corpus.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+        .localCheckpoint(true)
       Corpus.lmScore(docs, model, "text", "doc_id", threshold = 60000L)
     }),
 
@@ -627,7 +631,9 @@ object SparkEntry {
     // two-pass pattern, never an ntile window task per source
     "quality_buckets" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
+      // materialized once — the lmScore two-consumer contract (see lm_score)
       val model = Corpus.unigramModel(docs.filter(col("doc_id") % 2 === 0), "text")
+        .localCheckpoint(true)
       val scored = Corpus.lmScore(docs, model, "text", "doc_id", threshold = 60000L)
         .select(col("doc_id"), col("surprisal_milli"))
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))

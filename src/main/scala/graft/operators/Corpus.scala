@@ -515,6 +515,20 @@ object Corpus {
         i => array_join(slice(tokens, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Hashed word n-grams: xxhash64 over the n words as SEPARATE
+   *  arguments — the hash folds per argument, so word boundaries are
+   *  preserved and hash equality ⟺ [[wordGrams]]-string equality up to
+   *  2^-64 collisions (words are \\s+-split, never contain spaces, so
+   *  the joined string is injective on word tuples). For consumers that
+   *  use grams only through equality (decontamination matching), no
+   *  gram string is ever built and joins/broadcasts carry 8 bytes per
+   *  gram. */
+  def wordGramHashes(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => xxhash64((0 until n).map(j => element_at(tokens, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Benchmark decontamination, flag stage (the GPT-3/Gopher n-gram
    *  rule): a corpus document is contaminated iff it shares at least one
    *  word n-gram with the eval set; `n_hits` counts its matching n-gram
@@ -533,12 +547,15 @@ object Corpus {
     // tokenize in a Project BELOW the explode: wordGrams references its
     // tokens arg 3× and CollapseProject won't merge a Project into a
     // Generate, so the trim+split+filter runs once per row, not thrice
+    // hashed grams on BOTH sides (r6): the match is pure equality, so no
+    // gram string is ever built and the broadcast set carries 8 bytes per
+    // gram (identical hits up to 2^-64 collisions — [[wordGramHashes]])
     val bgrams = bench
       .select(wordTokens(col(textCol)).as("__t"))
-      .select(explode(wordGrams(col("__t"), n)).as("gram"))
+      .select(explode(wordGramHashes(col("__t"), n)).as("gram"))
       .distinct()
     docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), explode(wordGrams(col("__t"), n)).as("gram"))
+      .select(col("doc_id"), explode(wordGramHashes(col("__t"), n)).as("gram"))
       .join(broadcast(bgrams), Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
