@@ -160,7 +160,8 @@ object SparkEntry {
         .select("url_hash", "url_canon").distinct()
       val cands = e.filter(col("seq") % 2 === 0)
         .select("url_hash", "url_canon", "seq")
-      val dir = java.nio.file.Files.createTempDirectory("graft-cuckoo-q").toString
+      // tmpfs scratch (see crawl_schedule): throwaway filter-bucket state
+      val dir = FrontierBench.scratchDir("graft-cuckoo-q").toString
       val store = new graft.operators.BloomStore(s, dir, numBuckets = 8,
         bucketCapacity = 8192, kind = "cuckoo")
       store.rebuild(seen, 0)
@@ -763,16 +764,22 @@ object SparkEntry {
       val e = enriched(s, d)
       val vocab = array(lit("click here"), lit("  Read   More "),
         concat(lit("Page "), (col("seq") % 7).cast("string")))
-      val links = e.select(
-        col("host").as("src_host"),
+      // the two link feeds (every row + the seq%3 hub rows) come from ONE
+      // pass over the UDF-enriched frame via a conditional-array explode —
+      // the r5 two-branch union evaluated the enrich UDFs twice; the
+      // produced link rows are identical (same oracle)
+      val row1 = struct(
         concat(lit("http://t"), (col("seq") % 40).cast("string"),
           lit(".example.com/p/"), (col("seq") % 200).cast("string")).as("dst"),
         element_at(vocab, ((col("seq") % 3) + 1).cast("int")).as("anchor"))
-        .union(e.filter(col("seq") % 3 === 0).select(
-          col("host").as("src_host"),
-          concat(lit("http://t"), (col("seq") % 40).cast("string"),
-            lit(".example.com/p/"), ((col("seq") * 7) % 200).cast("string")).as("dst"),
-          when(col("seq") % 9 === 0, lit("")).otherwise(lit("hub")).as("anchor")))
+      val row2 = struct(
+        concat(lit("http://t"), (col("seq") % 40).cast("string"),
+          lit(".example.com/p/"), ((col("seq") * 7) % 200).cast("string")).as("dst"),
+        when(col("seq") % 9 === 0, lit("")).otherwise(lit("hub")).as("anchor"))
+      val links = e.select(col("host").as("src_host"),
+          explode(when(col("seq") % 3 === 0, array(row1, row2))
+            .otherwise(array(row1))).as("l"))
+        .select(col("src_host"), col("l.dst").as("dst"), col("l.anchor").as("anchor"))
       LinkGraph.anchorSummary(links, "src_host", "dst", "anchor")
     }),
 
