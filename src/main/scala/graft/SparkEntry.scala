@@ -845,10 +845,16 @@ object SparkEntry {
     // exact n-gram Jaccard pairs (threshold 500‰). maxDf=32 caps the
     // candidate self-join's hot-shingle fan-out; the reported Jaccard is
     // still exact over ALL shingles, and the DuckDB oracle (uncapped
-    // exact) proves the cap loses nothing on this corpus
+    // exact) proves the cap loses nothing on this corpus. Shingles ride
+    // as 8-byte xxhash64 keys (r6, the same swap the MinHash path made):
+    // every consumer — df cap, self-join, sizes, set verify — uses them
+    // through equality only, so no phrase string is ever built and the
+    // hot self-join shuffles 8 bytes per shingle instead of ~25 (values
+    // identical up to 2^-64 collisions; the uncapped-exact string oracle
+    // pins the output either way)
     "dedup_ngram_jaccard" -> ((s, d) =>
       TextDedup.jaccardPairs(
-        TextDedup.shingles(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3),
+        TextDedup.shingleHashes(s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3),
         500, maxDf = 32)),
 
     // SimHash near-dup via the Manku block-combination trick (6 blocks →
@@ -1172,7 +1178,7 @@ object SparkEntry {
     * silently eating recall there and maxDf should rise (VERDICT r3 #3). */
   def observability: Map[String, (SparkSession, String) => Map[String, Long]] = Map(
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = TextDedup.shingles(
+      val sh = TextDedup.shingleHashes(
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", 3)
       Map("hot_only_doc_count_maxdf32" -> TextDedup.hotOnlyDocCount(sh, 32))
     }))
