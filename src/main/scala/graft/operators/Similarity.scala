@@ -65,33 +65,50 @@ object Similarity {
     val pairs =
       if (tables <= 0) a.crossJoin(b).filter(col("a") < col("b"))
       else {
-        // r6 shape: carry each row's (vector, norm) INTO the bucket
-        // self-join and evaluate the cosine per shared bucket, then
-        // distinct the verified output rows. The old form deduped the
-        // candidate id pairs first and re-joined both vector sides onto
-        // them — at a near-all-pairs candidate ratio (low bits / dense
-        // corpora) that shuffled every vector once per surviving pair
-        // (O(pairs·dim) exchange bytes); this shuffles O(rows·tables·dim)
-        // and re-computes a few duplicate dot products instead (identical
-        // doubles, so the post-filter distinct collapses them exactly).
+        // r6 final shape (measured, guide §8 "decide with small rows,
+        // move big rows once"): the bucket self-join runs SLIM — only
+        // (id, table, bucket), ~24 bytes/row — then the candidate id
+        // pairs are deduplicated BEFORE any vector is touched, and the
+        // two vector sides re-attach onto the distinct pair stream.
+        // The interim r6 form carried (vector, norm) into the bucket
+        // join to save that re-attach; profiled at sf0.1 (2000 vectors,
+        // 3.19M raw vs 1.53M distinct candidates) it materialized ~1 KB
+        // of vector payload per RAW candidate (~3.2 GB through one join)
+        // and re-verified every multi-table duplicate — strictly more
+        // dot products AND more exchange bytes than verifying each
+        // distinct pair once. The attach joins are output-proportional
+        // (O(pairs·dim)): Spark broadcasts the projected vector table
+        // while it fits (it is dim doubles per corpus row) and falls
+        // back to a pairs-sized shuffle at scale, which the slim
+        // distinct already bounded.
         val sigUdf = signaturesUdf(dim, tables, bits)
-        val buckets = a.select(col("a").as("id"), col("va").as("v"), col("na").as("n"),
+        val buckets = a.select(col("a").as("id"),
           posexplode(sigUdf(col("va").cast("array<double>"))).as(Seq("table", "bucket")))
+          // spread the pair fan-out: a small corpus scans as 1-2 input
+          // partitions and the bucket side broadcasts, so without this
+          // every candidate pair (and the partial distinct) funnels
+          // through those few tasks (measured: the candidate distinct
+          // alone 1.8s serial vs 0.84s spread at sf0.1). The explicit
+          // partition count — the session's own shuffle width, not a
+          // constant — is deliberate: a column-only repartition is
+          // AQE-coalescable and the 2 MB bucket stream collapses right
+          // back to one partition. The shuffle moves only the slim
+          // (id, table, bucket) rows; at corpus scale the join needs
+          // this exchange anyway.
+          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+            col("table"), col("bucket"))
         buckets.as("x").join(buckets.as("y"),
             col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
             col("x.id") < col("y.id"))
-          .select(col("x.id").as("a"), col("y.id").as("b"),
-            col("x.v").as("va"), col("x.n").as("na"),
-            col("y.v").as("vb"), col("y.n").as("nb"))
+          .select(col("x.id").as("a"), col("y.id").as("b"))
+          .distinct()
+          .join(a, Seq("a")).join(b, Seq("b"))
       }
-    val verified = pairs
+    pairs
       .withColumn("cos_milli",
         floor(lit(1000.0) * (dot(col("va"), col("vb")) / (col("na") * col("nb")))).cast("long"))
       .filter(col("cos_milli") >= minCosineMilli)
       .select(col("a"), col("b"), col("cos_milli"))
-    // multi-table duplicates carry bit-identical cos_milli; exact-pair
-    // branch (tables <= 0) is duplicate-free by construction
-    if (tables <= 0) verified else verified.distinct()
   }
 
   /**
@@ -187,7 +204,7 @@ object Similarity {
    *  plane array instead. Takes doubles — callers cast float vectors
    *  (exact widening, identical signatures) so one UDF serves both the
    *  raw float corpus and the double-cast oracle path. */
-  private def signaturesUdf(dim: Int, tables: Int, bits: Int) = {
+  private[graft] def signaturesUdf(dim: Int, tables: Int, bits: Int) = {
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(tables, bits, dim)((t, b, d) => planeComponent(t, b, d))
     udf((vecSeq: Seq[Double]) => {
