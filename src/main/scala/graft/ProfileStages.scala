@@ -34,8 +34,8 @@ object ProfileStages {
       noop(reps); noop(members)
     }
     val (reps, _) = TextDedup.collapseExact(docs, "text", "doc_id")
-    time("shingles(reps)") { noop(TextDedup.shingles(reps, "text", "id", 3)) }
-    val sh = TextDedup.shingles(reps, "text", "id", 3)
+    time("shingleHashes(reps)") { noop(TextDedup.shingleHashes(reps, "text", "id", 3)) }
+    val sh = TextDedup.shingleHashes(reps, "text", "id", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[prof] shingle rows=${sh.count()} distinct=${sh.select("shingle").distinct().count()}")
     time("minhashSignatures(cached sh)") { noop(TextDedup.minhashSignatures(sh, 64)) }
@@ -45,7 +45,7 @@ object ProfileStages {
     time("banding+candidates(cached)") {
       val bands = 32; val rowsPerBand = 2
       val banded = sig.select(col("id"), posexplode(
-          expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)), b))"))
+          expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
           .as(Seq("band", "bucket")))
       val candidates = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -56,7 +56,7 @@ object ProfileStages {
     }
     val bands = 32; val rowsPerBand = 2
     val banded = sig.select(col("id"), posexplode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)), b))"))
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("band", "bucket")))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -68,13 +68,29 @@ object ProfileStages {
     time("jaccardForPairs(cached cand)") {
       noop(TextDedup.jaccardForPairs(candidates, sh, 800))
     }
+    if (sys.env.contains("PROF_JFP")) {
+      val cand = candidates.select(col("a"), col("b")).distinct()
+      val candIds = cand.select(col("a").as("id"))
+        .union(cand.select(col("b").as("id"))).distinct()
+      time("jfp: candIds") { noop(candIds) }
+      val sets = sh.join(candIds, Seq("id"), "left_semi")
+        .groupBy(col("id")).agg(collect_list(col("shingle")).as("set"))
+      time("jfp: sets aggregate") { noop(sets) }
+      val inter = cand
+        .join(sets.select(col("id").as("a"), col("set").as("__sa")), Seq("a"))
+        .join(sets.select(col("id").as("b"), col("set").as("__sb")), Seq("b"))
+      time("jfp: attach joins") { noop(inter) }
+      time("jfp: full verify") {
+        noop(TextDedup.jaccardForPairs(candidates, sh, 800))
+      }
+    }
     sh.unpersist(); sig.unpersist(); candidates.unpersist()
     time("minhashLshDuplicates e2e") {
       noop(TextDedup.minhashLshDuplicates(docs, "text", "doc_id"))
     }
 
     // ---- ngram jaccard stages ----
-    val shAll = TextDedup.shingles(docs, "text", "doc_id", 3)
+    val shAll = TextDedup.shingleHashes(docs, "text", "doc_id", 3)
     time("jaccardPairs maxDf=32 e2e") { noop(TextDedup.jaccardPairs(shAll, 500, maxDf = 32)) }
 
     // ---- simhash stages ----

@@ -52,7 +52,18 @@ object TextDedup {
    *  string is ever built and the distinct/joins shuffle 8 bytes per
    *  shingle instead of the full phrase. [[shingles]] (the string form)
    *  stays for the exact-Jaccard oracle surface. */
-  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    shingleHashesRaw(df, textCol, idCol, k).distinct()
+
+  /** [[shingleHashes]] WITHOUT the per-doc distinct pass — for consumers
+   *  that are duplicate-invariant: MinHash signatures (`min` over a slot
+   *  is unchanged by repeats) and set-building aggregates that dedupe
+   *  in-aggregate (`collect_set`). Skipping the distinct removes a full
+   *  exchange+aggregate over the corpus-wide shingle stream — the widest
+   *  stream in the near-dup pipeline. Consumers whose COUNTS must be
+   *  per-doc-distinct (document frequency caps, set sizes via
+   *  `collect_list`) need [[shingleHashes]]. */
+  def shingleHashesRaw(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val words = df.select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("w"))
       .filter(size(col("w")) >= k) // sequence(0, negative) would descend
@@ -60,7 +71,6 @@ object TextDedup {
     words.select(col("id"), explode(
         expr(s"transform(sequence(0, size(w) - $k), i -> xxhash64($args))"))
         .as("shingle"))
-      .distinct()
   }
 
   /** Shingles with document frequency above `maxDf` (the hot tail: stop
@@ -139,7 +149,9 @@ object TextDedup {
       val cand = bounded.filter(
           floor(lit(1000) * col("__upper") / (col("sza") + col("szb") - col("__upper"))) >= minJaccardMilli)
         .select(col("a"), col("b"))
-      jaccardForPairs(cand, sh, minJaccardMilli)
+      // cand rows are unique: interRare is a groupBy(a, b) output joined
+      // 1:1 against per-id aggregates
+      jaccardForPairs(cand, sh, minJaccardMilli, assumeDistinct = true)
     }
   }
 
@@ -167,15 +179,26 @@ object TextDedup {
    *  Σ over pairs (|A|+|B|): a corpus-wide hot shingle still costs
    *  nothing here.
    *
-   *  `cand` is deduplicated internally: duplicate (a, b) rows (natural
-   *  before a caller's own .distinct()) must not double the output. */
-  def jaccardForPairs(cand0: DataFrame, sh: DataFrame, minJaccardMilli: Int): DataFrame = {
-    val cand = cand0.select(col("a"), col("b")).distinct()
-    val candIds = cand.select(col("a").as("id")).union(cand.select(col("b").as("id"))).distinct()
-    // shingles are distinct within a doc (shingles() contract), so the
-    // set size is the array size and array_intersect counts |A∩B| exactly
+   *  `cand` is deduplicated internally unless the caller vouches with
+   *  `assumeDistinct` (both in-repo callers produce provably-unique
+   *  pairs — a post-join .distinct() / a groupBy output — so the extra
+   *  exchange re-deduplicating them bought nothing): duplicate (a, b)
+   *  rows must not double the output. */
+  def jaccardForPairs(cand0: DataFrame, sh: DataFrame, minJaccardMilli: Int,
+      assumeDistinct: Boolean = false): DataFrame = {
+    val cand =
+      if (assumeDistinct) cand0.select(col("a"), col("b"))
+      else cand0.select(col("a"), col("b")).distinct()
+    // a left-semi probe side may carry duplicates, so the id stream is a
+    // plain per-pair explode — the old union + distinct pre-pass paid an
+    // exchange just to deduplicate rows the semi join ignores anyway
+    val candIds = cand.select(explode(array(col("a"), col("b"))).as("id"))
+    // collect_set dedups in-aggregate, so `sh` may be the RAW (repeat-
+    // carrying) shingle stream ([[shingleHashesRaw]]); the set size is
+    // the distinct count either way and array_intersect counts |A∩B|
+    // exactly
     val sets = sh.join(candIds, Seq("id"), "left_semi")
-      .groupBy(col("id")).agg(collect_list(col("shingle")).as("set"))
+      .groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
     val inter = cand
       .join(sets.select(col("id").as("a"), col("set").as("__sa")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("set").as("__sb")), Seq("b"))
@@ -216,21 +239,24 @@ object TextDedup {
    *  a cluster of k identical documents costs ONE signature instead of
    *  k² shared-bucket candidates. */
   def collapseExact(df: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
-    // null-text rows are excluded (as before: a null __h never joins);
-    // the SLIM (id, hash) projection — not the full text row — feeds both
-    // the rep aggregate and the member join, so the two branches share one
-    // identical exchange subtree (ReuseExchange: md5 over the corpus is
-    // evaluated once, not three times as in the old three-consumer form),
-    // and reps re-join the corpus by primitive id alone (no wide
-    // (hash, id) semi-join key).
-    val slim = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), md5(col(textCol)).as("__h"))
-    val repIds = slim.groupBy(col("__h")).agg(min(col("id")).as("rep"))
-    val members = slim.join(repIds, Seq("__h"))
+    // null-text rows are excluded (as before: a null __h never joins).
+    // The rep aggregate CARRIES the text (r6): within a group every text
+    // is byte-identical (md5 key), so `first(text)` is deterministic and
+    // the old reps-side semi-join back onto the corpus — one exchange of
+    // (id, text) by id plus one of repIds by rep — disappears. The one
+    // aggregate exchange now carries the text once, and its map-side
+    // partial collapses k local copies of a duplicated text to one row
+    // before anything is shuffled (at scale that is LESS text on the wire
+    // than the old id-keyed join, which shuffled every corpus row's
+    // text). The member join stays on the slim (id, hash) projection.
+    val withH = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol), md5(col(textCol)).as("__h"))
+    val agg = withH.groupBy(col("__h"))
+      .agg(min(col("id")).as("rep"), first(col(textCol)).as(textCol))
+    val members = withH.select(col("__h"), col("id"))
+      .join(agg.select(col("__h"), col("rep")), Seq("__h"))
       .select(col("rep"), col("id"))
-    val reps = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), col(textCol))
-      .join(repIds.select(col("rep").as("id")), Seq("id"), "left_semi")
+    val reps = agg.select(col("rep").as("id"), col(textCol))
     (reps, members)
   }
 
@@ -263,8 +289,11 @@ object TextDedup {
     // buckets, the exact-Jaccard verify's intersection counts — uses
     // shingles through equality only, so the 8-byte hash replaces the
     // phrase string end to end (identical output up to 2^-64 collisions;
-    // the oracle checks the verified pair set either way)
-    val sh = shingleHashes(reps, textCol, "id", k)
+    // the oracle checks the verified pair set either way). The stream is
+    // RAW (no per-doc distinct): signatures take a duplicate-invariant
+    // min and the verify collects a set — the distinct pass was a full
+    // extra exchange over the pipeline's widest stream for nothing.
+    val sh = shingleHashesRaw(reps, textCol, "id", k)
     val sig = minhashSignatures(sh, numHashes)
     // band bucket = hash of the band's signature slice, hashed as a LONG
     // ARRAY (xxhash64 folds array elements natively) — the old concat_ws
@@ -278,7 +307,9 @@ object TextDedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     // verify candidates with exact jaccard, restricted to the candidates
-    val repPairs = jaccardForPairs(candidates, sh, minJaccardMilli)
+    // (already distinct: the bucket join ends in .distinct() above)
+    val repPairs = jaccardForPairs(candidates, sh, minJaccardMilli,
+      assumeDistinct = true)
     // cross-group expansion: every member pair inherits its rep pair's
     // exact Jaccard (identical texts); re-order ids (groups interleave)
     val cross = repPairs
