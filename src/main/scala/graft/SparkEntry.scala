@@ -92,6 +92,19 @@ object SparkEntry {
       .withColumn("url_canon", lower(stripFragUdf(col("url"))))
       .withColumn("host", hostUdf(lower(col("url"))))
 
+  /** [[enriched]] with the scan spread to the session's shuffle width
+    * FIRST (r6): the source parquet is one row group, so every per-row
+    * stage downstream — the enrich UDFs, XML synthesis, entry splits —
+    * otherwise runs on a single core until the first exchange. Only the
+    * queries whose per-row work dominates use this (the exchange moves
+    * slim pre-enrich rows once); count()-pruned projection queries stay
+    * on the plain form, where an exchange would be pure overhead. */
+  private def enrichedSpread(spark: SparkSession, sfDir: String): DataFrame =
+    urlsDF(spark, sfDir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .withColumn("url_canon", lower(stripFragUdf(col("url"))))
+      .withColumn("host", hostUdf(lower(col("url"))))
+
   private val enrichedOracle =
     """SELECT url, priority, seq,
               lower(regexp_replace(url, '#.*$', '')) AS url_canon,
@@ -307,7 +320,7 @@ object SparkEntry {
     // two <sitemap> entries — one with lastmod, one whitespace-padded
     // loc-only — plus a loc-less entry that must drop
     "sitemap_index_parse" -> ((s, d) => {
-      val sm = enriched(s, d).select(col("host"), col("seq"),
+      val sm = enrichedSpread(s, d).select(col("host"), col("seq"),
         concat(
           lit("<sitemapindex><sitemap><loc>"), col("url_canon"),
           lit("/s1.xml</loc><lastmod>2023-0"), expr("cast(1 + seq % 9 as string)"),
@@ -342,7 +355,7 @@ object SparkEntry {
     // loc-only — plus a loc-less entry that must drop) parsed by the
     // codegen regexp pipeline into (loc, lastmod, sm_priority) rows
     "sitemap_parse" -> ((s, d) => {
-      val sm = enriched(s, d).select(col("host"), col("seq"),
+      val sm = enrichedSpread(s, d).select(col("host"), col("seq"),
         concat(
           lit("<urlset><url><loc>"), col("url_canon"),
           lit("</loc><lastmod>202"), expr("cast(seq % 5 as string)"),
@@ -761,7 +774,7 @@ object SparkEntry {
     // normalization). Extraction of (href, anchor) pairs from real HTML
     // is engine-only, pinned by ExtractSpec
     "anchor_texts" -> ((s, d) => {
-      val e = enriched(s, d)
+      val e = enrichedSpread(s, d)
       val vocab = array(lit("click here"), lit("  Read   More "),
         concat(lit("Page "), (col("seq") % 7).cast("string")))
       // the two link feeds (every row + the seq%3 hub rows) come from ONE
