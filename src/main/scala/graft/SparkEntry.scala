@@ -774,7 +774,7 @@ object SparkEntry {
     // normalization). Extraction of (href, anchor) pairs from real HTML
     // is engine-only, pinned by ExtractSpec
     "anchor_texts" -> ((s, d) => {
-      val e = enrichedSpread(s, d)
+      val e = enriched(s, d)
       val vocab = array(lit("click here"), lit("  Read   More "),
         concat(lit("Page "), (col("seq") % 7).cast("string")))
       // the two link feeds (every row + the seq%3 hub rows) come from ONE
