@@ -615,7 +615,10 @@ object SparkEntry {
           TextDedup.exact(planted, "text", "doc_id").select("doc_id"),
           Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
-      val pairs = TextDedup.minhashLshDuplicates(uniq, "text", "doc_id")
+      // uniq is exact-collapsed above, so the LSH pass skips its own
+      // identity collapse/re-expansion (assumeUnique, r6)
+      val pairs = TextDedup.minhashLshDuplicates(uniq, "text", "doc_id",
+        assumeUnique = true)
       val comps = TextDedup.duplicateClusters(pairs.select(col("a"), col("b")))
       val survivors = uniq.join(
         comps.filter(col("comp") =!= col("id")).select(col("id").as("doc_id")),

@@ -281,9 +281,31 @@ object TextDedup {
   def minhashLshDuplicates(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 32,
-      minJaccardMilli: Int = 800): DataFrame = {
+      minJaccardMilli: Int = 800, assumeUnique: Boolean = false): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
+    // assumeUnique (r6): a caller that ALREADY collapsed byte-identical
+    // texts (e.g. a pipeline whose previous stage was exact dedup, like
+    // corpus_clean) vouches that texts are distinct — the exact-collapse
+    // pre-pass would be an identity map costing two exchanges, and the
+    // member re-expansion + within-group branches are empty by
+    // construction (every group is a singleton), so the verified rep
+    // pairs ARE the output. Null-text rows behave identically in both
+    // paths: they produce no shingles, so they enter no pair either way.
+    if (assumeUnique) {
+      val reps = df.select(col(idCol).as("id"), col(textCol))
+      val sh = shingleHashesRaw(reps, textCol, "id", k)
+      val sig = minhashSignatures(sh, numHashes)
+      val banded = sig.select(col("id"), posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+          .as(Seq("band", "bucket")))
+      val candidates = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+        .distinct()
+      return jaccardForPairs(candidates, sh, minJaccardMilli, assumeDistinct = true)
+    }
     val (reps, members) = collapseExact(df, textCol, idCol)
     // hashed shingles (r6): every consumer below — signatures, band
     // buckets, the exact-Jaccard verify's intersection counts — uses

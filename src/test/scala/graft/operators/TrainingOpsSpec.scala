@@ -449,6 +449,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact)
   }
 
+  test("minhash assumeUnique regime equals the default on an exact-collapsed corpus") {
+    // the fast path skips collapseExact + member re-expansion; on a
+    // text-unique corpus (one rep per distinct text, incl. a null-text
+    // row) both regimes must produce the identical verified pair set
+    val uniq = docs.join(
+        TextDedup.exact(docs, "text", "doc_id").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .unionByName(docs.limit(1).select(
+        (col("doc_id") + 5000000).as("doc_id"), lit(null).cast("string").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+    def pairs(assume: Boolean) =
+      TextDedup.minhashLshDuplicates(uniq, "text", "doc_id", assumeUnique = assume)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fast = pairs(true)
+    val slow = pairs(false)
+    assert(fast.nonEmpty, "fixture should contain near-dup (non-identical) pairs")
+    assert(fast == slow)
+  }
+
   test("jaccard df-cap: a planted corpus-wide hot shingle changes nothing above threshold") {
     // prepend the same boilerplate to EVERY doc: its shingles get
     // df = corpus size ≫ maxDf, exactly the stop-phrase blowup the cap
