@@ -240,19 +240,23 @@ object TextDedup {
    *  k² shared-bucket candidates. */
   def collapseExact(df: DataFrame, textCol: String, idCol: String): (DataFrame, DataFrame) = {
     // null-text rows are excluded (as before: a null __h never joins).
-    // The rep aggregate CARRIES the text (r6): within a group every text
-    // is byte-identical (md5 key), so `first(text)` is deterministic and
-    // the old reps-side semi-join back onto the corpus — one exchange of
-    // (id, text) by id plus one of repIds by rep — disappears. The one
-    // aggregate exchange now carries the text once, and its map-side
-    // partial collapses k local copies of a duplicated text to one row
-    // before anything is shuffled (at scale that is LESS text on the wire
-    // than the old id-keyed join, which shuffled every corpus row's
-    // text). The member join stays on the slim (id, hash) projection.
+    // The rep aggregate CARRIES the text (r6): the text rides as a GROUP
+    // KEY next to its md5 — byte-identical within a group, so the groups
+    // are exactly the md5 groups — which keeps the one aggregate
+    // HashAggregate with a primitive min(id) buffer (a first(text)/
+    // min_by form carries a string BUFFER and silently degrades the
+    // whole aggregate to SortAggregate — two full corpus sorts, the trap
+    // PlanAuditSpec guards). The old reps-side semi-join back onto the
+    // corpus — one exchange of (id, text) by id plus one of repIds by
+    // rep — disappears; the aggregate exchange carries the text once,
+    // map-side partials collapsing k local copies of a duplicated text
+    // before anything is shuffled (at scale that is LESS text on the
+    // wire than the old id-keyed join, which shuffled every corpus
+    // row's text). The member join stays on slim (hash, id) rows.
     val withH = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol), md5(col(textCol)).as("__h"))
-    val agg = withH.groupBy(col("__h"))
-      .agg(min(col("id")).as("rep"), first(col(textCol)).as(textCol))
+    val agg = withH.groupBy(col("__h"), col(textCol))
+      .agg(min(col("id")).as("rep"))
     val members = withH.select(col("__h"), col("id"))
       .join(agg.select(col("__h"), col("rep")), Seq("__h"))
       .select(col("rep"), col("id"))
