@@ -298,7 +298,7 @@ object SparkEntry {
         "host0.example.com" -> "User-agent: *\nDisallow: /o/\nAllow: /o/1",
         "host3.example.com" -> "User-agent: *\nDisallow: /o/3\nAllow: /o/3\nDisallow: /",
         "host7.example.com" -> "User-agent: *\nAllow: /\nDisallow: /o/7"))
-      Robots.filterAllowedRfc(enrichedSpread(s, d), rules)
+      Robots.filterAllowedRfc(enriched(s, d), rules)
         .select(col("url_canon"), col("host"), col("seq"))
     }),
 
@@ -312,7 +312,7 @@ object SparkEntry {
         "host2.example.com" -> "User-agent: *\nDisallow: /o/*7$",
         "host5.example.com" -> "User-agent: *\nDisallow: /o/\nAllow: /o/*5$",
         "host9.example.com" -> "User-agent: *\nDisallow: /*1*")))
-      Robots.filterAllowedRfcWildcard(enrichedSpread(s, d), rules)
+      Robots.filterAllowedRfcWildcard(enriched(s, d), rules)
         .select(col("url_canon"), col("host"), col("seq"))
     }),
 
