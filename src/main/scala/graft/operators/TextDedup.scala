@@ -129,21 +129,24 @@ object TextDedup {
         .select(col("a"), col("b"), col("jaccard_milli"))
     } else {
       val hot = hotShingles(sh, maxDf)
-      val rare = sh.join(hot, Seq("shingle"), "left_anti")
-      val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      // per-doc RARE counts (not a separate hot semi-join pass): every doc
-      // reaching `bounded` shares ≥1 rare shingle, so its rareSizes row
-      // exists and hotn = sz − rare_n exactly — one less pass over sh
-      val rareSizes = rare.groupBy(col("id")).agg(count(lit(1)).as("rn"))
+      // ONE flag join replaces the old anti-join + two separate by-id
+      // aggregates (r6): a left join against the hot set marks each
+      // shingle row, so the total AND rare per-doc counts come out of a
+      // single exchange of sh by id (one less full pass + exchange), and
+      // the candidate bound attaches ONE counts table per side instead
+      // of two (sizes + rareSizes) — two fewer joins on the pair stream.
+      val flagged = sh.join(hot.withColumn("__hot", lit(true)),
+        Seq("shingle"), "left")
+      val counts = flagged.groupBy(col("id")).agg(count(lit(1)).as("sz"),
+        count(when(col("__hot").isNull, lit(1))).as("rn"))
+      val rare = flagged.filter(col("__hot").isNull).select(col("id"), col("shingle"))
       val interRare = rare.as("x").join(rare.as("y"), col("x.shingle") === col("y.shingle"))
         .filter(col("x.id") < col("y.id"))
         .groupBy(col("x.id").as("a"), col("y.id").as("b"))
         .agg(count(lit(1)).as("ir"))
       val bounded = interRare
-        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
-        .join(rareSizes.withColumnRenamed("id", "a").withColumnRenamed("rn", "rna"), "a")
-        .join(rareSizes.withColumnRenamed("id", "b").withColumnRenamed("rn", "rnb"), "b")
+        .join(counts.select(col("id").as("a"), col("sz").as("sza"), col("rn").as("rna")), "a")
+        .join(counts.select(col("id").as("b"), col("sz").as("szb"), col("rn").as("rnb")), "b")
         .withColumn("__upper",
           col("ir") + least(col("sza") - col("rna"), col("szb") - col("rnb")))
       val cand = bounded.filter(
